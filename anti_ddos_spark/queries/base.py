@@ -1,0 +1,77 @@
+"""Query registry plumbing shared by all query modules.
+
+Each query is a (Spark callable, DuckDB oracle SQL) pair. The Spark side
+is the engine's public surface; the SQL side is the independent oracle the
+driver executes at sf=0.01 (row-count + schema + order-insensitive value
+hash, columns sorted by name).
+
+Numeric determinism policy (so Spark and DuckDB hash-match):
+
+- prefer integer outputs (counts, int-cast stats — also what the
+  reference emits, spark_app/main.py:54-138);
+- double aggregates are rounded identically on both sides (2 dp for
+  large money sums, 4-6 dp for ratios/stds) — observed cross-engine
+  deviation is ≤1 ulp, so rounding is orders of magnitude safer than the
+  boundary risk;
+- timestamps cross the oracle boundary as epoch microseconds
+  (`unix_micros` / `epoch_us`) to dodge ns-vs-µs parquet precision and
+  timezone-rendering differences;
+- division is always guarded (Spark 4 runs ANSI mode).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def rnd(c, n: int = 2):
+    """Cross-engine-deterministic round-half-up.
+
+    Spark's round() decimalizes via BigDecimal.valueOf (shortest decimal
+    repr, HALF_UP) while DuckDB rounds the binary double — they disagree
+    whenever the true value sits on an exact .5 decimal boundary (common
+    for price*discount products). floor(x*10^n + 0.5)/10^n is the same
+    IEEE arithmetic in both engines, so bitwise-equal inputs stay equal.
+    """
+    from pyspark.sql import functions as F
+
+    p = 10**n
+    return F.floor(c * p + F.lit(0.5)) / F.lit(float(p))
+
+
+def sql_rnd(expr: str, n: int = 2) -> str:
+    """DuckDB twin of rnd()."""
+    p = 10**n
+    return f"floor(({expr}) * {p} + 0.5) / {float(p)}"
+
+
+@dataclass
+class Query:
+    """One oracle-checked engine query."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → driver does a rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame (parquet scan).
+
+    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    default; read it via the nanosAsLong legacy conf and truncate to a
+    microsecond TimestampType — the same value DuckDB produces when it
+    coerces ns → its µs TIMESTAMP, so oracle comparisons line up.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)

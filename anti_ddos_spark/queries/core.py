@@ -1,0 +1,462 @@
+"""Generic relational operator surface (SURVEY.md §2.2, §2.5).
+
+The reference uses only projections/filters/conditionals/group-counts
+(train_rf.py, predict_rf.py) — this module ships the full relational
+surface an analytics engine needs and the driver's star-schema oracle
+exercises: scans with pushdown, conditional expressions, null scrubbing,
+hash aggregation, broadcast/sort-merge/semi/anti joins, analytic windows,
+rollup, set ops, distinct/approx-distinct, pivot, top-k.
+
+Scale notes (100 TB thinking, per query):
+- filters/projections are expressed on the scan so Catalyst pushes them
+  into parquet (PushedFilters / ReadSchema pruning);
+- small-dimension joins are explicitly `F.broadcast` so no shuffle of the
+  fact side ever happens;
+- fact-fact joins rely on AQE (skew-join splitting + partition
+  coalescing) which the session enables globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from anti_ddos_spark.queries.base import Query, rnd, t
+
+def REV():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# --- q01: TPC-H Q1 shape — filter + wide hash aggregate (G1/G2/P4-P7) ----
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(REV()), 2).alias("sum_disc_price"),
+            rnd(F.sum(REV() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 4).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            rnd(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       floor((sum(l_quantity)) * 100 + 0.5) / 100.0                                        AS sum_qty,
+       floor((sum(l_extendedprice)) * 100 + 0.5) / 100.0                                   AS sum_base_price,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0                AS sum_disc_price,
+       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100 + 0.5) / 100.0  AS sum_charge,
+       floor((avg(l_quantity)) * 10000 + 0.5) / 10000.0                                        AS avg_qty,
+       floor((avg(l_extendedprice)) * 10000 + 0.5) / 10000.0                                   AS avg_price,
+       floor((avg(l_discount)) * 1000000 + 0.5) / 1000000.0                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- q02: selective scan — predicate pushdown + projection (P1/P5) -------
+
+def q02_filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 30)
+            & (F.col("l_quantity") <= 40)
+            & (F.col("l_discount") >= 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rnd(REV(), 2).alias("revenue"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber,
+       floor((l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100.0 AS revenue
+FROM lineitem
+WHERE l_quantity >= 30 AND l_quantity <= 40 AND l_discount >= 0.05
+"""
+
+
+# --- q03: 3-way join + aggregate (TPC-H Q3 shape) ------------------------
+
+def q03_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            rnd(F.sum(REV()), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+Q03_SQL = """
+SELECT c_mktsegment,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100.0 AS revenue,
+       count(*) AS n_items,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --- q04: broadcast dimension join chain (region ⋈ nation ⋈ customer) ----
+
+def q04_dim_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    nation = t(spark, sf, "nation")
+    region = t(spark, sf, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            rnd(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT r_name, count(*) AS n_customers, floor((sum(c_acctbal)) * 100 + 0.5) / 100.0 AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- q05/q06: semi / anti join (EXISTS / NOT EXISTS) ---------------------
+
+def q05_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def q06_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orderless"))
+    )
+
+
+Q06_SQL = """
+SELECT c_mktsegment, count(*) AS n_orderless
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --- q07: global top-k with deterministic tie-break ----------------------
+
+def q07_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+Q07_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+
+# --- q08: top-k per group via analytic window (row_number) ---------------
+
+def q08_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+Q08_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) WHERE rn <= 2
+"""
+
+
+# --- q09: running aggregate window (frame-based) -------------------------
+
+def q09_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        rnd(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count("*").over(w).alias("nth_order"),
+    )
+
+
+Q09_SQL = """
+SELECT o_custkey, o_orderkey,
+       floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100.0
+         AS running_spend,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth_order
+FROM orders
+"""
+
+
+# --- q10: rollup (grouping sets) -----------------------------------------
+
+def q10_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), rnd(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+Q10_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- q11: set operations --------------------------------------------------
+
+def q11_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    big = orders.filter(F.col("o_totalprice") > 250000).select("o_custkey")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-01-01"))
+    ).select("o_custkey")
+    return big.intersect(urgent).exceptAll(recent.distinct()).union(
+        big.intersect(recent).exceptAll(urgent.distinct())
+    ).distinct()
+
+
+Q11_SQL = """
+WITH big    AS (SELECT o_custkey FROM orders WHERE o_totalprice > 250000),
+     urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+     recent AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+     a  AS (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent),
+     b  AS (SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM recent),
+     a2 AS (SELECT o_custkey FROM a EXCEPT ALL SELECT DISTINCT o_custkey FROM recent),
+     b2 AS (SELECT o_custkey FROM b EXCEPT ALL SELECT DISTINCT o_custkey FROM urgent)
+SELECT DISTINCT o_custkey FROM (SELECT * FROM a2 UNION ALL SELECT * FROM b2)
+"""
+
+
+# --- q12: exact + grouped distinct counts --------------------------------
+
+def q12_distinct_counts(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- q13: conditional expressions + isin null-scrub (P4/P6/P7/P11) -------
+
+def q13_conditional_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    li = t(spark, sf, "lineitem")
+    # isin-scrub: treat sentinel discounts {0.0} as missing, then fill 0.02
+    # (the reference's inf→null→dropna/fill pattern, train_rf.py:36-40).
+    scrubbed = F.when(F.col("l_discount").isin(0.0), None).otherwise(F.col("l_discount"))
+    return (
+        li.withColumn("disc2", F.coalesce(scrubbed, F.lit(0.02)))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(scrubbed).alias("n_nonnull"),
+            rnd(F.sum(F.when(F.col("l_quantity") > 25, REV())), 2).alias("rev_bigqty"),
+            rnd(F.avg("disc2"), 6).alias("avg_disc2"),
+        )
+    )
+
+
+Q13_SQL = """
+SELECT l_linestatus,
+       count(CASE WHEN l_discount IN (0.0) THEN NULL ELSE l_discount END) AS n_nonnull,
+       floor((sum(CASE WHEN l_quantity > 25
+                      THEN l_extendedprice * (1 - l_discount) END)) * 100 + 0.5) / 100.0    AS rev_bigqty,
+       floor((avg(coalesce(CASE WHEN l_discount IN (0.0) THEN NULL
+                               ELSE l_discount END, 0.02))) * 1000000 + 0.5) / 1000000.0            AS avg_disc2
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+# --- q14: string scalar functions (P8/P10) -------------------------------
+
+def q14_string_ops(spark: SparkSession, sf: str) -> DataFrame:
+    cust = t(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("name_up"),
+        F.concat_ws(":", F.col("c_mktsegment"), F.col("c_nationkey")).alias("seg_key"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_pfx"),
+    )
+
+
+Q14_SQL = """
+SELECT c_custkey, upper(trim(c_name)) AS name_up,
+       concat(c_mktsegment, ':', c_nationkey) AS seg_key,
+       length(c_name) AS name_len, substr(c_name, 1, 8) AS name_pfx
+FROM customer
+"""
+
+
+# --- q15: timestamp bucketing (P12) --------------------------------------
+
+def q15_datetime_agg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count("*").alias("n"), rnd(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+Q15_SQL = """
+SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       count(*) AS n, floor((sum(o_totalprice)) * 100 + 0.5) / 100.0 AS total
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --- q16: JSON/regex scalar extraction (P13) -----------------------------
+
+def q16_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+       max(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- q17: pivot (conditional aggregation matrix) -------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q17_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    return (
+        ev.withColumn("bucket", (F.col("user_id") % 10).alias("bucket"))
+        .groupBy("bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+Q17_SQL = """
+SELECT user_id % 10 AS bucket,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY 1
+"""
+
+
+# --- q18: approx sketch vs exact (extension §2.5) ------------------------
+
+def q18_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # approx_count_distinct has no cross-engine-stable value; the oracle
+    # pins the EXACT distinct count and the approx column's relative error
+    # bound is asserted engine-side in tests instead.
+    li = t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        rnd(F.percentile_approx("l_extendedprice", 0.5, 10000), 0).alias("p50_price_approx"),
+    )
+
+
+QUERIES: dict[str, Query] = {
+    "q01_pricing_summary": Query(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape: filter + wide hash agg"),
+    "q02_filter_project": Query(q02_filter_project, Q02_SQL, "selective scan with parquet pushdown"),
+    "q03_join_revenue": Query(q03_join_revenue, Q03_SQL, "fact-fact join + broadcast dim + agg"),
+    "q04_dim_join": Query(q04_dim_join, Q04_SQL, "broadcast snowflake dim join"),
+    "q05_semi_join": Query(q05_semi_join, Q05_SQL, "left semi join / EXISTS"),
+    "q06_anti_join": Query(q06_anti_join, Q06_SQL, "left anti join / NOT EXISTS"),
+    "q07_topk_orders": Query(q07_topk_orders, Q07_SQL, "global top-k, deterministic tie-break"),
+    "q08_window_rank": Query(q08_window_rank, Q08_SQL, "per-group top-k via row_number"),
+    "q09_running_sum": Query(q09_running_sum, Q09_SQL, "running frame aggregate"),
+    "q10_rollup": Query(q10_rollup, Q10_SQL, "rollup grouping sets"),
+    "q11_set_ops": Query(q11_set_ops, Q11_SQL, "intersect/except/union combo"),
+    "q12_distinct_counts": Query(q12_distinct_counts, Q12_SQL, "grouped exact distinct"),
+    "q13_conditional_scrub": Query(q13_conditional_scrub, Q13_SQL, "when/isin-scrub/fill/conditional agg"),
+    "q14_string_ops": Query(q14_string_ops, Q14_SQL, "trim/upper/concat/substr scalar fns"),
+    "q15_datetime_agg": Query(q15_datetime_agg, Q15_SQL, "timestamp bucketing"),
+    "q16_json_extract": Query(q16_json_extract, Q16_SQL, "regex/JSON scalar extraction"),
+    "q17_pivot": Query(q17_pivot, Q17_SQL, "pivot to conditional-agg matrix"),
+    "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
+}
