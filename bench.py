@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is fully executed via a
+count-collapsing noop action (write to a no-op sink would hide result
+materialization; we use .foreach-free collect of an agg summary to force
+every operator while keeping driver transfer negligible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_join_revenue",
+    "q05_semi_join",
+    "q08_window_rank",
+    "q09_running_sum",
+    "q12_distinct_counts",
+    "q16_json_extract",
+    "q20_event_sessions",
+    "q21_event_iat_stats",
+    "q24_flow_features_full",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from anti_ddos_spark.queries import registry
+    from anti_ddos_spark.session import get_spark
+
+    spark = get_spark(app_name="anti_ddos_spark_bench")
+    reg = registry()
+
+    # JVM/codegen warmup on the smallest sf so per-query numbers measure
+    # the plan, not first-call compilation.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE[:3]:
+            reg[name].fn(spark, warm_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg[name]
+        t0 = time.perf_counter()
+        # Force full execution: count() alone would let Catalyst prune
+        # computed columns, so reduce a hash over every output column.
+        from pyspark.sql import functions as F
+
+        df = q.fn(spark, sf_dir)
+        df.agg(F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
