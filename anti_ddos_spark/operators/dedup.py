@@ -1,0 +1,144 @@
+"""Deduplication operators for large-scale corpus curation.
+
+None of these exist in the reference (it has no document processing);
+they are the training-data-pipeline extensions this engine adds as
+first-class operators. All are pure Catalyst expressions — higher-order
+array functions + md5 — so they scale as ordinary shuffles and stay
+whole-stage-codegen'd; no Python UDFs.
+
+Scale design:
+- exact dedup = hash-groupBy on md5(text): one shuffle on the digest,
+  AQE handles skew (identical boilerplate docs are the classic hot key).
+- MinHash: k independent permutations simulated by seeded md5; signature
+  is a per-row map() — embarrassingly parallel, no shuffle.
+- LSH banding: explode to (band_id, band_key) and self-join per band —
+  the join key is the band digest, so candidate generation is one
+  equi-join instead of the O(n²) all-pairs; at 100 TB this is the only
+  viable shape and it broadcast-prunes nothing (fact-fact) so AQE skew
+  split matters.
+- SimHash: explode words → 16 conditional sums per doc (one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+SHINGLE_W = 3  # words per shingle
+MINHASH_K = 4  # signature length
+LSH_BANDS = 2  # bands of MINHASH_K / LSH_BANDS rows each
+SIMHASH_BITS = 16
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, w: int = SHINGLE_W) -> Column:
+    """Word w-shingles; degenerate docs (<w words) shingle to the text."""
+    ws = words(text)
+    n = F.size(ws)
+    make = F.transform(
+        F.sequence(F.lit(1), n - (w - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(w)]
+        ),
+    )
+    return F.when(n >= w, make).otherwise(F.array(text))
+
+
+def minhash_signature(text: Column, k: int = MINHASH_K) -> list[Column]:
+    """k MinHash values: min over shingles of md5(seed:shingle).
+
+    String-min over hex digests ≡ integer-min over the permuted hash
+    space; string form keeps the expression engine-portable (and
+    oracle-checkable in any SQL engine with md5).
+    """
+    sh = shingles(text)
+    return [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s)))).alias(
+            f"minhash_{i}"
+        )
+        for i in range(k)
+    ]
+
+
+def lsh_bands(sig_cols: list[str], bands: int = LSH_BANDS) -> Column:
+    """Band digests: md5 of the concatenated signature rows per band."""
+    rows_per = len(sig_cols) // bands
+    return F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col(c) for c in sig_cols[b * rows_per : (b + 1) * rows_per]]))
+            for b in range(bands)
+        ]
+    )
+
+
+def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest (hash-groupBy dedup)."""
+    digests = docs.groupBy(F.md5(F.col(text_col)).alias("digest")).agg(
+        F.count("*").alias("n")
+    )
+    return digests.agg(
+        F.count("*").alias("n_unique"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_redundant"),
+    )
+
+
+def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) sharing ≥1 band, with exact
+    word-set Jaccard (percent, half-up) for verification."""
+    sigs = docs.select(
+        F.col(id_col),
+        F.array_distinct(words(F.col(text_col))).alias("wset"),
+        *minhash_signature(F.col(text_col)),
+    )
+    sig_cols = [f"minhash_{i}" for i in range(MINHASH_K)]
+    banded = sigs.select(
+        id_col, "wset", F.posexplode(lsh_bands(sig_cols)).alias("band_id", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.wset").alias("wa"),
+            F.col("b.wset").alias("wb"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size(F.array_union("wa", "wb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.floor(inter * 100.0 / union + 0.5).cast("int").alias("jaccard_pct"),
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SIMHASH_BITS-bit SimHash per document from word-level md5 hashes."""
+    tok = docs.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -1,0 +1,110 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. Training-data-pipeline extensions (no analogue
+in the reference) — all Catalyst-native expressions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from anti_ddos_spark.operators.dedup import minhash_signature, words
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+    "de": ("der", "die", "und", "das", "ein", "ist"),
+    "es": ("el", "los", "las", "una", "y", "en"),
+    "zh": ("de", "shi", "le", "zai", "he", "you"),
+}
+LANG_ORDER = ["de", "en", "es", "fr", "zh"]  # deterministic tie-break order
+
+
+def _marker_hits(ws: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(ws, lambda w: w.isin(*markers)))
+
+
+def lang_scores(text: Column) -> list[Column]:
+    ws = words(text)
+    return [_marker_hits(ws, LANG_MARKERS[lang]).alias(f"score_{lang}") for lang in LANG_ORDER]
+
+
+def predict_lang() -> Column:
+    """argmax over score columns, first-in-order wins ties, 'und' if 0."""
+    best = None
+    best_lang = F.lit("und")
+    for lang in LANG_ORDER:
+        s = F.col(f"score_{lang}")
+        if best is None:
+            best, best_lang = s, F.when(s > 0, lang).otherwise("und")
+        else:
+            improved = s > best
+            best_lang = F.when(improved & (s > 0), F.lit(lang)).otherwise(best_lang)
+            best = F.when(improved, s).otherwise(best)
+    return best_lang
+
+
+def text_stats(text: Column) -> dict[str, Column]:
+    """Deterministic quality features over one text column."""
+    ws = words(text)
+    n_words = F.size(ws)
+    n_chars = F.length(text)
+    distinct_ratio_pct = F.floor(
+        F.size(F.array_distinct(ws)) * 100.0 / n_words + 0.5
+    ).cast("int")
+    mean_word_len_x10 = F.floor(
+        (n_chars - (n_words - 1)) * 10.0 / n_words + 0.5
+    ).cast("int")  # chars minus separators per word, ×10 fixed-point
+    long_word_pct = F.floor(
+        F.size(F.filter(ws, lambda w: F.length(w) >= 7)) * 100.0 / n_words + 0.5
+    ).cast("int")
+    return {
+        "n_words": n_words.cast("int"),
+        "n_chars_calc": n_chars.cast("int"),
+        "distinct_ratio_pct": distinct_ratio_pct,
+        "mean_word_len_x10": mean_word_len_x10,
+        "long_word_pct": long_word_pct,
+    }
+
+
+def quality_score() -> Column:
+    """0-100 composite from text_stats columns (already materialized)."""
+    score = (
+        F.least(F.col("n_words"), F.lit(100))
+        + F.col("distinct_ratio_pct") / 2
+        - F.when(F.col("mean_word_len_x10") < 30, 20).otherwise(0)
+    )
+    return F.greatest(F.least(F.floor(score).cast("int"), F.lit(100)), F.lit(0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: first MinHash value (stable content id for
+    near-dup clustering); exact-dup id is md5(text)."""
+    return minhash_signature(text, k=1)[0]
+
+
+def token_counts(text: Column) -> dict[str, Column]:
+    """BPE-ish token accounting via regex classes."""
+    return {
+        "n_alpha_tokens": F.regexp_count(text, F.lit(r"[a-z]+")).cast("int"),
+        "n_num_tokens": F.regexp_count(text, F.lit(r"[0-9]+")).cast("int"),
+        "n_ws_tokens": F.size(words(text)).cast("int"),
+    }
+
+
+def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full per-document text profile: stats + tokens + lang + quality."""
+    text = F.col(text_col)
+    stats = text_stats(text)
+    toks = token_counts(text)
+    df = docs.select(
+        "doc_id",
+        "lang",
+        *[c.alias(n) for n, c in stats.items()],
+        *[c.alias(n) for n, c in toks.items()],
+        *lang_scores(text),
+        fingerprint(text).alias("fingerprint"),
+    )
+    return df.withColumn("pred_lang", predict_lang()).withColumn(
+        "quality", quality_score()
+    )

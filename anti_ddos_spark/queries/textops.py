@@ -1,0 +1,149 @@
+"""Oracle-checked queries for the dedup + text-analysis operator family
+(BASELINE.json north-star extensions) over the `documents` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from anti_ddos_spark.operators.dedup import (
+    exact_dedup_summary,
+    minhash_candidates,
+    simhash,
+)
+from anti_ddos_spark.operators.text import document_profile
+from anti_ddos_spark.queries.base import Query, t
+
+# Shared DuckDB fragments -------------------------------------------------
+
+_W = "string_split_regex(trim(text), '\\s+')"
+
+
+def _shingle_sig(seed: int) -> str:
+    sh = (
+        f"CASE WHEN len({_W}) >= 3 THEN "
+        f"list_transform(range(1, len({_W}) - 1), "
+        f"i -> md5(concat('{seed}:', {_W}[i], ' ', {_W}[i+1], ' ', {_W}[i+2]))) "
+        f"ELSE [md5(concat('{seed}:', text))] END"
+    )
+    return f"list_min({sh})"
+
+
+# --- q30: exact dedup summary (hash-groupBy) -----------------------------
+
+def q30_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dedup_summary(t(spark, sf, "documents"))
+
+
+Q30_SQL = """
+WITH d AS (SELECT md5(text) AS digest, count(*) AS n FROM documents GROUP BY 1)
+SELECT count(*) AS n_unique,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant
+FROM d
+"""
+
+
+# --- q31: per-document text profile (stats/tokens/lang/quality) ----------
+
+def q31_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return document_profile(t(spark, sf, "documents"))
+
+
+def _q31_sql() -> str:
+    from anti_ddos_spark.operators.text import LANG_MARKERS, LANG_ORDER
+
+    score_cols = []
+    for lang in LANG_ORDER:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"CAST(len(list_filter({_W}, x -> list_contains([{markers}], x))) AS INT)"
+            f" AS score_{lang}"
+        )
+    g = "greatest(" + ", ".join(f"score_{l}" for l in LANG_ORDER) + ")"
+    pred = "CASE WHEN " + g + " <= 0 THEN 'und' " + " ".join(
+        f"WHEN score_{l} = {g} THEN '{l}'" for l in LANG_ORDER
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(len({_W}) AS INT) AS n_words,
+         CAST(length(text) AS INT) AS n_chars_calc,
+         CAST(floor(len(list_distinct({_W})) * 100.0 / len({_W}) + 0.5) AS INT)
+           AS distinct_ratio_pct,
+         CAST(floor((length(text) - (len({_W}) - 1)) * 10.0 / len({_W}) + 0.5) AS INT)
+           AS mean_word_len_x10,
+         CAST(floor(len(list_filter({_W}, x -> length(x) >= 7)) * 100.0 / len({_W}) + 0.5) AS INT)
+           AS long_word_pct,
+         CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_tokens,
+         CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num_tokens,
+         CAST(len({_W}) AS INT) AS n_ws_tokens,
+         {", ".join(score_cols)},
+         {_shingle_sig(0)} AS fingerprint
+  FROM documents)
+SELECT doc_id, lang, n_words, n_chars_calc, distinct_ratio_pct, mean_word_len_x10,
+       long_word_pct, n_alpha_tokens, n_num_tokens, n_ws_tokens,
+       {", ".join(f"score_{l}" for l in LANG_ORDER)}, fingerprint,
+       {pred} AS pred_lang,
+       CAST(greatest(least(floor(least(n_words, 100) + distinct_ratio_pct / 2
+                 - CASE WHEN mean_word_len_x10 < 30 THEN 20 ELSE 0 END), 100), 0) AS INT)
+         AS quality
+FROM base
+"""
+
+
+# --- q32: MinHash-LSH candidate pairs + exact Jaccard verify -------------
+
+def q32_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_candidates(t(spark, sf, "documents"))
+
+
+def _q32_sql() -> str:
+    sigs = ", ".join(f"{_shingle_sig(i)} AS minhash_{i}" for i in range(4))
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, list_distinct({_W}) AS wset, {sigs} FROM documents),
+banded AS (
+  SELECT doc_id, wset, 0 AS band_id, md5(concat(minhash_0, '|', minhash_1)) AS band_key FROM sigs
+  UNION ALL
+  SELECT doc_id, wset, 1 AS band_id, md5(concat(minhash_2, '|', minhash_3)) AS band_key FROM sigs),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.wset AS wa, b.wset AS wb
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(floor(len(list_intersect(wa, wb)) * 100.0
+                  / len(list_distinct(list_concat(wa, wb))) + 0.5) AS INT) AS jaccard_pct
+FROM pairs
+"""
+
+
+# --- q33: SimHash fingerprints -------------------------------------------
+
+def q33_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash(t(spark, sf, "documents"))
+
+
+def _q33_sql() -> str:
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{b}"
+        for b in range(16)
+    )
+    bits = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_W}) AS w FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+agg AS (
+  SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q30_exact_dedup": Query(q30_exact_dedup, Q30_SQL, "exact dedup via content-digest groupBy"),
+    "q31_doc_profile": Query(q31_doc_profile, _q31_sql(), "text stats + token counts + lang-ID + quality"),
+    "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
+    "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
+}
