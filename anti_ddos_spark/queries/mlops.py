@@ -1,0 +1,42 @@
+"""ML pipeline query (rows-only check — MLlib VectorUDT has no DuckDB
+analogue, SURVEY §7 risk (e); the driver records a weaker rows-only
+result and unit tests assert metric thresholds instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from anti_ddos_spark.queries.base import Query, t
+from anti_ddos_spark.queries.flow import FLOW_GAP_S, events_as_packets
+from anti_ddos_spark.sessionize import flow_features
+
+
+def labeled_flows(spark: SparkSession, sf: str) -> DataFrame:
+    """Synthetic labeled flow table: label derives from traffic shape
+    (high packet-rate flows marked as attack), mimicking CIC-DDoS2019's
+    structure on driver data."""
+    flows = flow_features(events_as_packets(t(spark, sf, "events")), gap_s=FLOW_GAP_S)
+    return flows.withColumn(
+        "label",
+        F.when(
+            (F.col("flow_packets_s") > 0)
+            | (F.col("total_fwd_packets") + F.col("total_backward_packets") > 8),
+            F.lit(" DrDoS_DNS "),  # messy casing/whitespace on purpose
+        ).otherwise(F.lit(" benign ")),
+    )
+
+
+def ml_train_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Train RF on labeled flows, return the held-out confusion matrix."""
+    from anti_ddos_spark.ml import confusion_matrix, train
+
+    df = labeled_flows(spark, sf)
+    _model, _metrics, scored = train(df)
+    return confusion_matrix(scored)
+
+
+QUERIES: dict[str, Query] = {
+    "q50_ml_train_confusion": Query(
+        ml_train_confusion, None, "RF train + held-out confusion matrix (rows-only)"
+    ),
+}
