@@ -28,7 +28,7 @@ def registry() -> dict[str, Query]:
 
 def _optional_modules():
     """Modules that may not exist yet in early rounds."""
-    for name in ("textops", "similarity", "mlops", "streamops"):
+    for name in ("textops", "similarity", "mlops", "streamops", "joins", "media"):
         try:
             mod = __import__(f"anti_ddos_spark.queries.{name}", fromlist=["QUERIES"])
         except ImportError:

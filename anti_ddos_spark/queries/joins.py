@@ -1,0 +1,167 @@
+"""As-of and interval (range) joins — SURVEY §2.5 extension surface.
+
+The reference has no joins at all (SURVEY §2.5; the only join-like thing
+is schema-intersection column selection, spark_app/main.py:1084), but an
+enrichment/as-of surface is the natural extension of its flow pipeline
+and the driver's correctness sweep exercises it.
+
+Scale design (100 TB):
+
+- **As-of** is NOT implemented as an inequality join (which Spark plans
+  as a per-key cross product — O(n·m) per user at scale). Instead we use
+  the sort-merge shape: union both sides into one keyed stream, one
+  shuffle on the key, then ``last(value, ignorenulls=True)`` over an
+  ordered running frame carries the most recent right-side row forward.
+  One shuffle, no cross product, whole-stage codegen end to end.
+  DuckDB's native ``ASOF JOIN`` is the oracle — a genuinely independent
+  algorithm computing the same relation.
+
+- **Interval join** buckets time into fixed windows and equi-joins on
+  (key, bucket) with the left side exploded to the two candidate
+  buckets, then applies the exact range predicate as a post-filter.
+  This turns "ts within [t-5min, t)" from an inequality join into an
+  equi-join Spark can hash/sort-merge partition, the standard
+  stream-stream interval-join shape (Flink/Spark both plan it this way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from anti_ddos_spark.queries.base import Query, rnd, t
+
+RANGE_S = 300  # interval-join lookback, seconds
+
+
+# --- q25: as-of join (most recent purchase per click) ---------------------
+
+def q25_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    # dedupe right side to one row per (user, ts) so as-of ties are
+    # deterministic in both engines
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("pid"),
+            F.max_by("value", "event_id").alias("pval"),
+        )
+    )
+    left = clicks.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("long").alias("pid"),
+        F.lit(None).cast("double").alias("pval"),
+        F.lit(1).alias("tag"),
+    )
+    right = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        "pid",
+        "pval",
+        F.lit(0).alias("tag"),
+    )
+    # tag orders purchases before clicks at equal ts → "at or before"
+    u = left.unionByName(right)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    u = u.withColumn("last_pid", F.last("pid", ignorenulls=True).over(w)).withColumn(
+        "last_pval", F.last("pval", ignorenulls=True).over(w)
+    )
+    return u.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("last_pid").alias("last_purchase_id"),
+        rnd(F.col("last_pval"), 4).alias("last_purchase_value"),
+    )
+
+
+Q25_SQL = """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS pid, max_by(value, event_id) AS pval
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+)
+SELECT c.event_id,
+       c.user_id,
+       epoch_us(c.ts)                      AS ts_us,
+       p.pid                               AS last_purchase_id,
+       floor(p.pval * 10000 + 0.5) / 10000.0 AS last_purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# --- q26: interval join (clicks in the 5 min before each error) -----------
+
+def q26_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", (F.unix_micros("ts") / 1_000_000).alias("sec")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        F.floor(F.unix_micros("ts") / (RANGE_S * 1_000_000)).alias("c_bucket"),
+    )
+    # each error probes its own bucket and the previous one — the only two
+    # that can contain a click within the RANGE_S lookback
+    b = F.floor(F.col("sec") / RANGE_S).cast("long")
+    probes = errors.withColumn("c_bucket", F.explode(F.array(b - 1, b)))
+    joined = probes.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (probes.c_bucket == clicks.c_bucket)
+        & (F.col("cts") >= F.col("ts") - F.expr(f"INTERVAL {RANGE_S} SECONDS"))
+        & (F.col("cts") < F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("cts").alias("n_recent_clicks")
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "n_recent_clicks",
+    )
+
+
+Q26_SQL = f"""
+SELECT e.event_id,
+       e.user_id,
+       epoch_us(e.ts) AS ts_us,
+       count(c.ts)    AS n_recent_clicks
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL {RANGE_S} SECONDS
+ AND c.ts <  e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q25_asof_join": Query(
+        q25_asof_join,
+        Q25_SQL,
+        "as-of join via union + running last() (sort-merge shape, one shuffle)",
+    ),
+    "q26_range_join": Query(
+        q26_range_join,
+        Q26_SQL,
+        "interval join via time-bucket equi-join + exact range post-filter",
+    ),
+}

@@ -1,0 +1,96 @@
+"""Sinks (SURVEY §2.1 S5-S9).
+
+Fixes two reference defects by construction (SURVEY §2.7 "known
+defects"): the foreachBatch function that was referenced but never
+defined (spark_app/main.py:1096), and the driver-side
+``toPandas().to_json`` NDJSON writer (predict_rf.py:43-52) which
+materializes the whole result on one machine — ours writes NDJSON
+distributed, one file per partition.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+
+
+def write_ndjson(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed NDJSON (one JSON object per line) — replaces the
+    reference's driver-collect writer (predict_rf.py:43-52, S7)."""
+    df.write.mode(mode).json(path)
+
+
+def label_predictions(df: DataFrame, pred_col: str = "prediction") -> DataFrame:
+    """prediction 1.0 → 'DDoS' else 'Normal' (M5, main.py:1090)."""
+    return df.withColumn(
+        "label_name",
+        F.when(F.col(pred_col) == 1.0, F.lit("DDoS")).otherwise(F.lit("Normal")),
+    )
+
+
+def ndjson_batch_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """A *defined* foreachBatch function (S5): append each micro-batch as
+    NDJSON under out_dir/batch_id=N. Idempotent per batch_id, so replays
+    after failure overwrite rather than duplicate — the exactly-once
+    recipe foreachBatch requires."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").json(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    return write_batch
+
+
+def foreach_batch_ndjson(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """writeStream → foreachBatch NDJSON sink with checkpointing
+    (main.py:1093-1099, with the batch function actually defined)."""
+    w: DataStreamWriter = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(ndjson_batch_writer(out_dir))
+        .option("checkpointLocation", checkpoint)
+    )
+    if processing_time is not None:
+        w = w.trigger(processingTime=processing_time)
+    elif trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def console_sink(stream_df: DataFrame, **options) -> StreamingQuery:
+    """Append-mode console sink (S6, ml_model/README.md:161-165)."""
+    return (
+        stream_df.writeStream.outputMode("append")
+        .format("console")
+        .options(**options)
+        .start()
+    )
+
+
+def kafka_sink(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Kafka result sink (S8, topic ddos_result — main.py:1020,
+    indexer/indexer.py:26-33). Serializes every row to a JSON ``value``.
+    Requires the spark-sql-kafka package on the classpath; builder only
+    (no broker in the test environment)."""
+    payload = stream_df.select(F.to_json(F.struct("*")).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
