@@ -1,0 +1,112 @@
+"""Multimodal query surface (media binary columns over `documents`).
+
+q60 is metadata-only — at 100 TB it must never touch the payload bytes;
+the parquet scan reads only doc_id/n_chars (column pruning; verify via
+`.explain` ReadSchema). q61 drives the whole mapInPandas decode path and
+is still hash-checked because the fake decode is deterministic from the
+bytes (documents are ASCII, so DuckDB's VARCHAR md5/substr/ascii agree
+with Spark's byte-level results). q62 exercises binary slicing (frame
+sampling) as pure Catalyst substring-on-binary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from anti_ddos_spark.multimodal import decode_media, frame_sample, media_from_documents
+from anti_ddos_spark.queries.base import Query, t
+
+# SQL twin of media_from_documents' media_type derivation
+_MT_SQL = "list_extract(['image','audio','video'], CAST(doc_id % 3 + 1 AS INT))"
+
+
+def q60_media_profile(spark: SparkSession, sf: str) -> DataFrame:
+    media = media_from_documents(t(spark, sf, "documents"))
+    return media.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+        F.sum(F.col("meta.width")).alias("sum_width"),
+        F.sum(F.col("meta.duration_ms")).alias("sum_duration_ms"),
+        F.countDistinct("meta.codec").alias("n_codecs"),
+    )
+
+
+Q60_SQL = f"""
+SELECT {_MT_SQL}                    AS media_type,
+       count(*)                     AS n_media,
+       CAST(sum(octet_length(encode(text))) AS BIGINT)    AS total_bytes,
+       CAST(sum(CASE WHEN {_MT_SQL} IN ('image','video')
+                THEN CAST(n_chars % 640 + 16 AS INT) END) AS BIGINT) AS sum_width,
+       CAST(sum(CASE WHEN {_MT_SQL} IN ('audio','video')
+                THEN CAST(n_chars * 10 AS INT) END) AS BIGINT)       AS sum_duration_ms,
+       count(DISTINCT CASE {_MT_SQL} WHEN 'image' THEN 'png'
+                                     WHEN 'audio' THEN 'pcm16'
+                                     ELSE 'h264' END)     AS n_codecs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q61_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    media = media_from_documents(t(spark, sf, "documents"))
+    feats = decode_media(media, impl="fake")
+    return feats.groupBy("media_type").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("first_byte").alias("sum_first_byte"),
+        F.countDistinct("digest8").alias("n_distinct_digests"),
+        F.min("digest8").alias("min_digest"),
+    )
+
+
+Q61_SQL = f"""
+SELECT {_MT_SQL}                         AS media_type,
+       count(*)                          AS n_media,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(sum(ascii(substr(text, 1, 1))) AS BIGINT)  AS sum_first_byte,
+       count(DISTINCT substr(md5(text), 1, 8)) AS n_distinct_digests,
+       min(substr(md5(text), 1, 8))      AS min_digest
+FROM documents
+GROUP BY 1
+"""
+
+
+def q62_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    media = media_from_documents(t(spark, sf, "documents"))
+    frames = frame_sample(media, n_frames=4, frame_bytes=32)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.md5(F.col("frame")).alias("frame_digest"),
+        F.octet_length("frame").alias("frame_bytes"),
+    )
+
+
+Q62_SQL = """
+WITH vids AS (
+  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 2      -- media_type = 'video'
+),
+frames AS (
+  SELECT media_id,
+         f.frame_no,
+         substr(text, CAST(floor(f.frame_no * n_bytes / 4) AS INT) + 1, 32) AS frame
+  FROM vids, (SELECT unnest(range(4)) AS frame_no) f
+)
+SELECT media_id, frame_no, md5(frame) AS frame_digest,
+       octet_length(encode(frame)) AS frame_bytes
+FROM frames
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q60_media_profile": Query(
+        q60_media_profile, Q60_SQL, "metadata-only media profile (no payload read)"
+    ),
+    "q61_media_features": Query(
+        q61_media_features, Q61_SQL, "mapInPandas Arrow-batched decode features"
+    ),
+    "q62_frame_sample": Query(
+        q62_frame_sample, Q62_SQL, "binary frame sampling via substring-on-binary"
+    ),
+}
