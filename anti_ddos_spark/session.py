@@ -46,6 +46,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Catalyst constraint propagation is O(n²) semanticEquals over the
+        # expression tree; with our 80+ wide higher-order array expressions
+        # (features_array) a Filter above the feature projection makes the
+        # optimizer spin for minutes (observed: foreachBatch micro-batch
+        # planning never completing). Constraints only help infer
+        # IsNotNull/join filters we already write explicitly.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # Deterministic numerics for the DuckDB oracle; Spark 4 default is
         # ANSI on — keep it, queries guard div-by-zero explicitly.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

@@ -51,11 +51,13 @@ def foreach_batch_ndjson(
     checkpoint: str,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """writeStream → foreachBatch NDJSON sink with checkpointing
-    (main.py:1093-1099, with the batch function actually defined)."""
+    (main.py:1093-1099, with the batch function actually defined).
+    output_mode='update' for the stateful sessionizer path."""
     w: DataStreamWriter = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .foreachBatch(ndjson_batch_writer(out_dir))
         .option("checkpointLocation", checkpoint)
     )

@@ -1,0 +1,147 @@
+"""Update-mode stateful sessionizer: partial emission + timeout finals.
+
+Processing-time timeouts are wall-clock (the reference's semantics,
+spark_app/main.py:981), so this test polls with generous margins rather
+than asserting exact batch boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from anti_ddos_spark.schemas import PACKET_SCHEMA
+from anti_ddos_spark.streaming.sessionize_stream import flow_features_arrayagg
+from anti_ddos_spark.streaming.stateful import stateful_flow_features
+from tests.conftest import make_packets
+
+TIMEOUT_MS = 8_000
+WAIT_S = 60
+
+
+def test_stateful_partial_then_final(spark, tmp_path):
+    rows = make_packets()
+    half = len(rows) // 2
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def write(batch):
+        spark.createDataFrame(batch, PACKET_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write(rows[:half])
+    stream = (
+        spark.readStream.schema(PACKET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_flow_features(stream, timeout_ms=TIMEOUT_MS)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_flows")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # second half lands well inside the timeout → flows stay open
+        write(rows[half:])
+
+        batch_want = flow_features_arrayagg(
+            spark.createDataFrame(rows, PACKET_SCHEMA), gap_s=None
+        )
+        want_rows = sorted(
+            tuple(str(v) for v in r) for r in batch_want.collect()
+        )
+        n_flows = len(want_rows)
+
+        deadline = time.time() + WAIT_S
+        got = None
+        while time.time() < deadline:
+            got = spark.table("stateful_flows")
+            if got.filter("is_final").count() >= n_flows:
+                break
+            time.sleep(2)
+
+        finals = got.filter("is_final")
+        partials = got.filter("not is_final")
+        assert partials.count() > 0, "no partial (update-mode) rows emitted"
+        assert finals.count() == n_flows, (
+            f"expected {n_flows} finalized flows, got {finals.count()}"
+        )
+        # finalized rows == the batch whole-flow features, field for field
+        cols = batch_want.columns
+        got_rows = sorted(
+            tuple(str(v) for v in r) for r in finals.select(*cols).collect()
+        )
+        assert got_rows == want_rows
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
+def test_stateful_partials_refresh(spark, tmp_path):
+    """A key touched in two micro-batches emits (at least) two partial
+    rows, the later one covering more packets (update-mode refresh)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s, n: [  # noqa: E731
+        dict(
+            timestamp=base + dt.timedelta(seconds=s + i),
+            src_ip="10.9.9.1", dst_ip="10.9.9.2", length=100, protocol=17,
+            src_port=5555, dst_port=53, udp_len=72,
+            tcp_seq=None, tcp_ack=None, tcp_win=None, tcp_len=None,
+            cwr_flag=None, ece_flag=None, urg_flag=None, ack_flag=None,
+            psh_flag=None, rst_flag=None, syn_flag=None, fin_flag=None,
+        )
+        for i in range(n)
+    ]
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    spark.createDataFrame(mk(0, 3), PACKET_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(PACKET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stateful_flow_features(stream, timeout_ms=60_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_refresh")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + WAIT_S
+        while time.time() < deadline:
+            if spark.table("stateful_refresh").count() >= 1:
+                break
+            time.sleep(1)
+        spark.createDataFrame(mk(10, 2), PACKET_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        while time.time() < deadline:
+            if spark.table("stateful_refresh").count() >= 2:
+                break
+            time.sleep(1)
+        rows = (
+            spark.table("stateful_refresh")
+            .select("total_fwd_packets", "total_backward_packets", "is_final")
+            .collect()
+        )
+        assert len(rows) >= 2, f"expected >=2 partial emissions, got {rows}"
+        totals = sorted(r[0] + r[1] for r in rows)
+        assert totals[0] == 3 and totals[-1] == 5, totals
+        assert all(not r["is_final"] for r in rows)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
