@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from anti_ddos_spark.queries.base import Query, rnd, t
+from anti_ddos_spark.queries.base import Query, rnd, sql_rnd, t
 
 def REV():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -440,6 +440,35 @@ def q18_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q19: exact percentiles (continuous interpolation) --------------------
+
+def q19_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentile_cont per group — the deterministic twin of the
+    approx sketch in q18 (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    both linear-interpolation exact). At scale prefer q18's
+    percentile_approx (single-pass sketch, no per-group sort); this
+    exact form is the correctness anchor."""
+    li = t(spark, sf, "lineitem")
+    pct = lambda p: F.expr(f"percentile(l_extendedprice, {p})")  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        rnd(pct(0.5), 2).alias("p50_price"),
+        rnd(pct(0.9), 2).alias("p90_price"),
+        rnd(pct(0.99), 2).alias("p99_price"),
+        rnd(F.expr("percentile(l_quantity, 0.25)"), 2).alias("p25_qty"),
+    )
+
+
+Q19_SQL = f"""
+SELECT l_returnflag,
+       {sql_rnd('quantile_cont(l_extendedprice, 0.5)', 2)}  AS p50_price,
+       {sql_rnd('quantile_cont(l_extendedprice, 0.9)', 2)}  AS p90_price,
+       {sql_rnd('quantile_cont(l_extendedprice, 0.99)', 2)} AS p99_price,
+       {sql_rnd('quantile_cont(l_quantity, 0.25)', 2)}      AS p25_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape: filter + wide hash agg"),
     "q02_filter_project": Query(q02_filter_project, Q02_SQL, "selective scan with parquet pushdown"),
@@ -459,4 +488,5 @@ QUERIES: dict[str, Query] = {
     "q16_json_extract": Query(q16_json_extract, Q16_SQL, "regex/JSON scalar extraction"),
     "q17_pivot": Query(q17_pivot, Q17_SQL, "pivot to conditional-agg matrix"),
     "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
+    "q19_percentiles": Query(q19_percentiles, Q19_SQL, "exact percentile_cont per group"),
 }
