@@ -67,6 +67,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond TimestampType — the same value DuckDB produces when it
     coerces ns → its µs TIMESTAMP, so oracle comparisons line up.
     """
+    # The caller may hand us a session we didn't configure (the driver's
+    # verify harness does). Constraint propagation must be off before any
+    # plan containing the wide feature expressions meets a Filter, or the
+    # optimizer spins for minutes (see session.py / PERF.md §2).
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
