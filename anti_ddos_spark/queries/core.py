@@ -440,6 +440,38 @@ def q18_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q27: full cube (all grouping sets) -----------------------------------
+
+def q27_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """cube() completes the grouping-sets family next to q10's rollup.
+    NULL group markers are normalized to sentinel strings so the oracle
+    hash treats subtotal rows identically in both engines."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+Q27_SQL = f"""
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       count(*) AS n_rows,
+       {sql_rnd('sum(l_extendedprice)', 2)} AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 # --- q19: exact percentiles (continuous interpolation) --------------------
 
 def q19_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -489,4 +521,5 @@ QUERIES: dict[str, Query] = {
     "q17_pivot": Query(q17_pivot, Q17_SQL, "pivot to conditional-agg matrix"),
     "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
     "q19_percentiles": Query(q19_percentiles, Q19_SQL, "exact percentile_cont per group"),
+    "q27_cube": Query(q27_cube, Q27_SQL, "full cube grouping sets"),
 }

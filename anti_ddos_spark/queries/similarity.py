@@ -111,10 +111,76 @@ SELECT id_a, id_b, cos FROM pairs WHERE cos >= {NEARDUP_COS}
 """
 
 
+# --- q43: LSH-bucketed ANN (random-hyperplane signs) ---------------------
+
+LSH_PLANES = 4  # hyperplanes → 16 buckets
+
+
+def q43_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH ANN: sign bits of dot(e, h_j) for LSH_PLANES
+    deterministic hyperplanes (vectors 1..LSH_PLANES of the table — same
+    trick as IVF's leading-vector centroids, so the oracle can replicate
+    without RNG) form a bucket id; candidates = same-bucket vectors; the
+    query's top-k is computed among candidates only.
+
+    Scale shape: signature is a narrow map-side projection; the bucket
+    equi-join replaces the all-pairs cross product, scanning ~n/2^planes
+    candidates per query instead of n."""
+    from anti_ddos_spark.operators.similarity import as_double, cosine, dot
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    planes = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= LSH_PLANES)).select(
+        F.col("vec_id").alias("plane_id"), F.col("e").alias("h")
+    )
+    sig = (
+        emb.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    dot(F.col("e"), F.col("h")) >= 0,
+                    F.expr("shiftleft(1, cast(plane_id as int) - 1)"),
+                ).otherwise(0)
+            ).alias("bucket"),
+            F.first("e").alias("e"),
+        )
+    )
+    q = sig.filter(F.col("vec_id") == QUERY_ID).select(
+        F.col("bucket").alias("qb"), F.col("e").alias("qe")
+    )
+    cands = sig.join(F.broadcast(q), sig.bucket == F.col("qb")).filter(
+        F.col("vec_id") != QUERY_ID
+    )
+    scored = cands.select("vec_id", rnd(cosine(F.col("e"), F.col("qe")), 6).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(TOPK)
+
+
+Q43_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+planes AS (SELECT vec_id AS plane_id, e AS h FROM e WHERE vec_id BETWEEN 1 AND {LSH_PLANES}),
+sig AS (
+  SELECT e.vec_id, any_value(e.e) AS e,
+         CAST(sum(CASE WHEN list_dot_product(e.e, p.h) >= 0
+                       THEN 1 << (CAST(p.plane_id AS INT) - 1) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes p GROUP BY e.vec_id),
+q AS (SELECT bucket AS qb, e AS qe FROM sig WHERE vec_id = {QUERY_ID}),
+cands AS (
+  SELECT s.vec_id, {_cos_sql('s.e', 'q.qe')} AS cos
+  FROM sig s, q WHERE s.bucket = q.qb AND s.vec_id != {QUERY_ID})
+SELECT vec_id, floor((cands.cos) * 1000000 + 0.5) / 1000000.0 AS cos
+FROM cands ORDER BY cands.cos DESC, vec_id ASC LIMIT {TOPK}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q40_cosine_topk": Query(q40_cosine_topk, Q40_SQL, "brute-force cosine top-k"),
     "q41_ivf_clusters": Query(q41_ivf_clusters, Q41_SQL, "IVF centroid assignment histogram"),
     "q42_cosine_neardup_pairs": Query(
         q42_cosine_neardup_pairs, Q42_SQL, "embedding-cosine near-dup pairs (bucketed all-pairs)"
+    ),
+    "q43_lsh_ann": Query(
+        q43_lsh_ann, Q43_SQL, "hyperplane-LSH bucketed ANN top-k"
     ),
 }

@@ -141,9 +141,65 @@ SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
 """
 
 
+# --- q34: character n-gram Jaccard near-dup (blocked all-pairs) ----------
+
+def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram Jaccard between documents sharing a blocking key
+    (source, lang, length band). Blocking bounds the quadratic join to
+    within-cell pairs — the standard scale shape; the trigram sets are
+    built with pure array expressions (no Python)."""
+    docs = t(spark, sf, "documents")
+    tri = F.array_distinct(
+        F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+    )
+    d = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.col("lang"),
+        F.floor(F.col("n_chars") / 100).alias("band"),
+        tri.alias("tri"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.tri"), F.col("b.tri")))
+    union = F.size(F.array_union(F.col("a.tri"), F.col("b.tri")))
+    return pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.floor(inter * 100.0 / union + 0.5).cast("int").alias("tri_jaccard_pct"),
+    ).filter(F.col("tri_jaccard_pct") >= 30)
+
+
+Q34_SQL = """
+WITH d AS (
+  SELECT doc_id, source, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                      i -> substr(text, i, 3))) AS tri
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(floor(len(list_intersect(a.tri, b.tri)) * 100.0
+                  / len(list_distinct(list_concat(a.tri, b.tri))) + 0.5) AS INT)
+         AS tri_jaccard_pct
+FROM d a JOIN d b
+  ON a.source = b.source AND a.lang = b.lang AND a.band = b.band
+ AND a.doc_id < b.doc_id
+WHERE CAST(floor(len(list_intersect(a.tri, b.tri)) * 100.0
+                 / len(list_distinct(list_concat(a.tri, b.tri))) + 0.5) AS INT) >= 30
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q30_exact_dedup": Query(q30_exact_dedup, Q30_SQL, "exact dedup via content-digest groupBy"),
     "q31_doc_profile": Query(q31_doc_profile, _q31_sql(), "text stats + token counts + lang-ID + quality"),
     "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
     "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
+    "q34_ngram_jaccard": Query(
+        q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"
+    ),
 }
