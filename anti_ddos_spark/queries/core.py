@@ -472,6 +472,48 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+# --- q28: salted two-stage aggregation (skew-safe) ------------------------
+
+def q28_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe aggregation over the most skew-prone key in the star
+    schema (orderkey: every order fans out to its lineitems). The oracle
+    is the PLAIN single-stage aggregate — proving salting is a pure
+    execution-strategy change with identical results."""
+    from anti_ddos_spark.operators.skew import salted_agg
+
+    li = t(spark, sf, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_orderkey"],
+        {
+            "n_items": ("sum", F.count("*")),
+            "total_qty": ("sum", F.sum("l_quantity")),
+            "max_price": ("max", F.max("l_extendedprice")),
+            # l_shipdate is TIMESTAMP_NTZ; session tz is UTC so the cast
+            # matches DuckDB's epoch_us of the naive timestamp
+            "min_ship_us": ("min", F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp")))),
+        },
+    )
+    return out.select(
+        "l_orderkey",
+        F.col("n_items").cast("long").alias("n_items"),
+        rnd(F.col("total_qty"), 2).alias("total_qty"),
+        "max_price",
+        "min_ship_us",
+    )
+
+
+Q28_SQL = f"""
+SELECT l_orderkey,
+       count(*) AS n_items,
+       {sql_rnd('sum(l_quantity)', 2)} AS total_qty,
+       max(l_extendedprice) AS max_price,
+       min(epoch_us(l_shipdate)) AS min_ship_us
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
 # --- q19: exact percentiles (continuous interpolation) --------------------
 
 def q19_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -522,4 +564,7 @@ QUERIES: dict[str, Query] = {
     "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
     "q19_percentiles": Query(q19_percentiles, Q19_SQL, "exact percentile_cont per group"),
     "q27_cube": Query(q27_cube, Q27_SQL, "full cube grouping sets"),
+    "q28_salted_agg": Query(
+        q28_salted_agg, Q28_SQL, "salted two-stage skew-safe agg ≡ plain agg"
+    ),
 }

@@ -42,18 +42,18 @@ def main() -> None:
 
     # JVM/codegen warmup on the smallest sf so per-query numbers measure
     # the plan, not first-call compilation.
-    # Warm EVERY headline query: whole-stage-codegen compilation of the
-    # wide feature plans costs seconds on first execution (measured: q24
-    # 5.5 s cold vs 1.6 s steady-state); on a long-lived cluster these
-    # compile once per executor lifetime, so steady-state is the honest
-    # number for scale extrapolation.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        from pyspark.sql import functions as F
+    # Warm EVERY headline query AT THE MEASURED SF: whole-stage-codegen
+    # compilation of the wide feature plans costs seconds on first
+    # execution (measured: q24 5.5 s cold vs 1.6 s steady-state), and AQE
+    # produces size-dependent physical plans, so warming at a smaller SF
+    # leaves the measured-SF code uncompiled. On a long-lived cluster
+    # these compile once per executor lifetime; steady-state is the
+    # honest number for scale extrapolation.
+    from pyspark.sql import functions as F
 
-        for name in HEADLINE:
-            wdf = reg[name].fn(spark, warm_dir)
-            wdf.agg(F.count(F.lit(1)), F.max(F.xxhash64(*wdf.columns))).collect()
+    for name in HEADLINE:
+        wdf = reg[name].fn(spark, sf_dir)
+        wdf.agg(F.count(F.lit(1)), F.max(F.xxhash64(*wdf.columns))).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
