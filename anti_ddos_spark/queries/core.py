@@ -514,6 +514,35 @@ GROUP BY l_orderkey
 """
 
 
+# --- q29: typed JSON parse (from_json → struct, P13 modern form) ----------
+
+def q29_props_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Parse the props JSON column into a typed struct with from_json
+    (the engine-native form of the reference's JSON-in-string state
+    smuggling, SURVEY §1.2) and aggregate on the parsed field. Malformed
+    JSON yields null structs, counted explicitly."""
+    ev = t(spark, sf, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "struct<k:int>")
+    )
+    return parsed.groupBy((F.col("p.k") % 10).alias("k_mod")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("p").isNull(), 1).otherwise(0)).cast("long").alias("n_unparsed"),
+        rnd(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+Q29_SQL = f"""
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unparsed,
+       {sql_rnd('sum("value")', 2)} AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
 # --- q19: exact percentiles (continuous interpolation) --------------------
 
 def q19_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -566,5 +595,8 @@ QUERIES: dict[str, Query] = {
     "q27_cube": Query(q27_cube, Q27_SQL, "full cube grouping sets"),
     "q28_salted_agg": Query(
         q28_salted_agg, Q28_SQL, "salted two-stage skew-safe agg ≡ plain agg"
+    ),
+    "q29_props_struct": Query(
+        q29_props_struct, Q29_SQL, "typed from_json struct parse + agg on parsed field"
     ),
 }
