@@ -40,15 +40,8 @@ def q25_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id"
     )
-    # dedupe right side to one row per (user, ts) so as-of ties are
-    # deterministic in both engines
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")
-        .agg(
-            F.max("event_id").alias("pid"),
-            F.max_by("value", "event_id").alias("pval"),
-        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"), F.col("value").alias("pval")
     )
     left = clicks.select(
         "user_id",
@@ -66,15 +59,24 @@ def q25_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         "pval",
         F.lit(0).alias("tag"),
     )
-    # tag orders purchases before clicks at equal ts → "at or before"
+    # tag orders purchases before clicks at equal ts → "at or before".
+    # Tie-dedupe (one purchase per (user, ts), keep max pid) happens
+    # INSIDE the same window pass: same-ts purchases sort adjacently in
+    # pid order, so a purchase "counts" only if the next row isn't
+    # another purchase at the same ts. Both window functions share one
+    # partitioning/ordering → ONE Exchange + ONE Sort total (enforced by
+    # tests/test_plans.py::test_q25_asof_single_shuffle).
     u = left.unionByName(right)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "tag")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    u = u.withColumn("last_pid", F.last("pid", ignorenulls=True).over(w)).withColumn(
-        "last_pval", F.last("pval", ignorenulls=True).over(w)
+    order = W.partitionBy("user_id").orderBy("ts", "tag", "pid")
+    nxt_dup = (F.lead("tag").over(order) == 0) & (F.lead("ts").over(order) == F.col("ts"))
+    pid_kept = F.when((F.col("tag") == 0) & ~F.coalesce(nxt_dup, F.lit(False)), F.col("pid"))
+    pval_kept = F.when((F.col("tag") == 0) & ~F.coalesce(nxt_dup, F.lit(False)), F.col("pval"))
+    run = order.rowsBetween(W.unboundedPreceding, 0)
+    u = (
+        u.withColumn("pid_kept", pid_kept)
+        .withColumn("pval_kept", pval_kept)
+        .withColumn("last_pid", F.last("pid_kept", ignorenulls=True).over(run))
+        .withColumn("last_pval", F.last("pval_kept", ignorenulls=True).over(run))
     )
     return u.filter(F.col("tag") == 1).select(
         "event_id",

@@ -1,0 +1,81 @@
+"""Plan-regression tests: PERF.md's table enforced.
+
+These assert the *shape* of the physical plan — shuffle counts, join
+strategies, parquet pushdown, payload pruning — so a refactor that
+quietly degrades the plan (extra Exchange, dropped broadcast, lost
+PushedFilter) fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from anti_ddos_spark.plans import plan_summary
+from anti_ddos_spark.queries import registry
+
+SF = "/root/testdata/sf0.01"
+REG = registry()
+
+
+def _summary(spark, name):
+    return plan_summary(REG[name].fn(spark, SF))
+
+
+def test_q02_pushdown_and_pruning(spark):
+    s = _summary(spark, "q02_filter_project")
+    assert s["pushed_filters"], "quantity/discount filters must reach the parquet scan"
+    assert any("l_quantity" in p for p in s["pushed_filters"])
+    # projection pruning: the scan must not read all 11 lineitem columns
+    assert s["read_schemas"] and all(
+        schema.count(",") <= 5 for schema in s["read_schemas"]
+    ), s["read_schemas"]
+
+
+def test_q03_join_strategies(spark):
+    # at sf0.01 Catalyst rightly broadcasts orders too (under the 10 MB
+    # threshold); what must never regress: the explicit customer
+    # broadcast, no cartesian product, and bounded shuffles
+    s = _summary(spark, "q03_join_revenue")
+    assert s["n_broadcast_joins"] >= 1, "customer dim must broadcast"
+    assert "CartesianProduct" not in s["text"]
+    assert s["n_shuffle_exchanges"] <= 2
+
+
+def test_q04_all_broadcast(spark):
+    s = _summary(spark, "q04_dim_join")
+    assert s["n_broadcast_joins"] == 2
+    assert s["n_sortmerge_joins"] == 0
+    # only the final aggregation may shuffle
+    assert s["n_shuffle_exchanges"] <= 1, s["text"][:2000]
+
+
+def test_q07_topk_never_global_sorts(spark):
+    s = _summary(spark, "q07_topk_orders")
+    assert s["has_take_ordered"], "top-k must be TakeOrderedAndProject, not Sort+Limit"
+    assert s["n_shuffle_exchanges"] == 0
+
+
+def test_q24_single_shuffle(spark):
+    s = _summary(spark, "q24_flow_features_full")
+    assert s["n_shuffle_exchanges"] == 1, (
+        "flow features = one Exchange on the flow key; window and agg must share it"
+    )
+
+
+def test_q25_asof_single_shuffle(spark):
+    s = _summary(spark, "q25_asof_join")
+    assert s["n_shuffle_exchanges"] == 1, "as-of join must stay the one-shuffle sort-merge shape"
+    assert s["n_sortmerge_joins"] == 0 and s["n_broadcast_joins"] == 0, "no join node: union+window"
+
+
+def test_q60_payload_pruned(spark):
+    s = _summary(spark, "q60_media_profile")
+    assert s["read_schemas"] and all("text" not in r for r in s["read_schemas"]), (
+        "metadata-only media query must not scan the payload"
+    )
+
+
+def test_q01_whole_stage_codegen(spark):
+    # WSCG spans only appear in AQE's final (post-execution) plan
+    s = plan_summary(REG["q01_pricing_summary"].fn(spark, SF), execute=True)
+    assert s["has_wscg"], "scan+agg must stay inside whole-stage codegen"
