@@ -79,7 +79,11 @@ def rate_packet_stream(
         F.lit("10.0.1.1").alias("dst_ip"),
         (F.lit(60) + (v % 1400)).cast("int").alias("length"),
         F.when(v % 4 == 0, 17).otherwise(6).cast("int").alias("protocol"),
-        (F.lit(1024) + (v % 60000)).cast("int").alias("src_port"),
+        # port derives from the FLOW index, not the row counter — the
+        # 5-tuple must repeat across rows or every packet becomes its
+        # own flow and soak tests measure per-group overhead instead of
+        # throughput
+        (F.lit(1024) + (v % n_flows)).cast("int").alias("src_port"),
         F.lit(80).cast("int").alias("dst_port"),
         F.lit(None).cast("int").alias("udp_len"),
         F.lit(1).cast("int").alias("tcp_seq"),

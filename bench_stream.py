@@ -30,6 +30,7 @@ def main() -> None:
     from anti_ddos_spark.sources.packets import rate_packet_stream
     from anti_ddos_spark.streaming.sessionize_stream import streaming_flow_features
     from anti_ddos_spark.streaming.stateful import stateful_flow_features
+    from anti_ddos_spark.streaming.stateful_accum import stateful_flow_features_accum
 
     # Streaming micro-batches are small; 32 shuffle partitions would give
     # sub-MB state partitions and per-task overhead dominates. 8 is sized
@@ -40,6 +41,9 @@ def main() -> None:
     if mode == "session_window":
         flows = streaming_flow_features(packets, gap_s=5, watermark="0 seconds")
         out_mode = "append"
+    elif mode == "accum":
+        flows = stateful_flow_features_accum(packets, timeout_ms=5_000)
+        out_mode = "update"
     else:
         flows = stateful_flow_features(packets, timeout_ms=5_000)
         out_mode = "update"
