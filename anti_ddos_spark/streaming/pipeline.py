@@ -39,12 +39,17 @@ def scored_flow_stream(
 ) -> DataFrame:
     """packets stream → feature rows → RF scores.
 
-    mode='session_window' (append; deterministic event-time) or
-    mode='stateful' (update; partial emission + processing-time timeout,
-    the reference's semantics).
+    mode='session_window' (append; deterministic event-time),
+    mode='accum' (update; partial emission + processing-time timeout
+    with O(1) per-flow accumulator state — the production update-mode
+    path), or mode='stateful' (update; array-state parity twin).
     """
+    from anti_ddos_spark.streaming.stateful_accum import stateful_flow_features_accum
+
     if mode == "session_window":
         flows = streaming_flow_features(packets, **sessionizer_kwargs)
+    elif mode == "accum":
+        flows = stateful_flow_features_accum(packets, **sessionizer_kwargs)
     elif mode == "stateful":
         flows = stateful_flow_features(packets, **sessionizer_kwargs)
     else:
@@ -78,11 +83,12 @@ def run_detection_to_ndjson(
 ) -> StreamingQuery:
     """The assembled reference pipeline with a working sink."""
     scored = scored_flow_stream(packets, model, mode=mode, **sessionizer_kwargs)
+    update = mode in ("stateful", "accum")
     return foreach_batch_ndjson(
         scored,
         out_dir,
         checkpoint,
-        output_mode="update" if mode == "stateful" else "append",
-        trigger_available_now=(mode != "stateful"),
-        processing_time="1 second" if mode == "stateful" else None,
+        output_mode="update" if update else "append",
+        trigger_available_now=not update,
+        processing_time="1 second" if update else None,
     )
