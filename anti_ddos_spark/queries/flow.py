@@ -267,9 +267,13 @@ def q24_flow_features_full(spark: SparkSession, sf: str) -> DataFrame:
     ).drop("timestamp")
 
 
-def _q24_oracle() -> str:
-    """Generate the DuckDB replication of the full pipeline."""
-    gap_us = FLOW_GAP_S * 1_000_000
+def _q24_oracle(gap_s: float = FLOW_GAP_S) -> str:
+    """Generate the DuckDB replication of the full pipeline.
+
+    gap_s parameterizes the session gap so callers can pin whole-flow
+    semantics (huge gap → one session per 5-tuple, used by q71's
+    stateful-streaming oracle)."""
+    gap_us = int(gap_s * 1_000_000)
     order = "timestamp, src_ip, src_port, dst_ip, dst_port, tcp_seq"
     key = "flow_src_ip, flow_src_port, flow_dst_ip, flow_dst_port, protocol"
 

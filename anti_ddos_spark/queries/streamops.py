@@ -25,7 +25,12 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from anti_ddos_spark.queries.base import Query, t
-from anti_ddos_spark.queries.flow import FLOW_GAP_S, Q24_SQL, events_as_packets
+from anti_ddos_spark.queries.flow import (
+    FLOW_GAP_S,
+    Q24_SQL,
+    _q24_oracle,
+    events_as_packets,
+)
 from anti_ddos_spark.schemas import FLOW_SCHEMA
 from anti_ddos_spark.streaming.sessionize_stream import streaming_flow_features
 
@@ -77,11 +82,79 @@ WHERE last_ts_us + {FLOW_GAP_S * 1_000_000}
 """
 
 
+# --- q71: the Python stateful path itself, hash-checked -------------------
+
+def q71_stateful_accum(spark: SparkSession, sf: str) -> DataFrame:
+    """Runs the applyInPandasWithState accumulator sessionizer on a real
+    stream and hash-checks its output: with ALL input in one availableNow
+    batch and a timeout far beyond the run, every flow emits exactly one
+    partial row whose features equal the batch whole-flow computation —
+    deterministic, so the Python stateful path (Arrow state round-trip,
+    per-group accumulator math, row emission) is oracle-covered, not just
+    unit-tested."""
+    from anti_ddos_spark.streaming.stateful_accum import stateful_flow_features_accum
+
+    packets = events_as_packets(t(spark, sf, "events"))
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q71_stream_")
+    src = os.path.join(tmp, "packets")
+    packets.coalesce(4).write.parquet(src)
+
+    stream = spark.readStream.schema(packets.schema).parquet(src)
+    flows = stateful_flow_features_accum(stream, timeout_ms=3_600_000)
+    name = f"q71_flows_{run_id}"
+    q = (
+        flows.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # ProcessingTimeTimeout keeps availableNow spinning no-data batches
+    # (it must re-check wall-clock timeouts), so the query never
+    # self-terminates inside the huge timeout window. The data batches
+    # finish in seconds; poll until the emitted row count stabilizes,
+    # then stop the query explicitly.
+    import time as _time
+
+    last, stable_since = -1, _time.monotonic()
+    deadline = _time.monotonic() + 240
+    while _time.monotonic() < deadline:
+        n = spark.table(name).count()
+        now = _time.monotonic()
+        if n != last:
+            last, stable_since = n, now
+        elif n > 0 and now - stable_since > 5:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    out = spark.table(name)
+    return out.select(
+        *STABLE_COLS, F.unix_micros("timestamp").alias("last_ts_us")
+    )
+
+
+_WHOLE_FLOW_GAP_S = 10 * 365 * 24 * 3600  # effectively infinite → one flow per key
+
+Q71_SQL = f"""
+SELECT {_STABLE_SQL_COLS}
+FROM ({_q24_oracle(_WHOLE_FLOW_GAP_S)}) flows
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q70_streaming_sessionize": Query(
         q70_streaming_sessionize,
         Q70_SQL,
         "REAL streaming execution (session_window, availableNow) hash-checked "
         "against batch SQL via the deterministic watermark-emission predicate",
+    ),
+    "q71_stateful_accum": Query(
+        q71_stateful_accum,
+        Q71_SQL,
+        "applyInPandasWithState accumulator path hash-checked: one "
+        "availableNow batch makes partials deterministic (= whole-flow rows)",
     ),
 }
