@@ -80,11 +80,28 @@ def _mean(arr: Column) -> Column:
 
 
 def _std_pop(arr: Column) -> Column:
-    """Two-pass population std over a numeric array."""
+    """Single-pass population std over a numeric array.
+
+    One aggregate accumulating (sum, sumsq); variance = q/n - (s/n)².
+    The obvious two-pass form (mean embedded in the deviation lambda) is
+    O(n²): higher-order lambdas are interpreted per element with no CSE
+    across the lambda boundary, so the inner mean aggregate re-runs for
+    every element. The sumsq form differs from two-pass by sub-ulp float
+    noise — the same ±1 band (after int-cast) the test suite and q70's
+    hash-column selection already account for.
+    """
     n = F.size(arr)
-    mean = _mean(arr)
-    m2 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + (x.cast("double") - mean) * (x.cast("double") - mean))
-    return F.when(n > 0, F.sqrt(m2 / n))
+    acc = F.aggregate(
+        arr,
+        F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("q")),
+        lambda a, x: F.struct(
+            (a["s"] + x.cast("double")).alias("s"),
+            (a["q"] + x.cast("double") * x.cast("double")).alias("q"),
+        ),
+    )
+    mean = acc["s"] / n
+    var = acc["q"] / n - mean * mean
+    return F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
 
 
 def _iats_us(arr_ts: Column) -> Column:

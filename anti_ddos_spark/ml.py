@@ -24,22 +24,20 @@ LABEL_BIN = "binary_label"
 BENIGN = "BENIGN"
 
 # Columns the training CSVs carry that must never reach the assembler
-# (ids / leakage; train_rf.py:26-27).
-ID_LEAK_COLS = [
-    "Unnamed:_0",
-    "Flow_ID",
-    "Source_IP",
-    "Destination_IP",
-    "Timestamp",
-    "SimillarHTTP",
-    "Inbound",
-]
+# (ids / leakage; train_rf.py:26-27). Shares the csv_clean list so a new
+# leak column added there propagates here; 'Inbound' is ML-specific
+# (a direction label that leaks the target in CIC-DDoS2019).
+from anti_ddos_spark.sources.csv_clean import (  # noqa: E402
+    ID_LEAK_COLS as _CSV_ID_LEAK_COLS,
+    clean_name,
+)
+
+ID_LEAK_COLS = [*_CSV_ID_LEAK_COLS, "Inbound"]
 
 
 def clean_column_names(df: DataFrame) -> DataFrame:
     """strip + space/dot → underscore renames (train_rf.py:19-23)."""
-    mapping = {c: c.strip().replace(" ", "_").replace(".", "_") for c in df.columns}
-    return df.toDF(*[mapping[c] for c in df.columns])
+    return df.toDF(*[clean_name(c) for c in df.columns])
 
 
 def drop_id_columns(df: DataFrame) -> DataFrame:
@@ -103,11 +101,13 @@ def train(
     """
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 
+    df = clean_column_names(df)
+    df = drop_id_columns(df)
+    # default features resolve AFTER cleaning — a dirty header like
+    # ' flow_iat_mean' only matches FLOW_FEATURE_NAMES post-rename
     feature_cols = feature_cols or [
         c for c in FLOW_FEATURE_NAMES if c in df.columns
     ]
-    df = clean_column_names(df)
-    df = drop_id_columns(df)
     df = binarize_label(df, label_raw)
     df = scrub_invalid(df, feature_cols)
     # Materialize once: the upstream lineage (e.g. the full sessionizer)

@@ -62,7 +62,9 @@ def scored_flow_stream(
     keep = [
         "flow_id",
         "source_ip",
+        "source_port",
         "destination_ip",
+        "destination_port",
         "protocol",
         "timestamp",
         "is_final",

@@ -35,9 +35,14 @@ def streaming_flow_features(
     watermark: str = "2 minutes",
 ) -> DataFrame:
     """Event-time gap-session flow features on a streaming DataFrame."""
+    if gap_s <= 0:
+        raise ValueError(f"gap_s must be positive, got {gap_s}")
     keyed = normalize_flow_key(packets).withWatermark("timestamp", watermark)
+    # millisecond formatting: int-second truncation would silently change
+    # fractional gaps (and produce an invalid '0 seconds' for gap_s < 1),
+    # diverging from the batch twin's microsecond-precision gap rule
     grouped = keyed.groupBy(
-        F.session_window("timestamp", f"{int(gap_s)} seconds"),
+        F.session_window("timestamp", f"{int(gap_s * 1000)} milliseconds"),
         *FLOW_KEY_COLS,
     ).agg(F.collect_list(pkt_struct()).alias("pkts"))
     out = grouped.select(*array_flow_features(F.col("pkts")))

@@ -111,8 +111,17 @@ def _make_update_fn(timeout_ms: int, max_pkts: int):
         old = list(state.get[0]) if state.exists else []
         pkts = old + new_rows
         # keep timestamp order (micro-batches may interleave; the batch
-        # path sorts identically via ORDER_COLS = struct field order)
-        pkts.sort()
+        # path sorts identically via ORDER_COLS = struct field order).
+        # The key stops at tcp_seq with None/NaN normalized: state rows
+        # carry None for null ints while fresh pandas rows carry NaN, and
+        # a bare tuple sort would compare None < float on a timestamp tie
+        # and raise TypeError, killing the query.
+        def _key(p):
+            seq = p[5]
+            seq = -1 if seq is None or seq != seq else int(seq)
+            return (p[0], p[1], p[2], p[3], p[4], seq)
+
+        pkts.sort(key=_key)
         if len(pkts) > max_pkts:
             pkts = pkts[:max_pkts]
         state.update((pkts,))

@@ -225,12 +225,17 @@ def _emit_row(acc: dict, key: tuple, final: bool) -> list:
     dur = max((acc["last_ts"] - acc["first_ts"]) / 1e6, 0.001)
     import datetime as dt
 
+    # tz-AWARE instant: a naive datetime would be reinterpreted in the
+    # session timezone on the JVM side, shifting flow timestamps under
+    # any non-UTC session (the batch paths use tz-independent micros)
+    last_ts = dt.datetime.fromtimestamp(acc["last_ts"] / 1e6, tz=dt.timezone.utc)
+
     row = dict(
         flow_id=f"{src_ip}:{src_port}-{dst_ip}:{dst_port}-{proto}",
         source_ip=src_ip, source_port=int(src_port),
         destination_ip=dst_ip, destination_port=int(dst_port),
         protocol=proto,
-        timestamp=dt.datetime.utcfromtimestamp(acc["last_ts"] / 1e6),
+        timestamp=last_ts,
         total_fwd_packets=fwdp, total_backward_packets=bwdp,
         total_length_of_fwd_packets=ii(fwdb), total_length_of_bwd_packets=ii(bwdb),
         fwd_packet_length_max=ii(mx("lenf")), fwd_packet_length_min=ii(mn("lenf")),

@@ -84,6 +84,60 @@ def test_stateful_partial_then_final(spark, tmp_path):
         q.awaitTermination(30)
 
 
+def test_stateful_duplicate_ts_across_batches(spark, tmp_path):
+    """Regression: a UDP packet (null tcp fields) arriving in batch N+1
+    with the SAME microsecond timestamp as a batch-N packet must not
+    crash the sort — state rows carry None for null ints while fresh
+    pandas rows carry NaN, and a bare tuple sort raises TypeError on
+    the tie."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 1)
+    pkt = dict(
+        timestamp=ts, src_ip="10.7.7.1", dst_ip="10.7.7.2", length=90,
+        protocol=17, src_port=4444, dst_port=53, udp_len=62,
+        tcp_seq=None, tcp_ack=None, tcp_win=None, tcp_len=None,
+        cwr_flag=None, ece_flag=None, urg_flag=None, ack_flag=None,
+        psh_flag=None, rst_flag=None, syn_flag=None, fin_flag=None,
+    )
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    for _ in range(2):  # same packet, two files → two micro-batches
+        spark.createDataFrame([pkt], PACKET_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(PACKET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stateful_flow_features(stream, timeout_ms=60_000)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dup_ts")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + WAIT_S
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(f"query died: {q.exception()}")
+            rows = spark.table("dup_ts").collect()
+            if any(r["total_fwd_packets"] + r["total_backward_packets"] == 2 for r in rows):
+                break
+            time.sleep(1)
+        rows = spark.table("dup_ts").collect()
+        assert any(
+            r["total_fwd_packets"] + r["total_backward_packets"] == 2 for r in rows
+        ), rows
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
 def test_stateful_partials_refresh(spark, tmp_path):
     """A key touched in two micro-batches emits (at least) two partial
     rows, the later one covering more packets (update-mode refresh)."""

@@ -78,6 +78,9 @@ def test_streaming_availablenow_matches_batch(spark, packets_df):
         # mode may withhold trailing sessions. Accept a subset match but
         # require substantial coverage.
         assert len(got) > 0, "streaming emitted nothing"
+        # substantial coverage, asserted: only sessions within gap+0s-
+        # watermark of the fixture's end may legitimately be withheld
+        assert len(got) >= 0.6 * len(want), f"under-emission: {len(got)}/{len(want)}"
         want_set = set(want)
         for row in got:
             assert row in want_set, f"streaming row not in batch output: {row[:8]}"
