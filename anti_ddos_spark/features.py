@@ -54,8 +54,15 @@ def _long(c: Column) -> Column:
     return _z(c).cast("long")
 
 
+INT_MAX = 2_147_483_647
+
+
 def _int(c: Column) -> Column:
-    return _z(c).cast("int")
+    """Saturating cast to int32: byte/packet totals on elephant flows
+    (the expected DDoS case) can exceed 2^31-1 and would raise under the
+    session's ANSI mode; the values here are non-negative so clamping the
+    top preserves reference int semantics below the limit."""
+    return F.least(_z(c), F.lit(INT_MAX)).cast("int")
 
 
 def _header_len() -> Column:
@@ -139,17 +146,32 @@ def flow_feature_aggs(mode: str = "faithful") -> list[Column]:
             stat_cast(F.max(idle_gap)).alias("idle_max"),
             stat_cast(F.min(idle_gap)).alias("idle_min"),
         ]
-        init_win_fwd = _int(F.first(_fwd(F.col("tcp_win")), ignorenulls=True)).alias(
-            "init_win_bytes_forward"
+        # min_by over an explicit (ts_us, tcp_seq) ordering struct: the
+        # "first tcp_win per direction" must not depend on rows reaching
+        # the aggregate in window-sort order — first() is documented
+        # non-deterministic and the ordering is a plan artifact. Within
+        # one direction ORDER_COLS reduce to (timestamp, tcp_seq).
+        order_key = F.struct(
+            F.col("ts_us").alias("ts_us"),
+            F.coalesce(F.col("tcp_seq"), F.lit(0)).alias("seq"),
         )
-        init_win_bwd = _int(F.first(_bwd(F.col("tcp_win")), ignorenulls=True)).alias(
-            "init_win_bytes_backward"
-        )
+        init_win_fwd = _int(
+            F.min_by(
+                F.col("tcp_win"),
+                F.when(F.col("is_fwd") & F.col("tcp_win").isNotNull(), order_key),
+            )
+        ).alias("init_win_bytes_forward")
+        init_win_bwd = _int(
+            F.min_by(
+                F.col("tcp_win"),
+                F.when(~F.col("is_fwd") & F.col("tcp_win").isNotNull(), order_key),
+            )
+        ).alias("init_win_bytes_backward")
         min_seg_fwd = _int(F.min(_fwd(_header_len()))).alias("min_seg_size_forward")
 
     return [
-        fwd_pkts.cast("int").alias("total_fwd_packets"),
-        bwd_pkts.cast("int").alias("total_backward_packets"),
+        _int(fwd_pkts).alias("total_fwd_packets"),
+        _int(bwd_pkts).alias("total_backward_packets"),
         fwd_bytes.cast("long").alias("total_length_of_fwd_packets"),
         bwd_bytes.cast("long").alias("total_length_of_bwd_packets"),
         _long(F.max(fwd_len)).alias("fwd_packet_length_max"),
@@ -210,11 +232,12 @@ def flow_feature_aggs(mode: str = "faithful") -> list[Column]:
         stat_cast(ratio(bwd_bulk_bytes, bwd_bulk_eps)).alias("bwd_avg_bytes_bulk"),
         stat_cast(ratio(bwd_bulk_pkts, bwd_bulk_eps)).alias("bwd_avg_packets_bulk"),
         stat_cast(bwd_bulk_bytes / duration_s).alias("bwd_avg_bulk_rate"),
-        # Subflows mirror the totals in the reference (main.py:734-735).
-        fwd_pkts.cast("int").alias("subflow_fwd_packets"),
-        fwd_bytes.cast("int").alias("subflow_fwd_bytes"),
-        bwd_pkts.cast("int").alias("subflow_bwd_packets"),
-        bwd_bytes.cast("int").alias("subflow_bwd_bytes"),
+        # Subflows mirror the totals in the reference (main.py:734-735);
+        # saturating cast — a >2 GiB flow must not kill the job (ADVICE r1).
+        _int(fwd_pkts).alias("subflow_fwd_packets"),
+        _int(fwd_bytes).alias("subflow_fwd_bytes"),
+        _int(bwd_pkts).alias("subflow_bwd_packets"),
+        _int(bwd_bytes).alias("subflow_bwd_bytes"),
         init_win_fwd,
         init_win_bwd,
         _int(

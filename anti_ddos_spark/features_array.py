@@ -134,7 +134,9 @@ def _long(c: Column) -> Column:
 
 
 def _int(c: Column) -> Column:
-    return F.coalesce(c, F.lit(0)).cast("int")
+    # Saturating like features._int: elephant-flow totals must clamp, not
+    # raise, under ANSI mode (ADVICE r1).
+    return F.least(F.coalesce(c, F.lit(0)), F.lit(2_147_483_647)).cast("int")
 
 
 def array_flow_features(pkts_unsorted: Column) -> list[Column]:
@@ -254,9 +256,9 @@ def array_flow_features(pkts_unsorted: Column) -> list[Column]:
         _long(ratio(bwd_bulk_p, bwd_bulk_e)).alias("bwd_avg_packets_bulk"),
         _long(bwd_bulk_b / duration_s).alias("bwd_avg_bulk_rate"),
         F.size(fwd).cast("int").alias("subflow_fwd_packets"),
-        fwd_bytes.cast("int").alias("subflow_fwd_bytes"),
+        _int(fwd_bytes).alias("subflow_fwd_bytes"),
         F.size(bwd).cast("int").alias("subflow_bwd_packets"),
-        bwd_bytes.cast("int").alias("subflow_bwd_bytes"),
+        _int(bwd_bytes).alias("subflow_bwd_bytes"),
         F.lit(0).alias("init_win_bytes_forward"),
         F.lit(0).alias("init_win_bytes_backward"),
         _int(

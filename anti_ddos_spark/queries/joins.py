@@ -107,19 +107,29 @@ FROM c ASOF LEFT JOIN p
 
 # --- q26: interval join (clicks in the 5 min before each error) -----------
 
+def _range_bucket(ts: F.Column) -> F.Column:
+    """Integer-division time bucket, identical expression on both join
+    sides — float-division variants can floor() to different buckets at
+    the edges and silently drop matches. (m - m % k) is exact long
+    arithmetic; the final / is an exact small-integer double."""
+    m = F.unix_micros(ts)
+    k = F.lit(RANGE_S * 1_000_000)
+    return ((m - F.pmod(m, k)) / k).cast("long")
+
+
 def q26_range_join(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events")
     errors = ev.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "event_id", (F.unix_micros("ts") / 1_000_000).alias("sec")
+        "user_id", "ts", "event_id"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("cts"),
-        F.floor(F.unix_micros("ts") / (RANGE_S * 1_000_000)).alias("c_bucket"),
+        _range_bucket(F.col("ts")).alias("c_bucket"),
     )
     # each error probes its own bucket and the previous one — the only two
     # that can contain a click within the RANGE_S lookback
-    b = F.floor(F.col("sec") / RANGE_S).cast("long")
+    b = _range_bucket(F.col("ts"))
     probes = errors.withColumn("c_bucket", F.explode(F.array(b - 1, b)))
     joined = probes.join(
         clicks,

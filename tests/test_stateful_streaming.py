@@ -138,6 +138,99 @@ def test_stateful_duplicate_ts_across_batches(spark, tmp_path):
         q.awaitTermination(30)
 
 
+def test_stateful_overflow_keeps_exact_totals(spark, tmp_path):
+    """ADVICE r1: beyond max_pkts the stat arrays are capped but scalar
+    totals must stay exact (the reference caps only its stat arrays,
+    main.py:288-292). Feed 10 packets through max_pkts=4 across two
+    micro-batches and check the additive features against the uncapped
+    batch sessionizer."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    fwd = dict(
+        src_ip="10.8.8.1", dst_ip="10.8.8.2", src_port=6666, dst_port=53
+    )
+    bwd = dict(
+        src_ip="10.8.8.2", dst_ip="10.8.8.1", src_port=53, dst_port=6666
+    )
+    rows = [
+        dict(
+            timestamp=base + dt.timedelta(seconds=i),
+            length=100 + 10 * i, protocol=17, udp_len=72 + 10 * i,
+            tcp_seq=None, tcp_ack=None, tcp_win=None, tcp_len=None,
+            cwr_flag=None, ece_flag=None, urg_flag=None, ack_flag=None,
+            psh_flag=None, rst_flag=None, syn_flag=None, fin_flag=None,
+            **(fwd if i % 3 else bwd),
+        )
+        for i in range(10)
+    ]
+    # first packet (i=0) is bwd-dict but defines the orientation → it IS fwd
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    os.makedirs(src)
+    for batch in (rows[:6], rows[6:]):
+        spark.createDataFrame(batch, PACKET_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(PACKET_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stateful_flow_features(stream, timeout_ms=60_000, max_pkts=4)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("overflow_totals")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    exact_cols = [
+        "total_fwd_packets", "total_backward_packets",
+        "total_length_of_fwd_packets", "total_length_of_bwd_packets",
+        "fwd_packet_length_max", "fwd_packet_length_min",
+        "fwd_packet_length_mean", "bwd_packet_length_max",
+        "bwd_packet_length_min", "bwd_packet_length_mean",
+        "min_packet_length", "max_packet_length", "packet_length_mean",
+        "fwd_header_length", "bwd_header_length",
+        "average_packet_size", "avg_fwd_segment_size", "avg_bwd_segment_size",
+        "down_up_ratio", "subflow_fwd_packets", "subflow_fwd_bytes",
+        "subflow_bwd_packets", "subflow_bwd_bytes", "act_data_pkt_fwd",
+        "fin_flag_count", "syn_flag_count", "psh_flag_count",
+        "flow_bytes_s", "flow_packets_s", "fwd_packets_s", "bwd_packets_s",
+        "timestamp",
+    ]
+    try:
+        want = (
+            flow_features_arrayagg(
+                spark.createDataFrame(rows, PACKET_SCHEMA), gap_s=None
+            )
+            .select(*exact_cols)
+            .collect()[0]
+        )
+        deadline = time.time() + WAIT_S
+        got = None
+        while time.time() < deadline:
+            if q.exception() is not None:
+                raise AssertionError(f"query died: {q.exception()}")
+            hits = (
+                spark.table("overflow_totals")
+                .filter("total_fwd_packets + total_backward_packets = 10")
+                .select(*exact_cols)
+                .collect()
+            )
+            if hits:
+                got = hits[-1]
+                break
+            time.sleep(1)
+        assert got is not None, spark.table("overflow_totals").collect()
+        for col in exact_cols:
+            assert got[col] == want[col], (col, got[col], want[col])
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+
 def test_stateful_partials_refresh(spark, tmp_path):
     """A key touched in two micro-batches emits (at least) two partial
     rows, the later one covering more packets (update-mode refresh)."""
