@@ -1,0 +1,39 @@
+"""Scale parameters for the dedup / similarity operator family.
+
+Production defaults target corpus scale (10^9+ documents / vectors):
+the MinHash s-curve threshold is (1/b)^(1/r) with r = K/b rows per band
+— K=128, b=16 → r=8 → ~0.71 Jaccard, the standard near-dup dedup
+operating point (Lee et al., "Deduplicating Training Data Makes
+Language Models Better"). SimHash at 64 bits is the web-dedup standard
+(Manku et al., WWW'07). 16 hyperplanes give 65 536 ANN buckets; recall
+is recovered via multi-probe (probing all buckets within Hamming
+distance LSH_PROBE_HAMMING of the query's bucket).
+
+The DEMO_* constants exist because the oracle fixtures are tiny (500
+docs / 500 near-orthogonal vectors): at production parameters nothing
+but exact duplicates collides, which is the *point* of the s-curve but
+makes a 500-row demo trivially empty. Demo queries pin these explicitly;
+the code paths are identical.
+"""
+
+from __future__ import annotations
+
+# --- production defaults --------------------------------------------------
+MINHASH_K = 128      # signature length
+LSH_BANDS = 16       # bands of MINHASH_K / LSH_BANDS = 8 rows → thr ≈ 0.71
+SIMHASH_BITS = 64
+LSH_PLANES = 16      # hyperplane sign bits per ANN bucket (65 536 buckets)
+LSH_PROBE_HAMMING = 1  # multi-probe radius (1 → 17 probed buckets)
+
+# --- demo constants for the sf0.01 oracle queries -------------------------
+DEMO_MINHASH_K = 4
+DEMO_LSH_BANDS = 2
+DEMO_SIMHASH_BITS = 16
+DEMO_LSH_PLANES = 4
+
+
+def lsh_threshold(k: int = MINHASH_K, bands: int = LSH_BANDS) -> float:
+    """Approximate Jaccard similarity at which a pair's candidate
+    probability crosses 1/2 — the banding s-curve midpoint (1/b)^(1/r)."""
+    r = k // bands
+    return (1.0 / bands) ** (1.0 / r)

@@ -23,10 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from anti_ddos_spark.config import LSH_BANDS, MINHASH_K, SIMHASH_BITS
+
 SHINGLE_W = 3  # words per shingle
-MINHASH_K = 4  # signature length
-LSH_BANDS = 2  # bands of MINHASH_K / LSH_BANDS rows each
-SIMHASH_BITS = 16
 
 
 def words(text: Column) -> Column:
@@ -88,17 +87,39 @@ def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
     """LSH candidate pairs (id_a < id_b) sharing ≥1 band, with exact
-    word-set Jaccard (percent, half-up) for verification."""
-    sigs = docs.select(
-        F.col(id_col),
-        F.array_distinct(words(F.col(text_col))).alias("wset"),
-        *minhash_signature(F.col(text_col)),
+    word-set Jaccard (percent, half-up) for verification.
+
+    Defaults are the production s-curve (config.MINHASH_K/LSH_BANDS,
+    threshold ≈ 0.71); the sf0.01 demo query pins the permissive demo
+    constants explicitly.
+
+    Signature shape: explode shingles → k min() aggregates, ONE
+    map-side-combinable shuffle on doc id. The per-row array form
+    (minhash_signature) re-evaluates the shingle expression k times —
+    higher-order lambdas don't CSE across seeds, which at k=128 is a
+    ~40× blowup measured at sf0.01 — so it is only for tiny k."""
+    sh = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"minhash_{i}")
+            for i in range(k)
+        ]
     )
-    sig_cols = [f"minhash_{i}" for i in range(MINHASH_K)]
+    wsets = docs.select(
+        F.col(id_col), F.array_distinct(words(F.col(text_col))).alias("wset")
+    )
+    sigs = mins.join(wsets, id_col)
+    sig_cols = [f"minhash_{i}" for i in range(k)]
     banded = sigs.select(
-        id_col, "wset", F.posexplode(lsh_bands(sig_cols)).alias("band_id", "band_key")
+        id_col, "wset", F.posexplode(lsh_bands(sig_cols, bands=bands)).alias("band_id", "band_key")
     )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -125,20 +146,36 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """SIMHASH_BITS-bit SimHash per document from word-level md5 hashes."""
+def simhash(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """``bits``-bit SimHash per document from word-level md5 hashes.
+
+    Bit b's vote comes from 32-bit words carved out of the md5 hex (8 hex
+    chars each), so any bits ≤ 128 works; 64 (the web-dedup standard) is
+    the default. Bit 63 of the assembled fingerprint is the sign bit of
+    the long — shiftleft wraps it without an ANSI overflow (bitwise op),
+    and the summation stays in range because the negative sign-bit term
+    can only move the non-negative partial sum downward.
+    """
     tok = docs.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
-    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    tok = tok.withColumn("h", h)
+    n_words32 = (bits + 31) // 32
+    for wi in range(n_words32):
+        h = F.conv(F.substring(F.md5("w"), 1 + 8 * wi, 8), 16, 10).cast("long")
+        tok = tok.withColumn(f"h{wi}", h)
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(f"h{b // 32}", b % 32).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(bits):
+        one = F.lit(1).cast("long")
+        term = F.when(F.col(f"s{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))

@@ -5,6 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from anti_ddos_spark.config import (
+    DEMO_LSH_BANDS,
+    DEMO_MINHASH_K,
+    DEMO_SIMHASH_BITS,
+    LSH_BANDS,
+    MINHASH_K,
+)
 from anti_ddos_spark.operators.dedup import (
     exact_dedup_summary,
     minhash_candidates,
@@ -95,18 +102,44 @@ FROM base
 # --- q32: MinHash-LSH candidate pairs + exact Jaccard verify -------------
 
 def q32_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return minhash_candidates(t(spark, sf, "documents"))
+    """Demo-parameter MinHash LSH (K=4, b=2 — permissive s-curve so the
+    500-doc fixture yields a rich candidate set)."""
+    return minhash_candidates(
+        t(spark, sf, "documents"), k=DEMO_MINHASH_K, bands=DEMO_LSH_BANDS
+    )
 
 
-def _q32_sql() -> str:
-    sigs = ", ".join(f"{_shingle_sig(i)} AS minhash_{i}" for i in range(4))
+def _minhash_sql(k: int, bands: int) -> str:
+    """DuckDB twin of minhash_candidates at arbitrary (k, bands) — same
+    explode→group-min shape so the shingle list is built once, not k×."""
+    r = k // bands
+    shingle_list = (
+        f"CASE WHEN len({_W}) >= 3 THEN "
+        f"list_transform(range(1, len({_W}) - 1), "
+        f"i -> concat({_W}[i], ' ', {_W}[i+1], ' ', {_W}[i+2])) "
+        f"ELSE [text] END"
+    )
+    mins = ", ".join(
+        f"min(md5(concat('{i}:', s))) AS minhash_{i}" for i in range(k)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "SELECT doc_id, wset, {b} AS band_id, md5(concat({parts})) AS band_key FROM sigs".format(
+            b=b,
+            parts=", '|', ".join(f"minhash_{i}" for i in range(b * r, (b + 1) * r)),
+        )
+        for b in range(bands)
+    )
     return f"""
-WITH sigs AS (
-  SELECT doc_id, list_distinct({_W}) AS wset, {sigs} FROM documents),
+WITH sh AS (
+  SELECT doc_id, unnest({shingle_list}) AS s FROM documents),
+mins AS (
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+wsets AS (
+  SELECT doc_id, list_distinct({_W}) AS wset FROM documents),
+sigs AS (
+  SELECT m.*, w.wset FROM mins m JOIN wsets w USING (doc_id)),
 banded AS (
-  SELECT doc_id, wset, 0 AS band_id, md5(concat(minhash_0, '|', minhash_1)) AS band_key FROM sigs
-  UNION ALL
-  SELECT doc_id, wset, 1 AS band_id, md5(concat(minhash_2, '|', minhash_3)) AS band_key FROM sigs),
+  {band_selects}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.wset AS wa, b.wset AS wb
   FROM banded a JOIN banded b
@@ -118,27 +151,64 @@ FROM pairs
 """
 
 
-# --- q33: SimHash fingerprints -------------------------------------------
+def _q32_sql() -> str:
+    return _minhash_sql(DEMO_MINHASH_K, DEMO_LSH_BANDS)
+
+
+# --- q35: MinHash-LSH at PRODUCTION parameters (K=128, b=16) -------------
+
+def q35_minhash_prod(spark: SparkSession, sf: str) -> DataFrame:
+    """Production s-curve (threshold ≈ 0.71): only genuine near-dups
+    survive banding — on the fixture that is the exact-duplicate groups,
+    exactly what corpus-scale dedup wants. Same operator, default params."""
+    return minhash_candidates(t(spark, sf, "documents"))
+
+
+def _q35_sql() -> str:
+    return _minhash_sql(MINHASH_K, LSH_BANDS)
+
+
+# --- q33/q36: SimHash fingerprints (demo 16-bit / production 64-bit) -----
 
 def q33_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return simhash(t(spark, sf, "documents"), bits=DEMO_SIMHASH_BITS)
+
+
+def q36_simhash64(spark: SparkSession, sf: str) -> DataFrame:
+    """Production 64-bit SimHash (Manku et al. web-dedup standard);
+    exercises the multi-word hash carving and the sign-bit wrap."""
     return simhash(t(spark, sf, "documents"))
 
 
-def _q33_sql() -> str:
-    sums = ", ".join(
-        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{b}"
-        for b in range(16)
+def _simhash_sql(bits: int) -> str:
+    words32 = ", ".join(
+        f"('0x' || substr(md5(w), {1 + 8 * wi}, 8))::BIGINT AS h{wi}"
+        for wi in range((bits + 31) // 32)
     )
-    bits = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN (h{b // 32} >> {b % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s{b}"
+        for b in range(bits)
+    )
+    # bit 63 is the long's sign bit: DuckDB refuses 1<<63, so emit the
+    # wrapped literal directly (matches Spark's shiftleft wrap).
+    def term(b: int) -> str:
+        v = 1 << b if b < 63 else -(1 << 63)
+        return f"CASE WHEN s{b} > 0 THEN ({v})::BIGINT ELSE 0 END"
+
+    bits_sum = " + ".join(term(b) for b in range(bits))
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest({_W}) AS w FROM documents),
 hashed AS (
-  SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM tok),
+  SELECT doc_id, {words32} FROM tok),
 agg AS (
   SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
-SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
+SELECT doc_id, CAST({bits_sum} AS BIGINT) AS simhash FROM agg
 """
+
+
+def _q33_sql() -> str:
+    return _simhash_sql(DEMO_SIMHASH_BITS)
 
 
 # --- q34: character n-gram Jaccard near-dup (blocked all-pairs) ----------
@@ -199,6 +269,11 @@ QUERIES: dict[str, Query] = {
     "q31_doc_profile": Query(q31_doc_profile, _q31_sql(), "text stats + token counts + lang-ID + quality"),
     "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
     "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
+    "q35_minhash_prod": Query(
+        q35_minhash_prod, _q35_sql(),
+        "MinHash-LSH at production parameters (K=128, b=16, thr≈0.71)",
+    ),
+    "q36_simhash64": Query(q36_simhash64, _simhash_sql(64), "64-bit SimHash fingerprints"),
     "q34_ngram_jaccard": Query(
         q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"
     ),

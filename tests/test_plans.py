@@ -75,6 +75,24 @@ def test_q60_payload_pruned(spark):
     )
 
 
+def test_q42_neardup_join_is_lsh_bucketed(spark):
+    """VERDICT r1: near-dup pairs must come from LSH-signature candidate
+    generation, never an unbucketed (or label-bucketed) self-join. The
+    only nested-loop join allowed is the broadcast hyperplane side of the
+    signature computation."""
+    import re
+
+    s = _summary(spark, "q42_cosine_neardup_pairs")
+    assert "CartesianProduct" not in s["text"]
+    # the signature subtree appears twice (self-join sides), each with its
+    # broadcast-planes crossJoin → exactly 2 BNLJs, both broadcast-bounded
+    bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", s["text"], re.M))
+    assert bnlj <= 2, f"only the broadcast-planes crossJoins may be BNLJs, got {bnlj}"
+    assert re.search(r"keys \[\d+\]: \[.*sig#", s["text"]), (
+        "candidate self-join must be an equi-join keyed on the LSH signature"
+    )
+
+
 def test_q01_whole_stage_codegen(spark):
     # WSCG spans only appear in AQE's final (post-execution) plan
     s = plan_summary(REG["q01_pricing_summary"].fn(spark, SF), execute=True)
