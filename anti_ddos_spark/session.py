@@ -15,6 +15,38 @@ import os
 
 from pyspark.sql import SparkSession
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_conf() -> dict[str, str]:
+    """State-store conf for production streaming state (>10M open flows).
+
+    The default HDFS-backed provider keeps every live flow's state in
+    executor heap; RocksDB moves it off-heap/on-disk with changelog
+    checkpointing — bounded memory at any flow cardinality. Also the
+    *required* provider for transformWithStateInPandas (streaming/
+    stateful_tws.py). Mirrors the reference's HDFS state dir choice
+    (spark_app/main.py:1000) upgraded to the scale-safe backend.
+
+    Provider is read per-query at stream start, so this can be applied
+    with spark.conf.set(...) on a live session (see use_rocksdb()) or
+    passed as extra_conf to get_spark().
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        # changelog checkpointing ships per-batch deltas instead of
+        # full SST uploads — the production default for large state
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+    }
+
+
+def use_rocksdb(spark: SparkSession) -> None:
+    """Switch subsequent streaming queries on this session to RocksDB."""
+    for k, v in rocksdb_conf().items():
+        spark.conf.set(k, v)
+
 
 def get_spark(
     app_name: str = "anti_ddos_spark",
@@ -59,6 +91,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
+    if os.environ.get("SPARK_GRAFT_ROCKSDB", "") not in ("", "0"):
+        for k, v in rocksdb_conf().items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,215 @@
+"""transformWithStateInPandas sessionizer ≡ batch whole-flow features.
+
+Two layers, because this container has no Python protobuf runtime (the
+TWS driver worker needs google.protobuf to speak the state-server
+protocol, and installs are off-limits here):
+
+1. The processor's full Python logic — state load/store round-trip,
+   per-batch accumulator updates, partial emission, timer re-arm and
+   expiry finals — is driven directly against an in-memory fake of the
+   StatefulProcessorHandle/ValueState/TimerValues API surface and
+   compared to the batch whole-flow computation. This is the same
+   equivalence bar test_stateful_accum.py holds the GroupState path to.
+2. The real streaming execution is attempted and skipped unless
+   google.protobuf imports, so the test activates automatically on any
+   properly-provisioned cluster image.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from anti_ddos_spark.schemas import PACKET_SCHEMA
+from anti_ddos_spark.streaming.sessionize_stream import flow_features_arrayagg
+from anti_ddos_spark.streaming.stateful_tws import (
+    FlowFeatureProcessor,
+    tws_flow_features,
+)
+from tests.conftest import make_packets
+
+try:  # TWS driver worker hard-requires the protobuf runtime
+    from google.protobuf import descriptor  # noqa: F401
+
+    HAVE_PROTOBUF = True
+except ImportError:
+    HAVE_PROTOBUF = False
+
+
+# --- fakes for the StatefulProcessor API surface --------------------------
+
+class FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, FakeValueState())
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+class FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def test_tws_processor_logic_matches_batch(spark):
+    """Drive FlowFeatureProcessor through its lifecycle per flow —
+    multiple input batches then timer expiry — and compare the final
+    rows against the batch whole-flow features."""
+    import pandas as pd
+
+    rows = make_packets()
+    pdf_all = (
+        flow_features_arrayagg(spark.createDataFrame(rows, PACKET_SCHEMA), gap_s=None)
+    )
+    cols = pdf_all.columns
+    want = sorted(tuple(str(v) for v in r) for r in pdf_all.collect())
+
+    # replicate the operator's upstream projection: normalized flow key +
+    # flat packet columns (same path tws_flow_features builds)
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.features_array import pkt_struct
+    from anti_ddos_spark.normalize import FLOW_KEY_COLS, normalize_flow_key
+
+    flat_keys = [k for k in FLOW_KEY_COLS if k != "protocol"]
+    keyed = (
+        normalize_flow_key(spark.createDataFrame(rows, PACKET_SCHEMA))
+        .select(*flat_keys, pkt_struct().alias("p"))
+        .select(*flat_keys, "p.*")
+    ).toPandas()
+
+    got_rows = []
+    for key, grp in keyed.groupby(
+        ["flow_src_ip", "flow_src_port", "flow_dst_ip", "flow_dst_port", "protocol"],
+        sort=False,
+    ):
+        proc = FlowFeatureProcessor(timeout_ms=60_000)
+        handle = FakeHandle()
+        proc.init(handle)
+        # split the flow's packets into 3 timestamp-ordered batches to
+        # force cross-batch accumulator bridging (IAT/bulk/last_ts)
+        ordered = grp.sort_values("ts_us", kind="mergesort").reset_index(drop=True)
+        third = max(1, len(ordered) // 3)
+        batches = [ordered.iloc[:third], ordered.iloc[third : 2 * third], ordered.iloc[2 * third :]]
+        now = 1_000_000
+        for b in batches:
+            if len(b) == 0:
+                continue
+            out = list(proc.handleInputRows(key, iter([b]), FakeTimerValues(now)))
+            assert len(out) == 1 and not out[0]["is_final"].iloc[0]
+            now += 1000
+        assert len(handle.timers) == 1, "timer must be re-armed, not stacked"
+        finals = list(proc.handleExpiredTimer(key, FakeTimerValues(now), None))
+        assert len(finals) == 1 and finals[0]["is_final"].iloc[0]
+        assert handle.states["acc"].get() is None, "state must clear on expiry"
+        got_rows.append(finals[0])
+
+    got_df = spark.createDataFrame(pd.concat(got_rows)).select(*cols)
+    got = sorted(tuple(str(v) for v in r) for r in got_df.collect())
+    fuzzy = {i for i, c in enumerate(cols) if "std" in c or "variance" in c}
+    assert len(got) == len(want)
+    for ra, rb in zip(got, want):
+        for i, (va, vb) in enumerate(zip(ra, rb)):
+            if va == vb:
+                continue
+            assert i in fuzzy, f"{cols[i]}: tws={va} batch={vb}"
+            assert abs(int(va) - int(vb)) <= max(2, int(int(vb) * 0.001)), (
+                f"{cols[i]}: tws={va} batch={vb}"
+            )
+
+
+@pytest.mark.skipif(
+    not HAVE_PROTOBUF,
+    reason="transformWithState driver worker requires google.protobuf "
+    "(not installed in this container)",
+)
+def test_tws_streaming_matches_batch(spark, tmp_path):
+    """Real streaming execution of the TWS sessionizer (requires the
+    protobuf runtime + RocksDB provider)."""
+    from anti_ddos_spark.session import rocksdb_conf
+
+    prior = {
+        k: spark.conf.get(k, None) for k in rocksdb_conf()
+    }
+    for k, v in rocksdb_conf().items():
+        spark.conf.set(k, v)
+    try:
+        rows = make_packets()
+        src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+        os.makedirs(src)
+        spark.createDataFrame(rows, PACKET_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(PACKET_SCHEMA).parquet(src)
+        out = tws_flow_features(stream, timeout_ms=3_600_000)
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_flows")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            want_df = flow_features_arrayagg(
+                spark.createDataFrame(rows, PACKET_SCHEMA), gap_s=None
+            )
+            cols = want_df.columns
+            want = sorted(tuple(str(v) for v in r) for r in want_df.collect())
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table("tws_flows").count() >= len(want):
+                    break
+                time.sleep(2)
+            got_df = spark.table("tws_flows").filter("not is_final")
+            got = sorted(
+                tuple(str(v) for v in r) for r in got_df.select(*cols).collect()
+            )
+            fuzzy = {i for i, c in enumerate(cols) if "std" in c or "variance" in c}
+            assert len(got) == len(want)
+            for ra, rb in zip(got, want):
+                for i, (va, vb) in enumerate(zip(ra, rb)):
+                    if va == vb:
+                        continue
+                    assert i in fuzzy
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
