@@ -183,6 +183,142 @@ def lsh_ann_topk(
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest cells, exact cosine
+    inside them.
+
+    The recall/latency dial every IVF index exposes: nprobe=1 scans
+    ~1/C of the corpus and misses neighbours assigned to adjacent
+    cells; nprobe=C degenerates to brute force. Scale shape: the
+    embedding rides along through the assignment window, so after the
+    probe filter (broadcast of nprobe centroid ids) scoring needs NO
+    join back to the corpus — one shuffle total (the per-vector argmax
+    window), everything else broadcast-bounded. In a materialized IVF
+    index the assignment is precomputed and partitioned by cell, and
+    this query is a partition-pruned scan.
+    """
+    emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("e").alias("cvec")
+    )
+    q = emb.filter(F.col(id_col) == query_id).select(F.col("e").alias("qvec"))
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select("centroid_id", cosine(F.col("cvec"), F.col("qvec")).alias("ccos"))
+        .orderBy(F.desc("ccos"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, "e", "centroid_id",
+        cosine(F.col("e"), F.col("cvec")).alias("ccos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    cands = assigned.join(F.broadcast(probed), "centroid_id").filter(
+        F.col(id_col) != query_id
+    )
+    out = cands.crossJoin(F.broadcast(q)).select(
+        F.col(id_col), cosine(F.col("e"), F.col("qvec")).alias("cos")
+    )
+    return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's k-means over the embedding column, Spark-distributed.
+
+    Iterative algorithm (SURVEY's "genuinely non-SQL-expressible" class):
+    the DATA never leaves the cluster — each iteration is one broadcast
+    (k×dim centroid literals), one argmin projection, and one groupBy
+    computing per-dimension means map-side; the driver only collects the
+    k aggregated centroid rows (k×dim floats) to feed the next
+    iteration.
+
+    Init is deterministic farthest-point (k-center greedy): seed with
+    the lowest-id vector, then repeatedly add the vector farthest from
+    its nearest chosen center (ties broken by id). Naive "first k ids"
+    seeding fails whenever ids are clustered — the first k rows of a
+    sorted corpus often share one true cluster, and Lloyd's cannot split
+    seeds back out of it (caught by test_recovers_planted_centers).
+    Each seeding step is one distributed max, k-1 tiny driver rows.
+
+    Returns (centroids, inertia_per_iteration); inertia is the summed
+    squared euclidean distance to the assigned centroid — must be
+    non-increasing across iterations (asserted in tests).
+    """
+    emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
+
+    def dist2_to(c: list[float]) -> Column:
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("e"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    seed = emb.orderBy(F.asc(id_col)).limit(1).collect()[0]
+    cents = [list(seed["e"])]
+    while len(cents) < k:
+        mind = dist2_to(cents[0])
+        for c in cents[1:]:
+            mind = F.least(mind, dist2_to(c))
+        far = (
+            emb.select(F.col(id_col), F.col("e"), mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        cents.append(list(far["e"]))
+    dim = len(cents[0])
+    history: list[float] = []
+
+    for _ in range(iters):
+        d = emb.select(
+            "e", *[dist2_to(cents[j]).alias(f"d{j}") for j in range(len(cents))]
+        )
+        best = F.lit(0)
+        bestd = F.col("d0")
+        for j in range(1, len(cents)):
+            closer = F.col(f"d{j}") < bestd
+            best = F.when(closer, j).otherwise(best)
+            bestd = F.when(closer, F.col(f"d{j}")).otherwise(bestd)
+        assigned = d.select(
+            F.col("e"), best.alias("cid"), bestd.alias("dist2")
+        )
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)],
+                F.sum("dist2").alias("inertia"),
+            )
+            .collect()
+        )
+        history.append(float(sum(r["inertia"] for r in stats)))
+        new_cents = list(cents)
+        for r in stats:
+            new_cents[r["cid"]] = [float(r[f"m{i}"]) for i in range(dim)]
+        cents = new_cents
+    return cents, history
+
+
 def ivf_assign(
     vectors: DataFrame,
     n_centroids: int = 8,

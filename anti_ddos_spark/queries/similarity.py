@@ -13,6 +13,7 @@ from anti_ddos_spark.config import DEMO_LSH_PLANES, LSH_PLANES, LSH_PROBE_HAMMIN
 from anti_ddos_spark.operators.similarity import (
     brute_force_topk,
     ivf_assign,
+    ivf_topk,
     lsh_ann_topk,
     lsh_neardup_pairs,
 )
@@ -209,6 +210,90 @@ FROM cands ORDER BY cands.cos DESC, vec_id ASC LIMIT {TOPK}
 """
 
 
+# --- q45: IVF multi-probe search (nprobe cells, exact inside) -------------
+
+NPROBE = 3
+
+
+def q45_ivf_multiprobe_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF search probing the 3 nearest cells of 8 — the recall/latency
+    dial every IVF index exposes (nprobe=1 misses cross-cell
+    neighbours, nprobe=C is brute force). Exact cosine inside probed
+    cells; assignment and probe order share q41's deterministic
+    centroids so the DuckDB oracle replicates without RNG."""
+    res = ivf_topk(
+        t(spark, sf, "embeddings"), QUERY_ID, k=TOPK,
+        n_centroids=CENTROIDS, nprobe=NPROBE,
+    )
+    return res.select("vec_id", rnd(F.col("cos"), 6).alias("cos"))
+
+
+Q45_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {CENTROIDS}),
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding::DOUBLE[]', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, cents c) x WHERE rn = 1),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = {QUERY_ID}),
+probed AS (
+  SELECT centroid_id FROM cents, q
+  ORDER BY {_cos_sql('cents.cvec', 'q.qe')} DESC, centroid_id ASC LIMIT {NPROBE}),
+cands AS (
+  SELECT a.vec_id FROM assigned a JOIN probed p USING (centroid_id)
+  WHERE a.vec_id != {QUERY_ID}),
+scored AS (
+  SELECT e.vec_id, {_cos_sql('e.embedding::DOUBLE[]', 'q.qe')} AS cos
+  FROM embeddings e JOIN cands USING (vec_id), q)
+SELECT vec_id, floor((cos) * 1000000 + 0.5) / 1000000.0 AS cos
+FROM scored ORDER BY scored.cos DESC, vec_id ASC LIMIT {TOPK}
+"""
+
+
+# --- q46: k-means centroid training (iterative, rows-only) ----------------
+
+def q46_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 iterations, deterministic init) then the
+    per-cluster size histogram. Iterative — each pass is broadcast +
+    argmin + groupBy means with only k aggregated rows reaching the
+    driver — so there is no single SQL equivalent; registered rows-only
+    (same class as q18/q50), with convergence pinned by unit tests
+    (test_kmeans.py: monotone inertia, exact recovery of planted
+    clusters)."""
+    from anti_ddos_spark.operators.similarity import as_double, kmeans_train
+
+    emb = t(spark, sf, "embeddings")
+    cents, _history = kmeans_train(emb, k=CENTROIDS, iters=3)
+    d = emb.select(as_double(F.col("embedding")).alias("e"))
+    dists = []
+    for j, c in enumerate(cents):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(F.col("e"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias(f"d{j}")
+        )
+    d = d.select(*dists)
+    best = F.lit(0)
+    bestd = F.col("d0")
+    for j in range(1, len(cents)):
+        closer = F.col(f"d{j}") < bestd
+        best = F.when(closer, j).otherwise(best)
+        bestd = F.when(closer, F.col(f"d{j}")).otherwise(bestd)
+    return (
+        d.select(best.alias("cluster_id"))
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES: dict[str, Query] = {
     "q40_cosine_topk": Query(q40_cosine_topk, Q40_SQL, "brute-force cosine top-k"),
     "q41_ivf_clusters": Query(q41_ivf_clusters, Q41_SQL, "IVF centroid assignment histogram"),
@@ -222,5 +307,13 @@ QUERIES: dict[str, Query] = {
     "q44_lsh_ann_multiprobe": Query(
         q44_lsh_ann_multiprobe, Q44_SQL,
         "multi-probe LSH ANN at production params (16 planes, Hamming ≤ 1)",
+    ),
+    "q45_ivf_multiprobe_topk": Query(
+        q45_ivf_multiprobe_topk, Q45_SQL,
+        "IVF search, 3 of 8 cells probed, exact cosine inside",
+    ),
+    "q46_kmeans_clusters": Query(
+        q46_kmeans_clusters, None,
+        "Lloyd's k-means (iterative, rows-only) cluster histogram",
     ),
 }

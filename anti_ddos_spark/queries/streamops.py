@@ -144,6 +144,42 @@ FROM ({_q24_oracle(_WHOLE_FLOW_GAP_S)}) flows
 """
 
 
+# --- q73: streaming exact dedup (state = seen digests) --------------------
+
+def q73_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of exact dedup: replay the documents
+    table as a stream, dropDuplicates on the content digest, collect the
+    distinct-digest set. Which physical row survives a collision is
+    batch-order-dependent, so the query emits only the digest — the SET
+    of digests is deterministic and hash-checkable against batch SQL.
+
+    This is the streaming half of the dedup story: state is one row per
+    distinct digest (pair with watermark+event-time column, or the
+    RocksDB provider, to bound it on unbounded corpora)."""
+    docs = t(spark, sf, "documents").select(F.md5("text").alias("digest"))
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q73_stream_")
+    src = os.path.join(tmp, "docs")
+    docs.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema("digest STRING").parquet(src)
+    deduped = stream.dropDuplicates(["digest"])
+    name = f"q73_digests_{run_id}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    return spark.table(name).select("digest").distinct()
+
+
+Q73_SQL = "SELECT DISTINCT md5(text) AS digest FROM documents"
+
+
 QUERIES: dict[str, Query] = {
     "q70_streaming_sessionize": Query(
         q70_streaming_sessionize,
@@ -156,5 +192,11 @@ QUERIES: dict[str, Query] = {
         Q71_SQL,
         "applyInPandasWithState accumulator path hash-checked: one "
         "availableNow batch makes partials deterministic (= whole-flow rows)",
+    ),
+    "q73_streaming_dedup": Query(
+        q73_streaming_dedup,
+        Q73_SQL,
+        "streaming exact dedup (dropDuplicates state) hash-checked against "
+        "batch DISTINCT",
     ),
 }

@@ -57,7 +57,7 @@ def q31_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
     return document_profile(t(spark, sf, "documents"))
 
 
-def _q31_sql() -> str:
+def _q31_sql(src: str = "documents") -> str:
     from anti_ddos_spark.operators.text import LANG_MARKERS, LANG_ORDER
 
     score_cols = []
@@ -87,7 +87,7 @@ WITH base AS (
          CAST(len({_W}) AS INT) AS n_ws_tokens,
          {", ".join(score_cols)},
          {_shingle_sig(0)} AS fingerprint
-  FROM documents)
+  FROM {src})
 SELECT doc_id, lang, n_words, n_chars_calc, distinct_ratio_pct, mean_word_len_x10,
        long_word_pct, n_alpha_tokens, n_num_tokens, n_ws_tokens,
        {", ".join(f"score_{l}" for l in LANG_ORDER)}, fingerprint,
@@ -211,6 +211,96 @@ def _q33_sql() -> str:
     return _simhash_sql(DEMO_SIMHASH_BITS)
 
 
+# --- q37: training-data curation funnel -----------------------------------
+
+CURATION_Q_MIN = 80  # quality gate (242/500 fixture docs pass)
+
+
+def q37_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The full LLM-training-data curation pipeline as ONE declarative
+    plan: exact dedup (keep lowest doc_id per content digest) → quality
+    gate → language gate (drop 'und') → per-language corpus stats.
+
+    Scale shape: dedup is one shuffle on the digest; the profile is
+    pure column expressions; the final agg is map-side combinable on a
+    5-value key. No Python anywhere — the funnel a 100 TB curation run
+    would use, not a demo."""
+    from anti_ddos_spark.operators.text import document_profile
+
+    docs = t(spark, sf, "documents")
+    kept = (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = docs.join(kept, "doc_id", "left_semi")
+    prof = document_profile(surv)
+    good = prof.filter(
+        (F.col("quality") >= CURATION_Q_MIN) & (F.col("pred_lang") != "und")
+    )
+    return good.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(F.avg("quality")).cast("int").alias("avg_quality"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _q37_sql() -> str:
+    return f"""
+WITH kept AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+surv AS (
+  SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+prof AS ({_q31_sql('surv')})
+SELECT pred_lang, count(*) AS n_docs,
+       CAST(sum(n_ws_tokens) AS BIGINT) AS n_tokens,
+       CAST(floor(avg(quality)) AS INT) AS avg_quality,
+       min(doc_id) AS min_doc_id
+FROM prof
+WHERE quality >= {CURATION_Q_MIN} AND pred_lang != 'und'
+GROUP BY pred_lang
+"""
+
+
+# --- q38: deterministic stratified hash sampling ---------------------------
+
+SAMPLE_RATES = {"en": 20, "_other": 60}  # percent kept per lang stratum
+
+
+def q38_stratified_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible stratified sampling: keep a document iff
+    md5(text)'s leading 32 bits mod 100 falls under its stratum's rate —
+    downsampling the overrepresented language (en) harder, the standard
+    rebalancing move for training corpora.
+
+    Content-hash sampling (not rand()) is the 100 TB-correct form: the
+    decision is a pure narrow projection, reruns and retried tasks keep
+    identical rows, and the same document dedupes to the same decision
+    across snapshots. No shuffle at all until the audit aggregate."""
+    docs = t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long") % 100
+    )
+    rate = F.when(F.col("lang") == "en", SAMPLE_RATES["en"]).otherwise(
+        SAMPLE_RATES["_other"]
+    )
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", F.col("bucket").cast("int").alias("bucket"))
+    )
+
+
+Q38_SQL = f"""
+SELECT doc_id, lang,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS INT) AS bucket
+FROM documents
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100
+      < CASE WHEN lang = 'en' THEN {SAMPLE_RATES['en']} ELSE {SAMPLE_RATES['_other']} END
+"""
+
+
 # --- q34: character n-gram Jaccard near-dup (blocked all-pairs) ----------
 
 def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -274,6 +364,14 @@ QUERIES: dict[str, Query] = {
         "MinHash-LSH at production parameters (K=128, b=16, thr≈0.71)",
     ),
     "q36_simhash64": Query(q36_simhash64, _simhash_sql(64), "64-bit SimHash fingerprints"),
+    "q37_curation_funnel": Query(
+        q37_curation_funnel, _q37_sql(),
+        "curation funnel: exact dedup → quality gate → lang gate → corpus stats",
+    ),
+    "q38_stratified_hash_sample": Query(
+        q38_stratified_hash_sample, Q38_SQL,
+        "deterministic stratified content-hash sampling",
+    ),
     "q34_ngram_jaccard": Query(
         q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"
     ),

@@ -93,6 +93,36 @@ def test_q42_neardup_join_is_lsh_bucketed(spark):
     )
 
 
+def test_q45_ivf_probes_broadcast(spark):
+    """IVF probe must stay a broadcast semi-join on centroid_id — if the
+    probe set or candidate filter ever becomes a shuffle join or a
+    cartesian product, nprobe/C locality is gone."""
+    s = _summary(spark, "q45_ivf_multiprobe_topk")
+    assert "CartesianProduct" not in s["text"]
+    assert s["has_take_ordered"], "final top-k must be TakeOrdered"
+    assert s["n_sortmerge_joins"] == 0, "candidate selection must not shuffle-join"
+    # one real shuffle: the per-vector argmax window; probes broadcast
+    assert s["n_shuffle_exchanges"] <= 2, s["text"][:1500]
+
+
+def test_q37_funnel_no_python_one_agg_chain(spark):
+    """The curation funnel must stay pure-Catalyst (no Python workers in
+    a 100 TB curation pass) with bounded shuffles: digest dedup, semi
+    join back, final language agg."""
+    s = _summary(spark, "q37_curation_funnel")
+    assert "Python" not in s["text"] and "ArrowEval" not in s["text"]
+    assert s["n_shuffle_exchanges"] <= 4, s["text"][:1500]
+    assert "CartesianProduct" not in s["text"]
+
+
+def test_q38_sample_is_narrow(spark):
+    """Deterministic hash sampling is a pure projection+filter: zero
+    shuffles, zero joins — the property that makes it free at 100 TB."""
+    s = _summary(spark, "q38_stratified_hash_sample")
+    assert s["n_shuffle_exchanges"] == 0, s["text"][:1500]
+    assert s["n_broadcast_joins"] == 0 and s["n_sortmerge_joins"] == 0
+
+
 def test_q01_whole_stage_codegen(spark):
     # WSCG spans only appear in AQE's final (post-execution) plan
     s = plan_summary(REG["q01_pricing_summary"].fn(spark, SF), execute=True)
