@@ -33,8 +33,25 @@ def words(text: Column) -> Column:
 
 
 def shingles(text: Column, w: int = SHINGLE_W) -> Column:
-    """Word w-shingles; degenerate docs (<w words) shingle to the text."""
+    """Word w-shingles; degenerate docs (<w words) shingle to the text.
+
+    NOTE: inlines the split expression into every element_at of the
+    shingle lambda — higher-order lambdas don't CSE, so the regex split
+    re-runs ~3× per shingle (measured 7 s vs 0.7 s at sf0.1). Fine for
+    per-row signature use (minhash_signature, k small); the explode hot
+    path must use shingles_of_words over a materialized words column."""
     ws = words(text)
+    return _shingle_transform(ws, text, w)
+
+
+def shingles_of_words(ws: Column, text: Column, w: int = SHINGLE_W) -> Column:
+    """Shingle array over a MATERIALIZED words column (bind words(text)
+    to a projected column first — a column reference evaluates once per
+    row where the inlined expression form re-splits per element)."""
+    return _shingle_transform(ws, text, w)
+
+
+def _shingle_transform(ws: Column, text: Column, w: int) -> Column:
     n = F.size(ws)
     make = F.transform(
         F.sequence(F.lit(1), n - (w - 1)),
@@ -43,6 +60,29 @@ def shingles(text: Column, w: int = SHINGLE_W) -> Column:
         ),
     )
     return F.when(n >= w, make).otherwise(F.array(text))
+
+
+# Universal-hash MinHash: ONE digest per shingle, k linear permutations
+# h_i(x) = (a_i·x + b_i) mod M over the 31-bit reduction of the digest.
+# The md5-per-(seed,shingle) form costs k digests per shingle — measured
+# 26 s at k=128/sf0.1 vs ~3 s for this form; the multiply-add stays in
+# whole-stage codegen and both constants below are engine-portable
+# (products bounded by 2^62, no BIGINT overflow in Spark ANSI or DuckDB).
+UHASH_M = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def uhash_params(i: int) -> tuple[int, int]:
+    """Deterministic per-permutation (a, b); a forced odd and nonzero."""
+    a = ((i * 2654435761 + 12345) % (1 << 31)) | 1
+    b = (i * 40503 + 9999991) % (1 << 31)
+    return a, b
+
+
+def shingle_base_hash(s: Column) -> Column:
+    """31-bit integer hash of a shingle via its md5 prefix."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % F.lit(
+        1 << 31
+    )
 
 
 def minhash_signature(text: Column, k: int = MINHASH_K) -> list[Column]:
@@ -101,28 +141,46 @@ def minhash_candidates(
     threshold ≈ 0.71); the sf0.01 demo query pins the permissive demo
     constants explicitly.
 
-    Signature shape: explode shingles → k min() aggregates, ONE
-    map-side-combinable shuffle on doc id. The per-row array form
-    (minhash_signature) re-evaluates the shingle expression k times —
-    higher-order lambdas don't CSE across seeds, which at k=128 is a
-    ~40× blowup measured at sf0.01 — so it is only for tiny k."""
-    sh = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("s"))
-    mins = sh.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"minhash_{i}")
-            for i in range(k)
-        ]
+    Signature shape: explode shingles → ONE md5 per shingle reduced to a
+    31-bit base hash → k universal-hash permutations (multiply-add mod
+    2^31-1, pure codegen arithmetic) → k min() aggregates, ONE
+    map-side-combinable shuffle on doc id. Two rejected forms, both
+    measured: per-(seed,shingle) md5 costs k digests per shingle (26 s
+    at k=128/sf0.1 vs ~3 s); the per-row array form additionally
+    re-evaluates the shingle lambda k times (no CSE across higher-order
+    lambdas — ~40× on top)."""
+    pre = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        words(F.col(text_col)).alias("_ws"),
     )
+    sh = pre.select(
+        F.col(id_col),
+        F.explode(shingles_of_words(F.col("_ws"), F.col("_txt"))).alias("s"),
+    )
+    base = shingle_base_hash(F.col("s"))
+    mins_exprs = []
+    for i in range(k):
+        a_i, b_i = uhash_params(i)
+        mins_exprs.append(
+            F.min((base * F.lit(a_i) + F.lit(b_i)) % F.lit(UHASH_M)).alias(
+                f"minhash_{i}"
+            )
+        )
+    mins = sh.groupBy(id_col).agg(*mins_exprs)
     wsets = docs.select(
         F.col(id_col), F.array_distinct(words(F.col(text_col))).alias("wset")
     )
-    sigs = mins.join(wsets, id_col)
     sig_cols = [f"minhash_{i}" for i in range(k)]
-    banded = sigs.select(
-        id_col, "wset", F.posexplode(lsh_bands(sig_cols, bands=bands)).alias("band_id", "band_key")
+    # band join on SLIM rows (id, band, key) only — the word-set arrays
+    # must not ride through the bands× explode and both self-join sides
+    # (measured: carrying them tripled q35's wall time at sf0.1); they
+    # join back onto the tiny distinct candidate-pair set instead.
+    banded = mins.select(
+        id_col, F.posexplode(lsh_bands(sig_cols, bands=bands)).alias("band_id", "band_key")
     )
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -132,10 +190,13 @@ def minhash_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.wset").alias("wa"),
-            F.col("b.wset").alias("wb"),
         )
         .distinct()
+    )
+    pairs = cand.join(
+        wsets.select(F.col(id_col).alias("id_a"), F.col("wset").alias("wa")), "id_a"
+    ).join(
+        wsets.select(F.col(id_col).alias("id_b"), F.col("wset").alias("wb")), "id_b"
     )
     inter = F.size(F.array_intersect("wa", "wb"))
     union = F.size(F.array_union("wa", "wb"))

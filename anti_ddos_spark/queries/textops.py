@@ -111,7 +111,9 @@ def q32_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql(k: int, bands: int) -> str:
     """DuckDB twin of minhash_candidates at arbitrary (k, bands) — same
-    explode→group-min shape so the shingle list is built once, not k×."""
+    explode → one-base-hash → k universal-hash permutations shape."""
+    from anti_ddos_spark.operators.dedup import UHASH_M, uhash_params
+
     r = k // bands
     shingle_list = (
         f"CASE WHEN len({_W}) >= 3 THEN "
@@ -119,11 +121,15 @@ def _minhash_sql(k: int, bands: int) -> str:
         f"i -> concat({_W}[i], ' ', {_W}[i+1], ' ', {_W}[i+2])) "
         f"ELSE [text] END"
     )
+    base = "(('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483648)"
     mins = ", ".join(
-        f"min(md5(concat('{i}:', s))) AS minhash_{i}" for i in range(k)
+        "min(({base} * {a} + {b}) % {m}) AS minhash_{i}".format(
+            base=base, a=uhash_params(i)[0], b=uhash_params(i)[1], m=UHASH_M, i=i
+        )
+        for i in range(k)
     )
     band_selects = "\n  UNION ALL\n".join(
-        "SELECT doc_id, wset, {b} AS band_id, md5(concat({parts})) AS band_key FROM sigs".format(
+        "SELECT doc_id, {b} AS band_id, md5(concat({parts})) AS band_key FROM mins".format(
             b=b,
             parts=", '|', ".join(f"minhash_{i}" for i in range(b * r, (b + 1) * r)),
         )
@@ -136,18 +142,19 @@ mins AS (
   SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 wsets AS (
   SELECT doc_id, list_distinct({_W}) AS wset FROM documents),
-sigs AS (
-  SELECT m.*, w.wset FROM mins m JOIN wsets w USING (doc_id)),
 banded AS (
   {band_selects}),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.wset AS wa, b.wset AS wb
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
 SELECT id_a, id_b,
-       CAST(floor(len(list_intersect(wa, wb)) * 100.0
-                  / len(list_distinct(list_concat(wa, wb))) + 0.5) AS INT) AS jaccard_pct
-FROM pairs
+       CAST(floor(len(list_intersect(wa.wset, wb.wset)) * 100.0
+                  / len(list_distinct(list_concat(wa.wset, wb.wset))) + 0.5) AS INT)
+         AS jaccard_pct
+FROM cand
+JOIN wsets wa ON wa.doc_id = cand.id_a
+JOIN wsets wb ON wb.doc_id = cand.id_b
 """
 
 

@@ -29,6 +29,13 @@ HEADLINE = [
     "q20_event_sessions",
     "q21_event_iat_stats",
     "q24_flow_features_full",
+    # round 2: track the LLM-pipeline plans too — banded MinHash dedup
+    # at the production s-curve (the demo-parameter q32 is intentionally
+    # permissive banding and goes near-quadratic at sf0.1), LSH near-dup
+    # (replaced r1's label-bucketed all-pairs), and the curation funnel
+    "q35_minhash_prod",
+    "q42_cosine_neardup_pairs",
+    "q37_curation_funnel",
 ]
 
 
