@@ -207,6 +207,76 @@ def minhash_candidates(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    jaccard_pct_min: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup graph: every document gets
+    the min doc_id of its duplicate cluster (singletons label themselves).
+
+    The dedup endgame — candidate pairs alone can't answer "keep one per
+    duplicate group" when near-duplication is transitive (A~B, B~C but
+    A≁C must still collapse to one survivor). Edges are the banded
+    MinHash candidates verified at ≥ ``jaccard_pct_min`` exact Jaccard;
+    components come from iterative min-label propagation: each pass
+    joins labels across edges and keeps the elementwise min, until a
+    pass changes nothing. Iterations are O(component diameter) — for
+    near-dup graphs that's tiny (duplicate groups are near-cliques), so
+    3-4 passes at any corpus size; each pass is one join + one groupBy
+    on the edge list, data never leaves the cluster, and the driver
+    reads ONE count per pass to detect the fixpoint.
+    """
+    pairs = minhash_candidates(docs, id_col, text_col, k=k, bands=bands)
+    edges = (
+        pairs.filter(F.col("jaccard_pct") >= jaccard_pct_min)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # symmetric edge list so min labels flow both directions
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iters):
+        # neighbour minimum for every node that has edges
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col(id_col).alias("src"), F.col("cluster_id").alias("src_label")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels[id_col] == nbr["dst"], "left")
+            .select(
+                F.col(id_col),
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = SIMHASH_BITS,

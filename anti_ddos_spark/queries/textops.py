@@ -308,6 +308,53 @@ WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 100
 """
 
 
+# --- q39: near-dup cluster collapse (connected components) ----------------
+
+CLUSTER_J_MIN = 60  # exact-Jaccard edge threshold (percent)
+
+
+def q39_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive near-dup collapse: banded-MinHash candidates verified
+    at ≥60% Jaccard become edges; iterative min-label propagation labels
+    each doc with its component's min doc_id. Output: duplicate clusters
+    (size ≥ 2) + the corpus-level keep count. The oracle replicates the
+    component closure with a recursive CTE — an iterative Spark loop
+    hash-checked against an independent engine's fixpoint."""
+    from anti_ddos_spark.operators.dedup import neardup_clusters
+
+    labels = neardup_clusters(
+        t(spark, sf, "documents"), jaccard_pct_min=CLUSTER_J_MIN,
+        k=DEMO_MINHASH_K, bands=DEMO_LSH_BANDS,
+    )
+    clusters = labels.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
+    total_kept = clusters.count()  # one survivor per cluster
+    return (
+        clusters.filter(F.col("n_docs") >= 2)
+        .withColumn("total_kept", F.lit(total_kept).cast("long"))
+    )
+
+
+def _q39_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(DEMO_MINHASH_K, DEMO_LSH_BANDS)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE jaccard_pct >= {CLUSTER_J_MIN}
+  UNION ALL
+  SELECT id_b, id_a FROM pairs WHERE jaccard_pct >= {CLUSTER_J_MIN}),
+walk AS (
+  SELECT doc_id AS id, doc_id AS root FROM documents
+  UNION
+  SELECT e.dst AS id, w.root FROM walk w JOIN edges e ON e.src = w.id),
+labels AS (
+  SELECT id AS doc_id, min(root) AS cluster_id FROM walk GROUP BY id),
+clusters AS (
+  SELECT cluster_id, count(*) AS n_docs FROM labels GROUP BY cluster_id)
+SELECT cluster_id, n_docs,
+       (SELECT count(*) FROM clusters)::BIGINT AS total_kept
+FROM clusters WHERE n_docs >= 2
+"""
+
+
 # --- q34: character n-gram Jaccard near-dup (blocked all-pairs) ----------
 
 def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -378,6 +425,10 @@ QUERIES: dict[str, Query] = {
     "q38_stratified_hash_sample": Query(
         q38_stratified_hash_sample, Q38_SQL,
         "deterministic stratified content-hash sampling",
+    ),
+    "q39_neardup_clusters": Query(
+        q39_neardup_clusters, _q39_sql(),
+        "near-dup connected components (iterative label propagation vs recursive CTE)",
     ),
     "q34_ngram_jaccard": Query(
         q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"

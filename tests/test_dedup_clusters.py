@@ -1,0 +1,42 @@
+"""neardup_clusters transitivity: A~B and B~C must collapse A,B,C into
+one cluster even when A and C are NOT direct near-duplicates — the
+property candidate-pair output alone cannot express, and the reason the
+operator exists (q39 hash-checks the full fixpoint against DuckDB's
+recursive CTE; this pins the semantics on a readable planted case).
+"""
+
+from __future__ import annotations
+
+from anti_ddos_spark.operators.dedup import minhash_candidates, neardup_clusters
+
+BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " * 3
+
+
+def _docs(spark):
+    a = BASE + "kilo lima mike november"
+    b = BASE + "kilo lima oscar papa"       # ~ a (shares BASE + kilo lima)
+    c = BASE + "quebec romeo oscar papa"    # ~ b, further from a
+    d = "completely different words entirely unrelated content here " * 5
+    return spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id: long, text: string"
+    )
+
+
+def test_transitive_chain_collapses(spark):
+    docs = _docs(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard_pct
+        for r in minhash_candidates(docs, k=4, bands=2).collect()
+    }
+    thr = 60
+    edges = {k for k, j in pairs.items() if j >= thr}
+    # the planted shape: 1-2 and 2-3 are edges, 1-3 is not
+    assert (1, 2) in edges and (2, 3) in edges, (pairs, edges)
+    assert (1, 3) not in edges, "chain must rely on transitivity"
+
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(docs, jaccard_pct_min=thr, k=4, bands=2).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1, labels
+    assert labels[4] == 4, "singleton labels itself"
