@@ -355,6 +355,41 @@ FROM clusters WHERE n_docs >= 2
 """
 
 
+# --- q47: corpus vocabulary (term + document frequency) --------------------
+
+VOCAB_TOP = 50
+
+
+def q47_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 corpus vocabulary with term frequency and document
+    frequency (the IDF numerator) — the build-a-vocabulary pass every
+    tokenizer-training / TF-IDF pipeline starts with. Shape: explode →
+    one map-side-combinable agg keyed by word → TakeOrdered; df uses
+    count(DISTINCT doc_id) inside the same agg, which Spark expands to a
+    two-phase partial-distinct — still one logical pass over the corpus."""
+    from anti_ddos_spark.operators.dedup import words
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    agg = tok.groupBy("w").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return agg.orderBy(F.desc("tf"), F.asc("w")).limit(VOCAB_TOP)
+
+
+Q47_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_W}) AS w FROM documents),
+agg AS (
+  SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM tok WHERE length(w) > 0 GROUP BY w)
+SELECT w, tf, df FROM agg ORDER BY tf DESC, w ASC LIMIT {VOCAB_TOP}
+"""
+
+
 # --- q34: character n-gram Jaccard near-dup (blocked all-pairs) ----------
 
 def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -429,6 +464,10 @@ QUERIES: dict[str, Query] = {
     "q39_neardup_clusters": Query(
         q39_neardup_clusters, _q39_sql(),
         "near-dup connected components (iterative label propagation vs recursive CTE)",
+    ),
+    "q47_vocabulary": Query(
+        q47_vocabulary, Q47_SQL,
+        "corpus vocabulary: term + document frequency, top-50",
     ),
     "q34_ngram_jaccard": Query(
         q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"
