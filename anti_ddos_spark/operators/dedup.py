@@ -262,14 +262,19 @@ def neardup_clusters(
                 ).alias("cluster_id"),
             )
         )
-        new_labels = new_labels.cache()
+        # localCheckpoint: materialize AND truncate lineage — an
+        # iterative loop otherwise stacks a join-on-join plan per pass
+        # (O(iters) planning cost, eventual analyzer blowup at scale).
+        # On a cluster that must survive executor loss, swap for
+        # reliable checkpoint(dir); kmeans_train sidesteps the issue by
+        # round-tripping k tiny rows through the driver instead.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), id_col)
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
