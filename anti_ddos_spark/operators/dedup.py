@@ -278,6 +278,13 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iters={max_iters} "
+            "(a component's diameter exceeds it); labels would be silently "
+            "inconsistent — raise max_iters for chain-shaped duplicate sets"
+        )
     sym.unpersist()
     return labels
 

@@ -236,6 +236,35 @@ def ivf_topk(
     return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def _dist2_to(c: list[float]) -> Column:
+    """Squared euclidean distance from column ``e`` to a literal center."""
+    arr = F.array(*[F.lit(float(x)) for x in c])
+    return F.aggregate(
+        F.zip_with(F.col("e"), arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def assign_to_centroids(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(… , e) → (… , cid, dist2): nearest centroid per row, ties to the
+    lowest centroid index. The single source of assignment semantics for
+    kmeans_train and the q46 histogram — a drifted duplicate would make
+    the reported clusters disagree with the centroids the trainer
+    converged with."""
+    d = emb.select(
+        "*", *[_dist2_to(cents[j]).alias(f"_d{j}") for j in range(len(cents))]
+    )
+    best = F.lit(0)
+    bestd = F.col("_d0")
+    for j in range(1, len(cents)):
+        closer = F.col(f"_d{j}") < bestd
+        best = F.when(closer, j).otherwise(best)
+        bestd = F.when(closer, F.col(f"_d{j}")).otherwise(bestd)
+    keep = [c for c in emb.columns]
+    return d.select(*keep, best.alias("cid"), bestd.alias("dist2"))
+
+
 def kmeans_train(
     vectors: DataFrame,
     k: int = 8,
@@ -266,20 +295,12 @@ def kmeans_train(
     """
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
 
-    def dist2_to(c: list[float]) -> Column:
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        return F.aggregate(
-            F.zip_with(F.col("e"), arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
     seed = emb.orderBy(F.asc(id_col)).limit(1).collect()[0]
     cents = [list(seed["e"])]
     while len(cents) < k:
-        mind = dist2_to(cents[0])
+        mind = _dist2_to(cents[0])
         for c in cents[1:]:
-            mind = F.least(mind, dist2_to(c))
+            mind = F.least(mind, _dist2_to(c))
         far = (
             emb.select(F.col(id_col), F.col("e"), mind.alias("mind"))
             .orderBy(F.desc("mind"), F.asc(id_col))
@@ -291,18 +312,7 @@ def kmeans_train(
     history: list[float] = []
 
     for _ in range(iters):
-        d = emb.select(
-            "e", *[dist2_to(cents[j]).alias(f"d{j}") for j in range(len(cents))]
-        )
-        best = F.lit(0)
-        bestd = F.col("d0")
-        for j in range(1, len(cents)):
-            closer = F.col(f"d{j}") < bestd
-            best = F.when(closer, j).otherwise(best)
-            bestd = F.when(closer, F.col(f"d{j}")).otherwise(bestd)
-        assigned = d.select(
-            F.col("e"), best.alias("cid"), bestd.alias("dist2")
-        )
+        assigned = assign_to_centroids(emb, cents)
         stats = (
             assigned.groupBy("cid")
             .agg(

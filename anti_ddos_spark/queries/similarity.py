@@ -162,23 +162,23 @@ FROM cands ORDER BY cands.cos DESC, vec_id ASC LIMIT {TOPK}
 
 # --- q44: production multi-probe ANN over a twin-augmented corpus ---------
 
-TWIN_OFFSET = 10_000  # scaled twins: same direction (cos = 1), new ids
-
-
 def q44_lsh_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     """Production-parameter ANN (16 planes → 65 536 buckets, multi-probe
     Hamming ≤ 1 → 17 probed buckets). At these parameters near-orthogonal
     noise never collides — which is the point — so the fixture is
     augmented with deterministic scaled twins (2·v: identical direction,
     hence identical sign signature) that the probe MUST find; the oracle
-    replicates the augmentation exactly."""
+    replicates the augmentation exactly. Twin ids offset by max(vec_id)+1
+    (a fixed literal would collide with real ids on a larger corpus and
+    merge two vectors' plane votes into one garbage signature)."""
     from anti_ddos_spark.operators.similarity import as_double
 
     emb = t(spark, sf, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
+    offset = emb.agg(F.max("vec_id") + 1).collect()[0][0]
     twins = emb.select(
-        (F.col("vec_id") + TWIN_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
         F.transform(F.col("e"), lambda x: x * 2).alias("e"),
     )
     allv = emb.unionByName(twins)
@@ -198,7 +198,8 @@ WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 e AS (
   SELECT vec_id, e FROM base
   UNION ALL
-  SELECT vec_id + {TWIN_OFFSET}, list_transform(e, x -> x * 2) FROM base),
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base), list_transform(e, x -> x * 2)
+  FROM base),
 {_sig_sql('e', 1, LSH_PLANES)},
 q AS (SELECT sig AS qb, e AS qe FROM sig WHERE vec_id = {QUERY_ID}),
 cands AS (
@@ -265,29 +266,18 @@ def q46_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     (same class as q18/q50), with convergence pinned by unit tests
     (test_kmeans.py: monotone inertia, exact recovery of planted
     clusters)."""
-    from anti_ddos_spark.operators.similarity import as_double, kmeans_train
+    from anti_ddos_spark.operators.similarity import (
+        as_double,
+        assign_to_centroids,
+        kmeans_train,
+    )
 
     emb = t(spark, sf, "embeddings")
     cents, _history = kmeans_train(emb, k=CENTROIDS, iters=3)
     d = emb.select(as_double(F.col("embedding")).alias("e"))
-    dists = []
-    for j, c in enumerate(cents):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        dists.append(
-            F.aggregate(
-                F.zip_with(F.col("e"), arr, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias(f"d{j}")
-        )
-    d = d.select(*dists)
-    best = F.lit(0)
-    bestd = F.col("d0")
-    for j in range(1, len(cents)):
-        closer = F.col(f"d{j}") < bestd
-        best = F.when(closer, j).otherwise(best)
-        bestd = F.when(closer, F.col(f"d{j}")).otherwise(bestd)
     return (
-        d.select(best.alias("cluster_id"))
+        assign_to_centroids(d, cents)
+        .select(F.col("cid").alias("cluster_id"))
         .groupBy("cluster_id")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("cluster_id")

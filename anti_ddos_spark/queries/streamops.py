@@ -173,7 +173,15 @@ def q73_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q73 streaming dedup did not finish its availableNow run in 240 s "
+            "— returning the half-filled memory table would masquerade as a "
+            "dedup correctness failure"
+        )
     return spark.table(name).select("digest").distinct()
 
 

@@ -105,6 +105,14 @@ def _parse_frame(frame: memoryview, incl: int) -> dict | None:
     if len(ip) < ihl:
         return None
     total_len = struct.unpack_from("!H", ip, 2)[0]
+    # non-first IP fragments carry payload (not an L4 header) at the IP
+    # payload start — parsing them would fabricate ports/flags from
+    # payload bytes. The scapy reference drops them too (no TCP/UDP
+    # layer → packet_to_json returns None, simulator.py:25-26).
+    # Fragmented floods are a classic DDoS shape, so this path matters.
+    frag_off = struct.unpack_from("!H", ip, 6)[0] & 0x1FFF
+    if frag_off != 0:
+        return None
     proto = ip[9]
     if proto not in (6, 17):
         return None
@@ -166,8 +174,19 @@ def pcap_to_packets(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            for content in pdf["content"]:
-                rows = list(parse_pcap_bytes(bytes(content)))
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    rows = list(parse_pcap_bytes(bytes(content)))
+                except ValueError as ex:
+                    # one unreadable file (pcapng behind a .pcap name,
+                    # foreign linktype) must not abort a 10k-file ingest
+                    # — quarantine it to executor stderr and move on,
+                    # the per-packet analogue of the reference's
+                    # try/except-continue loop (simulator.py:89-110)
+                    import sys
+
+                    print(f"pcap_to_packets: skipping {path}: {ex}", file=sys.stderr)
+                    continue
                 if rows:
                     yield pd.DataFrame(rows)[[f.name for f in PACKET_SCHEMA.fields]]
 

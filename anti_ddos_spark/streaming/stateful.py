@@ -251,7 +251,16 @@ def stateful_flow_features(
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
     out = grouped.select(*array_flow_features(F.col("pkts")), F.col("ctr"), "is_final")
-    return _apply_overflow_overrides(out).drop("ctr")
+    # surface the cap: totals stay exact past max_pkts (the overrides),
+    # but distributional stats (std/IAT/bulk/variance) are head-windowed
+    # — without this flag an overflowed row is indistinguishable from a
+    # fully-exact one, and consumers can't route elephant flows to the
+    # accumulator path (stateful_accum, exact at any length)
+    return (
+        _apply_overflow_overrides(out)
+        .withColumn("overflowed", F.col("ctr").isNotNull())
+        .drop("ctr")
+    )
 
 
 def _apply_overflow_overrides(out: DataFrame) -> DataFrame:

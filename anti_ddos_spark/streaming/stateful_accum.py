@@ -83,6 +83,24 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def pack_state(acc: dict) -> tuple:
+    """acc dict → the positional state tuple matching STATE_SCHEMA.
+
+    The single source of the state layout — the GroupState path here and
+    the transformWithState path (stateful_tws.py) share it; a drifted
+    copy would deserialize values shifted into the wrong accumulators.
+    'ss' is a reserved placeholder field kept for schema stability.
+    """
+    return (acc["sp"], "", *[float(acc[n]) for n in ACC_NAMES])
+
+
+def unpack_state(vals: tuple) -> dict:
+    """Positional state tuple → acc dict (inverse of pack_state)."""
+    acc = dict(zip(["sp", "ss", *ACC_NAMES], vals))
+    acc.pop("ss", None)
+    return acc
+
+
 def _update_accumulators(acc: dict, pdf: "pd.DataFrame", key: tuple) -> dict:
     """Vectorized-ish accumulator update for one flow's batch slice."""
     import numpy as np
@@ -289,10 +307,7 @@ def _make_update_fn(timeout_ms: int):
         def load() -> dict | None:
             if not state.exists:
                 return None
-            vals = state.get
-            acc = dict(zip(["sp", "ss", *ACC_NAMES], vals))
-            acc.pop("ss", None)
-            return acc
+            return unpack_state(state.get)
 
         if state.hasTimedOut:
             acc = load()
@@ -307,7 +322,7 @@ def _make_update_fn(timeout_ms: int):
                 acc = _update_accumulators(acc, pdf, key)
         if acc is None:
             return
-        state.update((acc["sp"], "", *[float(acc[n]) for n in ACC_NAMES]))
+        state.update(pack_state(acc))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame([_emit_row(acc, key, False)], columns=_OUT_FIELDS)
 

@@ -43,12 +43,13 @@ from pyspark.sql.streaming.stateful_processor import (
 from anti_ddos_spark.normalize import FLOW_KEY_COLS, normalize_flow_key
 from anti_ddos_spark.streaming.stateful import DEFAULT_TIMEOUT_MS
 from anti_ddos_spark.streaming.stateful_accum import (
-    ACC_NAMES,
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
     _OUT_FIELDS,
     _emit_row,
     _update_accumulators,
+    pack_state,
+    unpack_state,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -69,9 +70,7 @@ class FlowFeatureProcessor(StatefulProcessor):
         vals = self._acc.get()
         if vals is None:
             return None
-        acc = dict(zip(["sp", "ss", *ACC_NAMES], vals))
-        acc.pop("ss", None)
-        return acc
+        return unpack_state(vals)
 
     def _rearm_timer(self, now_ms: int) -> None:
         for ts in self._handle.listTimers():
@@ -89,7 +88,7 @@ class FlowFeatureProcessor(StatefulProcessor):
                 acc = _update_accumulators(acc, pdf, key)
         if acc is None:
             return
-        self._acc.update((acc["sp"], "", *[float(acc[n]) for n in ACC_NAMES]))
+        self._acc.update(pack_state(acc))
         self._rearm_timer(timerValues.getCurrentProcessingTimeInMs())
         yield pd.DataFrame([_emit_row(acc, key, False)], columns=_OUT_FIELDS)
 

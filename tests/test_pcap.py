@@ -104,6 +104,25 @@ def test_parse_pcap_bytes_fields(tmp_path):
     assert udp_q["tcp_seq"] is None and udp_q["tcp_len"] is None
 
 
+def test_fragmented_packets_skipped(tmp_path):
+    """Non-first IP fragments carry payload where an L4 header would be —
+    parsing them fabricates ports/flags (classic fragmented-flood shape);
+    the parser must drop them like the scapy reference does."""
+    frag_ip = struct.pack(
+        "!BBHHHBBH4s4s",
+        0x45, 0, 20 + 48, 1234,
+        0x00B9,  # frag_offset = 185 (payload continues, no UDP header)
+        64, 17, 0,
+        bytes([10, 0, 0, 9]), bytes([10, 0, 1, 9]),
+    ) + b"\xff" * 48
+    p = str(tmp_path / "frag.pcap")
+    write_pcap(p, [(BASE_TS, _eth(frag_ip)),
+                   (BASE_TS + 1, _eth(_ipv4("10.0.0.2", "10.0.1.2", 17,
+                                            _udp(5353, 53, b"q" * 10))))])
+    rows = list(parse_pcap_bytes(open(p, "rb").read()))
+    assert len(rows) == 1 and rows[0]["src_ip"] == "10.0.0.2"
+
+
 def test_truncated_and_foreign_bytes(tmp_path):
     p = str(tmp_path / "trunc.pcap")
     write_pcap(p, _fixture_frames())
