@@ -236,6 +236,67 @@ def ivf_topk(
     return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def ivf_build_index(
+    vectors: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: vectors written as parquet PARTITIONED
+    BY centroid_id. This is the 100 TB form of IVF — the cell is a
+    physical partition, so a probe becomes partition pruning at the scan
+    (only nprobe/C of the files are ever opened) instead of a filter
+    over a full scan. Build cost is one assignment pass + one shuffled
+    write; queries then run with zero joins and zero shuffles."""
+    assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).select(
+        id_col, "centroid_id"
+    )
+    (
+        vectors.join(assigned, id_col)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a materialized IVF index, scanning only the probed
+    cells. The probe list comes from the stored centroid vectors (ids <
+    n_centroids live in their own cells); the main scan's
+    `centroid_id IN (probes)` predicate is a partition filter — verify
+    with .explain(): PartitionFilters, not PushedFilters."""
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(path)
+    cents = idx.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cvec")
+    )
+    probed = [
+        r["cid"]
+        for r in cents.select(
+            "cid", cosine(F.col("cvec"), qarr).alias("c")
+        )
+        .orderBy(F.desc("c"), F.asc("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cells = idx.filter(F.col("centroid_id").isin(probed))
+    scored = cells.select(
+        F.col(id_col), cosine(as_double(F.col(vec_col)), qarr).alias("cos")
+    )
+    return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
+
+
 def _dist2_to(c: list[float]) -> Column:
     """Squared euclidean distance from column ``e`` to a literal center."""
     arr = F.array(*[F.lit(float(x)) for x in c])

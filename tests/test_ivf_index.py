@@ -1,0 +1,57 @@
+"""Materialized IVF index: partition pruning + result parity.
+
+The scale claim made checkable: after ivf_build_index writes the corpus
+partitioned by centroid_id, a probe query's scan must show the cell
+predicate as a PARTITION filter (files for unprobed cells never open),
+and its results must equal the join-based ivf_topk on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from anti_ddos_spark.operators.similarity import (
+    as_double,
+    ivf_build_index,
+    ivf_search_index,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_index_search_matches_ivf_topk(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_idx")
+    ivf_build_index(emb, path, n_centroids=8)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
+    got = ivf_search_index(spark, path, qvec, k=10, nprobe=3, n_centroids=8)
+    got_rows = [(r["vec_id"], round(r["cos"], 6)) for r in got.collect()]
+
+    want = ivf_topk(emb, 17, k=11, n_centroids=8, nprobe=3)
+    want_rows = [(r["vec_id"], round(r["cos"], 6)) for r in want.collect()]
+    # ivf_topk excludes the query row; the index search keeps it (cos=1
+    # rank 1 by construction) — align by dropping it from the index result
+    got_rows = [r for r in got_rows if r[0] != 17]
+    assert got_rows == want_rows[: len(got_rows)]
+
+
+def test_probe_is_partition_filter(spark, tmp_path):
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf_idx2")
+    ivf_build_index(emb, path, n_centroids=8)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
+    from anti_ddos_spark.plans import plan_summary
+
+    plan = plan_summary(
+        ivf_search_index(spark, path, qvec, k=10, nprobe=2, n_centroids=8)
+    )["text"]
+    # the cell predicate must prune partitions at the scan, not filter rows
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "centroid_id" in seg, seg
