@@ -127,13 +127,34 @@ def lsh_neardup_pairs(
         )
         .distinct()
     )
-    emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
+    # norms precomputed once per VECTOR, not once per pair: higher-order
+    # folds (aggregate/zip_with) run interpreted, so the per-pair cosine
+    # must be the single dot-product fold — recomputing both norms per
+    # candidate tripled the interpreted work (measured ~35% of q42)
+    emb = vectors.select(
+        F.col(id_col),
+        as_double(F.col(vec_col)).alias("e"),
+    ).withColumn("nrm", norm(F.col("e")))
     pairs = (
-        cand.join(emb.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea")), "id_a")
-        .join(emb.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb")), "id_b")
+        cand.join(
+            emb.select(
+                F.col(id_col).alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            emb.select(
+                F.col(id_col).alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+            ),
+            "id_b",
+        )
     )
+    raw = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(0.0))
     p = 10**round_dp
-    cos = F.floor(cosine(F.col("ea"), F.col("eb")) * p + F.lit(0.5)) / F.lit(float(p))
+    cos = F.floor(raw * p + F.lit(0.5)) / F.lit(float(p))
     return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
         F.col("cos") >= threshold
     )
