@@ -241,7 +241,11 @@ def neardup_clusters(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
     labels = docs.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-    for _ in range(max_iters):
+    # max_iters propagation passes + 1 verification pass: convergence is
+    # only observable as a pass with changed == 0, so a component whose
+    # labels stabilize exactly on pass max_iters must still be accepted
+    prev_ckpt = None
+    for _ in range(max_iters + 1):
         # neighbour minimum for every node that has edges
         nbr = (
             sym.join(
@@ -275,6 +279,12 @@ def neardup_clusters(
             .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
+        # free the PREVIOUS pass's checkpoint blocks eagerly — waiting
+        # for ContextCleaner GC holds O(iters) label copies in executor
+        # storage on a long run
+        if prev_ckpt is not None:
+            prev_ckpt.rdd.unpersist()
+        prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:
             break

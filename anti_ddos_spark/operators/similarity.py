@@ -265,20 +265,40 @@ def ivf_build_index(
     vec_col: str = "embedding",
 ) -> None:
     """Materialize the IVF index: vectors written as parquet PARTITIONED
-    BY centroid_id. This is the 100 TB form of IVF — the cell is a
+    BY centroid_id, plus a tiny ``<path>_centroids`` sidecar holding the
+    centroid vectors. This is the 100 TB form of IVF — the cell is a
     physical partition, so a probe becomes partition pruning at the scan
     (only nprobe/C of the files are ever opened) instead of a filter
-    over a full scan. Build cost is one assignment pass + one shuffled
-    write; queries then run with zero joins and zero shuffles."""
-    assigned = ivf_assign(vectors, n_centroids, id_col, vec_col).select(
-        id_col, "centroid_id"
+    over a full scan; probe SELECTION reads only the k-row sidecar,
+    never the index. The embedding rides through the assignment window
+    (same shape as ivf_topk), so the build is one crossJoin-broadcast +
+    one window + the partitioned write — no join back to the corpus.
+    The sidecar also pins the build's n_centroids: search reads it back
+    instead of trusting the caller to repeat the number (a mismatched
+    count silently collapses recall otherwise)."""
+    emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
+    cents = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("_e").alias("cvec")
+    )
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_ccos", cosine(F.col("_e"), F.col("cvec"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*vectors.columns, F.col("cid").alias("centroid_id"))
     )
     (
-        vectors.join(assigned, id_col)
-        .repartition("centroid_id")
+        assigned.repartition("centroid_id")
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path)
+    )
+    cents.withColumnRenamed("cvec", "cvec_d").write.mode("overwrite").parquet(
+        path + "_centroids"
     )
 
 
@@ -288,29 +308,27 @@ def ivf_search_index(
     query_vec: list[float],
     k: int = 10,
     nprobe: int = 2,
-    n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Top-k over a materialized IVF index, scanning only the probed
-    cells. The probe list comes from the stored centroid vectors (ids <
-    n_centroids live in their own cells); the main scan's
+    cells. Probe selection reads the k-row centroid sidecar written at
+    build time (NOT the index — filtering the index for centroid rows
+    would enumerate every partition's files); the main scan's
     `centroid_id IN (probes)` predicate is a partition filter — verify
     with .explain(): PartitionFilters, not PushedFilters."""
     qarr = F.array(*[F.lit(float(x)) for x in query_vec])
-    idx = spark.read.parquet(path)
-    cents = idx.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cvec")
-    )
+    cents = spark.read.parquet(path + "_centroids")
     probed = [
         r["cid"]
         for r in cents.select(
-            "cid", cosine(F.col("cvec"), qarr).alias("c")
+            "cid", cosine(F.col("cvec_d"), qarr).alias("c")
         )
         .orderBy(F.desc("c"), F.asc("cid"))
         .limit(nprobe)
         .collect()
     ]
+    idx = spark.read.parquet(path)
     cells = idx.filter(F.col("centroid_id").isin(probed))
     scored = cells.select(
         F.col(id_col), cosine(as_double(F.col(vec_col)), qarr).alias("cos")

@@ -176,10 +176,13 @@ def q44_lsh_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     emb = t(spark, sf, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
-    offset = emb.agg(F.max("vec_id") + 1).collect()[0][0]
-    twins = emb.select(
-        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
-        F.transform(F.col("e"), lambda x: x * 2).alias("e"),
+    off = emb.agg((F.max("vec_id") + 1).alias("off"))
+    twins = (
+        emb.crossJoin(F.broadcast(off))
+        .select(
+            (F.col("vec_id") + F.col("off")).alias("vec_id"),
+            F.transform(F.col("e"), lambda x: x * 2).alias("e"),
+        )
     )
     allv = emb.unionByName(twins)
     res = lsh_ann_topk(

@@ -174,7 +174,7 @@ def pcap_to_packets(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for file_path, content in zip(pdf["path"], pdf["content"]):
                 try:
                     rows = list(parse_pcap_bytes(bytes(content)))
                 except ValueError as ex:
@@ -185,7 +185,7 @@ def pcap_to_packets(spark: SparkSession, path: str) -> DataFrame:
                     # try/except-continue loop (simulator.py:89-110)
                     import sys
 
-                    print(f"pcap_to_packets: skipping {path}: {ex}", file=sys.stderr)
+                    print(f"pcap_to_packets: skipping {file_path}: {ex}", file=sys.stderr)
                     continue
                 if rows:
                     yield pd.DataFrame(rows)[[f.name for f in PACKET_SCHEMA.fields]]

@@ -68,6 +68,10 @@ def scored_flow_stream(
         "protocol",
         "timestamp",
         "is_final",
+        # capped array-state mode only: marks head-windowed
+        # distributional stats so consumers can route elephant flows to
+        # the exact accumulator path
+        "overflowed",
         "prediction",
         "Label",
         *feature_cols,

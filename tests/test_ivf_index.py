@@ -30,7 +30,7 @@ def test_index_search_matches_ivf_topk(spark, tmp_path):
     ivf_build_index(emb, path, n_centroids=8)
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
-    got = ivf_search_index(spark, path, qvec, k=10, nprobe=3, n_centroids=8)
+    got = ivf_search_index(spark, path, qvec, k=10, nprobe=3)
     got_rows = [(r["vec_id"], round(r["cos"], 6)) for r in got.collect()]
 
     want = ivf_topk(emb, 17, k=11, n_centroids=8, nprobe=3)
@@ -49,7 +49,7 @@ def test_probe_is_partition_filter(spark, tmp_path):
     from anti_ddos_spark.plans import plan_summary
 
     plan = plan_summary(
-        ivf_search_index(spark, path, qvec, k=10, nprobe=2, n_centroids=8)
+        ivf_search_index(spark, path, qvec, k=10, nprobe=2)
     )["text"]
     # the cell predicate must prune partitions at the scan, not filter rows
     assert "PartitionFilters: [" in plan
