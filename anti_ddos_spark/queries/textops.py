@@ -390,6 +390,63 @@ SELECT w, tf, df FROM agg ORDER BY tf DESC, w ASC LIMIT {VOCAB_TOP}
 """
 
 
+# --- q48: TF-IDF top term per document -------------------------------------
+
+def q48_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
+    """Each document's highest-TF-IDF term — the relevance primitive on
+    top of q47's vocabulary. Integer fixed-point scoring keeps the
+    cross-engine hash exact: score = tf · floor(1e6 · ln(N/df)).
+
+    Shape: one explode → (doc, word) counts (map-side combinable), the
+    df table from the same tokens, a broadcast-sized join on word, and a
+    per-doc argmax window sharing the doc-id partitioning. N is a
+    broadcast scalar; nothing driver-side."""
+    from anti_ddos_spark.operators.dedup import words
+
+    docs = t(spark, sf, "documents")
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("w")).filter(
+        F.length("w") > 0
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "w",
+        F.floor(F.log(F.col("n") / F.col("df")) * 1_000_000).cast("long").alias("idf_x1e6"),
+    )
+    scored = tf.join(idf, "w").select(
+        "doc_id", "w", (F.col("tf") * F.col("idf_x1e6")).alias("score_x1e6")
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy(F.desc("score_x1e6"), F.asc("w"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("w").alias("top_term"), "score_x1e6")
+    )
+
+
+Q48_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_W}) AS w FROM documents),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok WHERE length(w) > 0 GROUP BY doc_id, w),
+df AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tok WHERE length(w) > 0 GROUP BY w),
+idf AS (
+  SELECT w, CAST(floor(ln((SELECT count(*) FROM documents)::DOUBLE / df) * 1000000) AS BIGINT)
+           AS idf_x1e6
+  FROM df),
+scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf * idf.idf_x1e6 AS score_x1e6,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * idf.idf_x1e6 DESC, tf.w ASC) AS rn
+  FROM tf JOIN idf USING (w))
+SELECT doc_id, w AS top_term, score_x1e6 FROM scored WHERE rn = 1
+"""
+
+
 # --- q34: character n-gram Jaccard near-dup (blocked all-pairs) ----------
 
 def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -468,6 +525,10 @@ QUERIES: dict[str, Query] = {
     "q47_vocabulary": Query(
         q47_vocabulary, Q47_SQL,
         "corpus vocabulary: term + document frequency, top-50",
+    ),
+    "q48_tfidf_top_term": Query(
+        q48_tfidf_top_term, Q48_SQL,
+        "TF-IDF top term per document (fixed-point scoring)",
     ),
     "q34_ngram_jaccard": Query(
         q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"
