@@ -294,9 +294,6 @@ QUERIES: dict[str, Query] = {
         q42_cosine_neardup_pairs, Q42_SQL,
         "embedding near-dup pairs (banded LSH candidates + exact cosine verify)",
     ),
-    "q43_lsh_ann": Query(
-        q43_lsh_ann, Q43_SQL, "hyperplane-LSH bucketed ANN top-k (demo params)"
-    ),
     "q44_lsh_ann_multiprobe": Query(
         q44_lsh_ann_multiprobe, Q44_SQL,
         "multi-probe LSH ANN at production params (16 planes, Hamming ≤ 1)",
@@ -308,5 +305,13 @@ QUERIES: dict[str, Query] = {
     "q46_kmeans_clusters": Query(
         q46_kmeans_clusters, None,
         "Lloyd's k-means (iterative, rows-only) cluster histogram",
+    ),
+}
+
+# Demoted demo-parameter twin of q44 (same LSH code path, toy constants);
+# see queries/__init__.py cap policy. Oracle-checked via full_registry().
+EXTRA_QUERIES: dict[str, Query] = {
+    "q43_lsh_ann": Query(
+        q43_lsh_ann, Q43_SQL, "hyperplane-LSH bucketed ANN top-k (demo params)"
     ),
 }

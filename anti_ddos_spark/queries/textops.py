@@ -503,8 +503,6 @@ WHERE CAST(floor(len(list_intersect(a.tri, b.tri)) * 100.0
 QUERIES: dict[str, Query] = {
     "q30_exact_dedup": Query(q30_exact_dedup, Q30_SQL, "exact dedup via content-digest groupBy"),
     "q31_doc_profile": Query(q31_doc_profile, _q31_sql(), "text stats + token counts + lang-ID + quality"),
-    "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
-    "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
     "q35_minhash_prod": Query(
         q35_minhash_prod, _q35_sql(),
         "MinHash-LSH at production parameters (K=128, b=16, thr≈0.71)",
@@ -533,4 +531,11 @@ QUERIES: dict[str, Query] = {
     "q34_ngram_jaccard": Query(
         q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"
     ),
+}
+
+# Demoted demo-parameter twins of q35/q36 (same code path, toy constants);
+# see queries/__init__.py cap policy. Oracle-checked via full_registry().
+EXTRA_QUERIES: dict[str, Query] = {
+    "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
+    "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
 }

@@ -7,11 +7,29 @@ import pytest
 from conftest import SF_DIR_ORACLE
 from oracle_utils import compare, duck_for
 
-from anti_ddos_spark.queries import registry
+from anti_ddos_spark.queries import DRIVER_QUERY_CAP, full_registry, registry
 
-REG = registry()
+# Local tests run the FULL surface (driver registry + demoted twins).
+REG = full_registry()
 ORACLE_CHECKED = sorted(n for n, q in REG.items() if q.sql is not None)
 ROWS_ONLY = sorted(n for n, q in REG.items() if q.sql is None)
+
+
+def test_driver_registry_fits_cap_and_orders_critical_queries_first():
+    """Round 2 lesson: the driver records CORRECTNESS rows for at most the
+    first 50 registry entries in dict order — q25/q26/q60-q62 silently got
+    no row. Pin the invariants that prevent a regression."""
+    names = list(registry())
+    assert len(names) <= DRIVER_QUERY_CAP
+    # The five queries dropped in round 2 must all sit inside the cap now.
+    for must_have in (
+        "q25_asof_join",
+        "q26_range_join",
+        "q60_media_profile",
+        "q61_media_features",
+        "q62_frame_sample",
+    ):
+        assert must_have in names[:DRIVER_QUERY_CAP]
 
 
 @pytest.fixture(scope="module")
