@@ -447,13 +447,34 @@ SELECT doc_id, w AS top_term, score_x1e6 FROM scored WHERE rn = 1
 """
 
 
-# --- q34: character n-gram Jaccard near-dup (blocked all-pairs) ----------
+# --- q34: character n-gram Jaccard near-dup (prefix-filtered) ------------
 
 def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Character-trigram Jaccard between documents sharing a blocking key
-    (source, lang, length band). Blocking bounds the quadratic join to
-    within-cell pairs — the standard scale shape; the trigram sets are
-    built with pure array expressions (no Python)."""
+    """Character-trigram Jaccard ≥ 30% between documents sharing a
+    blocking key (source, lang, length band).
+
+    Candidate generation is PREFIX FILTERING (the all-pairs set-similarity
+    join of Chaudhuri et al. ICDE'06 / Bayardo et al. WWW'07): order each
+    doc's trigrams by ascending global document frequency; a pair with
+    Jaccard ≥ t MUST share a token inside both docs' first
+    (n − ceil(t·n) + 1) tokens, so the equi-join on (prefix token +
+    blocking key) has guaranteed recall 1 — unlike MinHash banding, whose
+    s-curve cannot separate t = 0.295 from the English-trigram background
+    similarity without near-total candidate coverage. Exact verification
+    (array_intersect / array_union) then runs on the distinct candidate
+    set only, mirroring q35's slim-join-back shape.
+
+    Replaces round 1-2's blocked all-pairs self-join (VERDICT r2 "What's
+    wrong" #1): block population was unbounded, making the within-block
+    join O(n²) at corpus scale. Here the join fans out only per
+    (prefix-token, block) group, and rare-first ordering keeps the
+    hottest trigrams out of every prefix.
+
+    The α = ceil(t·n) bound is computed in INTEGER arithmetic
+    ((295·n + 999) div 1000), never 0.295·n in floats — an ulp of float
+    noise that rounds α up would shorten a prefix and silently lose a
+    true pair.
+    """
     docs = t(spark, sf, "documents")
     tri = F.array_distinct(
         F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
@@ -465,19 +486,48 @@ def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.col("n_chars") / 100).alias("band"),
         tri.alias("tri"),
     )
-    a, b = d.alias("a"), d.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # one row per (doc, distinct trigram), carrying the doc's set size
+    tok = d.select(
+        "doc_id", "source", "lang", "band", F.size("tri").alias("n"),
+        F.explode("tri").alias("w"),
     )
-    inter = F.size(F.array_intersect(F.col("a.tri"), F.col("b.tri")))
-    union = F.size(F.array_union(F.col("a.tri"), F.col("b.tri")))
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("dfreq"))
+    # global total order: rare tokens first, ties broken lexically
+    from pyspark.sql import Window as W
+
+    order = W.partitionBy("doc_id").orderBy(F.asc("dfreq"), F.asc("w"))
+    # threshold t = 0.295 (pct ≥ 30 after half-up round); α = ceil(t·n)
+    alpha = F.floor((F.col("n") * 295 + 999) / 1000)
+    prefix = (
+        tok.join(dfreq, "w")
+        .withColumn("rn", F.row_number().over(order))
+        .filter(F.col("rn") <= F.col("n") - alpha + 1)
+        .select("doc_id", "source", "lang", "band", "w")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    tris = d.select("doc_id", "tri")
+    pairs = cand.join(
+        tris.select(F.col("doc_id").alias("id_a"), F.col("tri").alias("tri_a")), "id_a"
+    ).join(
+        tris.select(F.col("doc_id").alias("id_b"), F.col("tri").alias("tri_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("tri_a", "tri_b"))
+    union = F.size(F.array_union("tri_a", "tri_b"))
     return pairs.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
+        "id_a",
+        "id_b",
         F.floor(inter * 100.0 / union + 0.5).cast("int").alias("tri_jaccard_pct"),
     ).filter(F.col("tri_jaccard_pct") >= 30)
 
@@ -529,7 +579,8 @@ QUERIES: dict[str, Query] = {
         "TF-IDF top term per document (fixed-point scoring)",
     ),
     "q34_ngram_jaccard": Query(
-        q34_ngram_jaccard, Q34_SQL, "char-trigram Jaccard near-dup (blocked all-pairs)"
+        q34_ngram_jaccard, Q34_SQL,
+        "char-trigram Jaccard near-dup (prefix-filtered set-similarity join)",
     ),
 }
 

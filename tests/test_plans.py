@@ -127,3 +127,21 @@ def test_q01_whole_stage_codegen(spark):
     # WSCG spans only appear in AQE's final (post-execution) plan
     s = plan_summary(REG["q01_pricing_summary"].fn(spark, SF), execute=True)
     assert s["has_wscg"], "scan+agg must stay inside whole-stage codegen"
+
+
+def test_q34_neardup_join_is_prefix_token_keyed(spark):
+    """VERDICT r2: q34's candidate join must be keyed on the prefix token
+    (the set-similarity prefix filter), never the bare (source, lang,
+    band) blocking key whose population is unbounded at corpus scale."""
+    import re
+
+    s = _summary(spark, "q34_ngram_jaccard")
+    assert "CartesianProduct" not in s["text"]
+    assert "BroadcastNestedLoopJoin" not in s["text"]
+    # every equi-join key list that mentions the blocking keys must also
+    # carry the token column — i.e. no join on blocking keys alone
+    key_lists = re.findall(r"keys \[\d+\]: \[([^\]]*)\]", s["text"])
+    block_joins = [k for k in key_lists if "source#" in k and "band#" in k]
+    assert block_joins, "candidate join with blocking keys not found"
+    for k in block_joins:
+        assert re.search(r"\bw#", k), f"join keyed on blocking keys without token: {k}"
