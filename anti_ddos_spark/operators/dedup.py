@@ -112,6 +112,59 @@ def lsh_bands(sig_cols: list[str], bands: int = LSH_BANDS) -> Column:
     )
 
 
+def minhash_banded_narrow(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Banded MinHash as a PURE PER-ROW projection → (id, band_id, band_key).
+
+    Same signature arithmetic as minhash_candidates (one md5 per shingle,
+    k universal-hash permutations, md5 band digests — identical values),
+    but computed with array_min over per-row arrays instead of an
+    explode+groupBy, so there is ZERO shuffle: the stream-friendly form.
+    Structured Streaming can run it on unbounded input ahead of a
+    stateful band-bucket dedup (queries/streamops.py q74), where a
+    groupBy-based signature would demand update-mode aggregation state.
+
+    Two-step materialization is deliberate: the words and base-hash
+    arrays are bound to projected columns before entering the k
+    higher-order lambdas — lambdas don't CSE, so the inline form would
+    re-run the regex split and md5 per permutation (measured 40× on the
+    explode path; same failure class here).
+    """
+    pre = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        words(F.col(text_col)).alias("_ws"),
+    )
+    sh = pre.select(
+        F.col(id_col), shingles_of_words(F.col("_ws"), F.col("_txt")).alias("_sh")
+    )
+    hashed = sh.select(
+        F.col(id_col),
+        F.transform(F.col("_sh"), lambda s: shingle_base_hash(s)).alias("_h"),
+    )
+    def _perm(i: int):
+        a_i, b_i = uhash_params(i)
+        return lambda h: (h * F.lit(a_i) + F.lit(b_i)) % F.lit(UHASH_M)
+
+    sigs = hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("_h"), _perm(i))).alias(f"minhash_{i}")
+            for i in range(k)
+        ],
+    )
+    sig_cols = [f"minhash_{i}" for i in range(k)]
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(lsh_bands(sig_cols, bands=bands)).alias("band_id", "band_key"),
+    ).withColumn("band_id", F.col("band_id").cast("int"))
+
+
 def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content digest (hash-groupBy dedup)."""
     digests = docs.groupBy(F.md5(F.col(text_col)).alias("digest")).agg(

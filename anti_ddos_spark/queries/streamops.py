@@ -188,6 +188,133 @@ def q73_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
 Q73_SQL = "SELECT DISTINCT md5(text) AS digest FROM documents"
 
 
+# --- q74: streaming near-dup — LSH band-bucket state ----------------------
+
+def q74_streaming_minhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of the near-dup state machine: replay
+    documents as a stream, compute production-parameter banded MinHash
+    signatures PER ROW (minhash_banded_narrow — zero shuffle, the only
+    signature form an unbounded stream can run without aggregation
+    state), then dropDuplicates on (band_id, band_key).
+
+    The surviving physical row per bucket is batch-order-dependent, so
+    the query emits only the bucket keys — the SET of occupied LSH
+    buckets is deterministic and hash-checks against the same banded
+    CTE the q35 batch oracle uses. That state (one row per occupied
+    bucket; RocksDB provider to bound memory) is exactly what a
+    streaming near-dup filter maintains at corpus scale: an arriving
+    doc whose bands all hit occupied buckets is a candidate duplicate.
+    Batch twin: q35 (operators/dedup.py minhash_candidates)."""
+    from anti_ddos_spark.operators.dedup import minhash_banded_narrow
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q74_stream_")
+    src = os.path.join(tmp, "docs")
+    docs.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    banded = minhash_banded_narrow(stream)
+    deduped = banded.dropDuplicates(["band_id", "band_key"]).select(
+        "band_id", "band_key"
+    )
+    name = f"q74_buckets_{run_id}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q74 streaming banded-minhash did not finish its availableNow "
+            "run in 240 s"
+        )
+    return spark.table(name).select("band_id", "band_key").distinct()
+
+
+def _q74_sql() -> str:
+    from anti_ddos_spark.config import LSH_BANDS, MINHASH_K
+    from anti_ddos_spark.queries.textops import _minhash_banded_cte
+
+    return f"""
+WITH {_minhash_banded_cte(MINHASH_K, LSH_BANDS)}
+SELECT DISTINCT CAST(band_id AS INTEGER) AS band_id, band_key FROM banded
+"""
+
+
+# --- q72: transformWithStateInPandas, oracle-checked when runnable --------
+
+def tws_runtime_available() -> bool:
+    """transformWithStateInPandas moves state through a protobuf-encoded
+    state-server protocol; the Python worker needs google.protobuf at
+    runtime. Absent in some sandboxes (pip is unavailable there), so q72
+    registers only where it can actually execute — a red CORRECTNESS row
+    from a known-missing runtime helps nobody. The processor logic itself
+    is equivalence-tested without protobuf in tests/test_stateful_tws.py."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q72_tws_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """q71's deterministic single-batch form on the transformWithState
+    value-state API: all input in one availableNow batch, timers far
+    beyond the run → one partial row per flow equal to the whole-flow
+    batch features. Requires the RocksDB state store provider (the
+    engine API rejects the HDFS one) and google.protobuf."""
+    from anti_ddos_spark.session import use_rocksdb
+    from anti_ddos_spark.streaming.stateful_tws import tws_flow_features
+
+    use_rocksdb(spark)
+    packets = events_as_packets(t(spark, sf, "events"))
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q72_stream_")
+    src = os.path.join(tmp, "packets")
+    packets.coalesce(4).write.parquet(src)
+
+    stream = spark.readStream.schema(packets.schema).parquet(src)
+    flows = tws_flow_features(stream, timeout_ms=3_600_000)
+    name = f"q72_flows_{run_id}"
+    q = (
+        flows.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # processing-time timers keep availableNow alive (same behavior as
+    # q71's ProcessingTimeTimeout); poll until emission stabilizes.
+    import time as _time
+
+    last, stable_since = -1, _time.monotonic()
+    deadline = _time.monotonic() + 240
+    while _time.monotonic() < deadline:
+        n = spark.table(name).count()
+        now = _time.monotonic()
+        if n != last:
+            last, stable_since = n, now
+        elif n > 0 and now - stable_since > 5:
+            break
+        _time.sleep(1)
+    q.stop()
+    q.awaitTermination(60)
+    out = spark.table(name)
+    return out.select(*STABLE_COLS, F.unix_micros("timestamp").alias("last_ts_us"))
+
+
+Q72_SQL = Q71_SQL
+
+
 QUERIES: dict[str, Query] = {
     "q70_streaming_sessionize": Query(
         q70_streaming_sessionize,
@@ -207,4 +334,19 @@ QUERIES: dict[str, Query] = {
         "streaming exact dedup (dropDuplicates state) hash-checked against "
         "batch DISTINCT",
     ),
+    "q74_streaming_minhash_buckets": Query(
+        q74_streaming_minhash_buckets,
+        _q74_sql(),
+        "streaming near-dup: per-row banded MinHash (zero-shuffle signature) "
+        "+ band-bucket dedup state, hash-checked against the q35 banded CTE",
+    ),
 }
+
+if tws_runtime_available():
+    QUERIES["q72_tws_sessionize"] = Query(
+        q72_tws_sessionize,
+        Q72_SQL,
+        "transformWithStateInPandas value-state sessionizer, q71's "
+        "deterministic single-batch form (registers only where "
+        "google.protobuf exists)",
+    )

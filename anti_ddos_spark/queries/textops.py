@@ -109,9 +109,12 @@ def q32_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_sql(k: int, bands: int) -> str:
-    """DuckDB twin of minhash_candidates at arbitrary (k, bands) — same
-    explode → one-base-hash → k universal-hash permutations shape."""
+def _minhash_banded_cte(k: int, bands: int) -> str:
+    """Shared DuckDB CTE chain sh → mins → banded: per-doc MinHash
+    signatures (one base hash per shingle, k universal-hash permutations
+    — the same arithmetic as both Spark signature forms) and their band
+    digests. Reused by the q32/q35 pair queries and the q74 streaming
+    bucket-state oracle."""
     from anti_ddos_spark.operators.dedup import UHASH_M, uhash_params
 
     r = k // bands
@@ -135,15 +138,21 @@ def _minhash_sql(k: int, bands: int) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-WITH sh AS (
+    return f"""sh AS (
   SELECT doc_id, unnest({shingle_list}) AS s FROM documents),
 mins AS (
   SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS (
+  {band_selects})"""
+
+
+def _minhash_sql(k: int, bands: int) -> str:
+    """DuckDB twin of minhash_candidates at arbitrary (k, bands) — same
+    explode → one-base-hash → k universal-hash permutations shape."""
+    return f"""
+WITH {_minhash_banded_cte(k, bands)},
 wsets AS (
   SELECT doc_id, list_distinct({_W}) AS wset FROM documents),
-banded AS (
-  {band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM banded a JOIN banded b

@@ -40,3 +40,53 @@ def test_transitive_chain_collapses(spark):
     }
     assert labels[1] == labels[2] == labels[3] == 1, labels
     assert labels[4] == 4, "singleton labels itself"
+
+
+def test_narrow_banded_signature_equals_aggregate_form(spark):
+    """minhash_banded_narrow (per-row array_min, the zero-shuffle form
+    q74 streams with) must produce the exact band keys of the
+    explode+groupBy signature used by minhash_candidates/q35 — same
+    arithmetic, different physical shape."""
+    import pyspark.sql.functions as F
+
+    from anti_ddos_spark.operators.dedup import (
+        lsh_bands,
+        minhash_banded_narrow,
+        shingle_base_hash,
+        shingles_of_words,
+        uhash_params,
+        words,
+        UHASH_M,
+    )
+
+    docs = _docs(spark)
+    k, bands = 8, 4
+    narrow = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in minhash_banded_narrow(docs, k=k, bands=bands).collect()
+    }
+    pre = docs.select(
+        "doc_id", F.col("text").alias("_txt"), words(F.col("text")).alias("_ws")
+    )
+    sh = pre.select(
+        "doc_id", F.explode(shingles_of_words(F.col("_ws"), F.col("_txt"))).alias("s")
+    )
+    base = shingle_base_hash(F.col("s"))
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min((base * F.lit(uhash_params(i)[0]) + F.lit(uhash_params(i)[1])) % F.lit(UHASH_M)).alias(f"minhash_{i}")
+            for i in range(k)
+        ]
+    )
+    agg = {
+        (r.doc_id, r.band_id, r.band_key)
+        for r in mins.select(
+            "doc_id",
+            F.posexplode(lsh_bands([f"minhash_{i}" for i in range(k)], bands=bands)).alias(
+                "band_id", "band_key"
+            ),
+        )
+        .withColumn("band_id", F.col("band_id").cast("int"))
+        .collect()
+    }
+    assert narrow == agg and len(narrow) == 4 * bands

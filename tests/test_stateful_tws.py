@@ -213,3 +213,13 @@ def test_tws_streaming_matches_batch(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q72_registers_only_with_protobuf_runtime():
+    """q72 must appear in the registry exactly when the TWS worker can
+    actually execute (google.protobuf importable) — a red CORRECTNESS
+    row from a known-missing runtime is worse than a documented skip."""
+    from anti_ddos_spark.queries import full_registry
+    from anti_ddos_spark.queries.streamops import tws_runtime_available
+
+    assert ("q72_tws_sessionize" in full_registry()) == tws_runtime_available()
