@@ -61,27 +61,60 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def gaussian_planes(spark, n_planes: int, dim: int, seed: int = 7) -> DataFrame:
+    """Seeded i.i.d. Gaussian hyperplanes (pid 1..n_planes, h) — the
+    production plane set for sign-bit LSH (Charikar STOC'02 simhash for
+    cosine: random Gaussian directions give P[sign differs] = θ/π).
+
+    Data rows as planes (the oracle-deterministic default below) are
+    mutually correlated on real embedding corpora, which skews bucket
+    occupancy; independent Gaussians restore the uniform-bucket analysis.
+    Driver-side numpy generation is n_planes×dim floats — trivially
+    broadcastable, never data-dependent."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (i + 1, [float(x) for x in rng.normal(size=dim)]) for i in range(n_planes)
+    ]
+    return spark.createDataFrame(rows, "pid: long, h: array<double>")
+
+
 def hyperplane_signatures(
     vectors: DataFrame,
     n_bands: int,
     planes_per_band: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: DataFrame | None = None,
 ) -> DataFrame:
     """(id, e, band_id, sig): per-band sign-bit LSH signatures.
 
-    Hyperplanes are the table's leading vectors 1..n_bands*planes_per_band
-    (deterministic — the oracle replicates without RNG; swap in seeded
-    Gaussian planes for production quality). Scale shape: planes
-    broadcast, signature is a map-side crossJoin + one groupBy shuffle on
-    (id, band); downstream candidate joins are equi-joins on (band, sig),
-    never an all-pairs product.
+    Default hyperplanes are the table's leading vectors
+    1..n_bands*planes_per_band (deterministic — the oracle replicates
+    without RNG); pass ``planes`` (pid 1..n, h — e.g. gaussian_planes)
+    for production quality. Scale shape: planes broadcast, signature is
+    a map-side crossJoin + one groupBy shuffle on (id, band); downstream
+    candidate joins are equi-joins on (band, sig), never an all-pairs
+    product.
     """
     n_planes = n_bands * planes_per_band
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
-    planes = emb.filter((F.col(id_col) >= 1) & (F.col(id_col) <= n_planes)).select(
-        F.col(id_col).alias("pid"), F.col("e").alias("h")
-    )
+    if planes is None:
+        planes = emb.filter(
+            (F.col(id_col) >= 1) & (F.col(id_col) <= n_planes)
+        ).select(F.col(id_col).alias("pid"), F.col("e").alias("h"))
+    # A sparse/offset id space silently yields FEWER planes, shrinking
+    # every signature and inflating collisions with no error — fail loud
+    # instead. The planes side is k rows; the count is a build-time
+    # scalar, not a per-row action.
+    got = planes.count()
+    if got != n_planes:
+        raise ValueError(
+            f"expected {n_planes} hyperplanes, found {got} — "
+            f"plane ids must cover 1..{n_planes} (or pass an explicit "
+            "planes DataFrame, e.g. gaussian_planes())"
+        )
     return (
         emb.crossJoin(F.broadcast(planes))
         .withColumn("band_id", F.floor((F.col("pid") - 1) / planes_per_band).cast("int"))
@@ -179,6 +212,7 @@ def lsh_ann_topk(
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe hyperplane-LSH ANN top-k.
 
@@ -186,10 +220,11 @@ def lsh_ann_topk(
     its own signature (the standard multi-probe recall recovery — 17
     buckets at 16 planes/radius 1) via an exploded broadcast equi-join on
     the bucket id; exact cosine ranks the candidates. Scanned fraction
-    ≈ n_probes / 2^n_planes of the corpus instead of 1."""
-    sig = hyperplane_signatures(vectors, 1, n_planes, id_col, vec_col).select(
-        id_col, "sig", "e"
-    )
+    ≈ n_probes / 2^n_planes of the corpus instead of 1. Pass
+    ``planes=gaussian_planes(...)`` for the production plane set."""
+    sig = hyperplane_signatures(
+        vectors, 1, n_planes, id_col, vec_col, planes=planes
+    ).select(id_col, "sig", "e")
     masks = _probe_masks(n_planes, probe_hamming)
     q = sig.filter(F.col(id_col) == query_id).select(
         F.explode(
@@ -257,12 +292,19 @@ def ivf_topk(
     return out.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
+def _literal_centroids(spark, centroids: list[list[float]]) -> DataFrame:
+    """k learned centers (e.g. kmeans_train's) as a (cid, cvec) frame."""
+    rows = [(j, [float(x) for x in c]) for j, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "cid: long, cvec: array<double>")
+
+
 def ivf_build_index(
     vectors: DataFrame,
     path: str,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Materialize the IVF index: vectors written as parquet PARTITIONED
     BY centroid_id, plus a tiny ``<path>_centroids`` sidecar holding the
@@ -275,11 +317,21 @@ def ivf_build_index(
     one window + the partitioned write — no join back to the corpus.
     The sidecar also pins the build's n_centroids: search reads it back
     instead of trusting the caller to repeat the number (a mismatched
-    count silently collapses recall otherwise)."""
+    count silently collapses recall otherwise).
+
+    Pass ``centroids`` (k learned centers, e.g. kmeans_train's) to build
+    the index around real cluster structure; the default leading-vector
+    cells are deterministic plumbing for the oracle fixtures. Assignment
+    stays max-cosine either way (on the unit-normalized corpora
+    embeddings live on, euclidean k-means centers rank identically by
+    cosine — spherical k-means)."""
     emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
-    cents = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("_e").alias("cvec")
-    )
+    if centroids is not None:
+        cents = _literal_centroids(vectors.sparkSession, centroids)
+    else:
+        cents = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col("_e").alias("cvec")
+        )
     from pyspark.sql import Window as W
 
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(
@@ -299,6 +351,47 @@ def ivf_build_index(
     )
     cents.withColumnRenamed("cvec", "cvec_d").write.mode("overwrite").parquet(
         path + "_centroids"
+    )
+
+
+def ivf_append_index(
+    vectors_new: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally add a batch of vectors to a materialized IVF index —
+    the operation a daily embedding pipeline actually runs (full rebuilds
+    of a 100 TB index for a 0.1% daily delta are not a plan).
+
+    New rows are assigned against the CENTROID SIDECAR written at build
+    time (collected: k×dim floats, a driver-side scalar read — never a
+    scan of the index), then appended to their cell partitions as new
+    parquet files. Existing files are untouched, partition pruning keeps
+    working, and search parity with a full rebuild is exact because
+    assignment is the same max-cosine argmax against the same centroids
+    (unit: tests/test_ivf_index.py)."""
+    spark = vectors_new.sparkSession
+    cents = spark.read.parquet(path + "_centroids").withColumnRenamed(
+        "cvec_d", "cvec"
+    )
+    emb = vectors_new.withColumn("_e", as_double(F.col(vec_col)))
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_ccos", cosine(F.col("_e"), F.col("cvec"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*vectors_new.columns, F.col("cid").alias("centroid_id"))
+    )
+    (
+        assigned.repartition("centroid_id")
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
     )
 
 

@@ -55,3 +55,85 @@ def test_probe_is_partition_filter(spark, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "centroid_id" in seg, seg
+
+def test_incremental_append_matches_full_rebuild(spark, tmp_path):
+    """ivf_append_index(new batch) must be search-equivalent to a full
+    rebuild over base+batch: same sidecar centroids → same max-cosine
+    assignment → same cells, just in newer files. Partition pruning must
+    survive the append."""
+    emb = _emb(spark)
+    # keep the centroid rows (vec_id < 8) in base so both indexes are
+    # built around the SAME cells; the delta is a later-arriving batch
+    base = emb.filter((F.col("vec_id") < 8) | (F.col("vec_id") % 5 != 0))
+    delta = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") % 5 == 0))
+
+    from anti_ddos_spark.operators.similarity import ivf_append_index
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_build_index(base, inc, n_centroids=8)
+    ivf_append_index(delta, inc)
+
+    full = str(tmp_path / "ivf_full")
+    ivf_build_index(emb, full, n_centroids=8)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
+    got = [
+        (r["vec_id"], round(r["cos"], 6))
+        for r in ivf_search_index(spark, inc, qvec, k=10, nprobe=3).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["cos"], 6))
+        for r in ivf_search_index(spark, full, qvec, k=10, nprobe=3).collect()
+    ]
+    assert got == want
+
+    from anti_ddos_spark.plans import plan_summary
+
+    plan = plan_summary(ivf_search_index(spark, inc, qvec, k=10, nprobe=2))["text"]
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "centroid_id" in seg, seg
+
+
+def test_kmeans_centers_build_recalls_planted_clusters(spark, tmp_path):
+    """VERDICT r2 #4: wire kmeans_train centers into ivf_build_index and
+    prove retrieval quality on a NON-orthogonal fixture — leading-vector
+    cells are plumbing, learned cells are the index you'd ship. Recall
+    of brute-force top-k must be ≥ 0.9 at nprobe=3 of 6 cells."""
+    import numpy as np
+
+    from anti_ddos_spark.operators.similarity import (
+        brute_force_topk,
+        kmeans_train,
+    )
+
+    rng = np.random.default_rng(23)
+    n_clusters, per, dim = 6, 30, 16
+    rows = []
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    for c in range(n_clusters):
+        for m in range(per):
+            v = centers[c] + 0.08 * rng.normal(size=dim)
+            v /= np.linalg.norm(v)
+            rows.append((c * per + m, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+    cents, _ = kmeans_train(df, k=n_clusters, iters=5)
+    path = str(tmp_path / "ivf_kmeans")
+    ivf_build_index(df, path, centroids=cents)
+
+    hits = total = 0
+    for qid in (0, 40, 95, 150):
+        qvec = [
+            float(x) for x in df.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        want = {r["vec_id"] for r in brute_force_topk(df, qid, k=10).collect()}
+        got = {
+            r["vec_id"]
+            for r in ivf_search_index(spark, path, qvec, k=11, nprobe=3).collect()
+            if r["vec_id"] != qid
+        }
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.9, (hits, total)
