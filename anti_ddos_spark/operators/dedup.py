@@ -260,6 +260,21 @@ def minhash_candidates(
     )
 
 
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a localCheckpoint's persisted blocks.
+
+    ``df.rdd.unpersist()`` is a silent no-op here: DataFrame.rdd builds
+    a NEW derived (never-persisted) RDD, as does queryExecution().toRdd()
+    — both verified against sc.getPersistentRDDs(). The RDD that
+    localCheckpoint actually persisted is the one inside the analyzed
+    LogicalRDD node, so that is what must be unpersisted (unit:
+    tests/test_dedup_clusters.py::test_checkpoint_blocks_freed)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort; ContextCleaner GC remains the backstop
+
+
 def neardup_clusters(
     docs: DataFrame,
     jaccard_pct_min: int = 80,
@@ -336,7 +351,7 @@ def neardup_clusters(
         # for ContextCleaner GC holds O(iters) label copies in executor
         # storage on a long run
         if prev_ckpt is not None:
-            prev_ckpt.rdd.unpersist()
+            _unpersist_local_checkpoint(prev_ckpt)
         prev_ckpt = new_labels
         labels = new_labels
         if changed == 0:

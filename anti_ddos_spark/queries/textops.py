@@ -336,11 +336,10 @@ def q39_neardup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         k=DEMO_MINHASH_K, bands=DEMO_LSH_BANDS,
     )
     clusters = labels.groupBy("cluster_id").agg(F.count("*").alias("n_docs"))
-    total_kept = clusters.count()  # one survivor per cluster
-    return (
-        clusters.filter(F.col("n_docs") >= 2)
-        .withColumn("total_kept", F.lit(total_kept).cast("long"))
-    )
+    # one survivor per cluster; a lazy broadcast scalar (q44's off idiom),
+    # not an eager count() at plan-build time
+    kept = clusters.agg(F.count("*").cast("long").alias("total_kept"))
+    return clusters.filter(F.col("n_docs") >= 2).crossJoin(F.broadcast(kept))
 
 
 def _q39_sql() -> str:
@@ -419,9 +418,15 @@ def q48_tfidf_top_term(spark: SparkSession, sf: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n"))
+    # round-half-up, not truncation: floor(ln·1e6) flips ±1 whenever JVM
+    # Math.log and DuckDB libm differ in the last ulp near an integer
+    # boundary (ADVICE r2); a transcendental ln never lands on an exact
+    # .5 of 1e-6, so the +0.5 form is boundary-free on both engines
     idf = df_.crossJoin(F.broadcast(n_docs)).select(
         "w",
-        F.floor(F.log(F.col("n") / F.col("df")) * 1_000_000).cast("long").alias("idf_x1e6"),
+        F.floor(F.log(F.col("n") / F.col("df")) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("idf_x1e6"),
     )
     scored = tf.join(idf, "w").select(
         "doc_id", "w", (F.col("tf") * F.col("idf_x1e6")).alias("score_x1e6")
@@ -444,7 +449,7 @@ tf AS (
 df AS (
   SELECT w, count(DISTINCT doc_id) AS df FROM tok WHERE length(w) > 0 GROUP BY w),
 idf AS (
-  SELECT w, CAST(floor(ln((SELECT count(*) FROM documents)::DOUBLE / df) * 1000000) AS BIGINT)
+  SELECT w, CAST(floor(ln((SELECT count(*) FROM documents)::DOUBLE / df) * 1000000 + 0.5) AS BIGINT)
            AS idf_x1e6
   FROM df),
 scored AS (

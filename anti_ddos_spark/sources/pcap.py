@@ -50,6 +50,11 @@ _MAGIC_TABLE = {
 
 ETH_HDR = 14
 ETH_IPV4 = 0x0800
+# 802.1Q / 802.1ad (QinQ) tags: 4 bytes each between src MAC and the
+# real ethertype. Trunk/mirror-port captures wrap most traffic in 1-2 of
+# them — a raw offset-12 ethertype check silently drops every frame.
+ETH_VLAN = (0x8100, 0x88A8)
+_MAX_VLAN_TAGS = 2
 
 
 def parse_pcap_bytes(data: bytes) -> Iterator[dict]:
@@ -93,11 +98,22 @@ def parse_pcap_bytes(data: bytes) -> Iterator[dict]:
 
 
 def _parse_frame(frame: memoryview, incl: int) -> dict | None:
-    if len(frame) < ETH_HDR + 20:
+    # walk over up to two VLAN tags (single-tagged + QinQ) to the real
+    # ethertype; scapy's Dot1Q layer does the same in the reference path
+    eth_off = 12
+    for _ in range(_MAX_VLAN_TAGS + 1):
+        if len(frame) < eth_off + 2:
+            return None
+        ethertype = struct.unpack_from("!H", frame, eth_off)[0]
+        if ethertype not in ETH_VLAN:
+            break
+        eth_off += 4
+    if ethertype != ETH_IPV4:
         return None
-    if struct.unpack_from("!H", frame, 12)[0] != ETH_IPV4:
+    hdr = eth_off + 2  # end of ethertype field = start of the IP header
+    if len(frame) < hdr + 20:
         return None
-    ip = frame[ETH_HDR:]
+    ip = frame[hdr:]
     vihl = ip[0]
     if vihl >> 4 != 4:
         return None

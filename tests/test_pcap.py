@@ -167,3 +167,35 @@ def test_pcap_to_flow_features_hash_stable(spark, tmp_path):
     assert tcp["fin_flag_count"] == 1
     assert tcp["total_fwd_packets"] + tcp["total_backward_packets"] == 4
     assert tcp["max_packet_length"] == 14 + 20 + 20 + 1200
+
+
+def _eth_vlan(ip_packet: bytes, tags: int = 1) -> bytes:
+    """Ethernet frame wrapping the IP packet in 802.1Q / QinQ tags."""
+    import struct as _s
+
+    hdr = b"\x02" * 6 + b"\x04" * 6
+    # outer 802.1ad for double-tagged, then 802.1Q, then the ethertype
+    tpids = ([0x88A8] if tags == 2 else []) + [0x8100] * min(tags, 1)
+    for i, tpid in enumerate(tpids):
+        hdr += _s.pack("!HH", tpid, 100 + i)  # TCI: VLAN id 100+i
+    return hdr + _s.pack("!H", 0x0800) + ip_packet
+
+
+def test_vlan_tagged_frames_parsed(tmp_path):
+    """ADVICE r2: trunk/mirror-port captures wrap frames in 1-2 VLAN
+    tags; the parser must walk past them instead of dropping all
+    traffic."""
+    from anti_ddos_spark.sources.pcap import parse_pcap_bytes, write_pcap
+
+    p = str(tmp_path / "vlan.pcap")
+    ip = _ipv4("10.0.0.9", "10.0.1.9", 17, _udp(1000, 53, b"x" * 30))
+    write_pcap(p, [
+        (BASE_TS, _eth_vlan(ip, tags=1)),
+        (BASE_TS + 1, _eth_vlan(ip, tags=2)),
+        (BASE_TS + 2, _eth(ip)),  # untagged control
+    ])
+    rows = list(parse_pcap_bytes(open(p, "rb").read()))
+    assert len(rows) == 3
+    for r in rows:
+        assert (r["src_ip"], r["dst_ip"], r["protocol"]) == ("10.0.0.9", "10.0.1.9", 17)
+        assert r["udp_len"] == 30
