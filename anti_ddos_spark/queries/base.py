@@ -62,10 +62,13 @@ class Query:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame (parquet scan).
 
-    `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    default; read it via the nanosAsLong legacy conf and truncate to a
-    microsecond TimestampType — the same value DuckDB produces when it
-    coerces ns → its µs TIMESTAMP, so oracle comparisons line up.
+    `events.ts` has shipped as two different physical types across
+    testdata generations: TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    read as long via the nanosAsLong legacy conf) and plain
+    timestamp[us] (read as TIMESTAMP_NTZ). Branch on the dtype that
+    actually loaded and normalize both to a microsecond TimestampType —
+    the same value DuckDB produces for either encoding, so oracle
+    comparisons line up regardless of which generation is on disk.
     """
     # The caller may hand us a session we didn't configure (the driver's
     # verify harness does). Constraint propagation must be off before any
@@ -75,8 +78,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
+        # NTZ→LTZ cast goes through the session timezone; pin UTC here
+        # (not only in session.py) so a harness-supplied session can't
+        # shift epoch values under the unix_micros-based oracle hashes.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(raw.schema["ts"].dataType, LongType):
+            # TIMESTAMP(NANOS) loaded as epoch-ns long: truncate to µs.
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        # timestamp[us] loads as TIMESTAMP or TIMESTAMP_NTZ; with the
+        # UTC session the cast is an identity epoch mapping.
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)

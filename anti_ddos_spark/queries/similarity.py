@@ -302,16 +302,20 @@ QUERIES: dict[str, Query] = {
         q45_ivf_multiprobe_topk, Q45_SQL,
         "IVF search, 3 of 8 cells probed, exact cosine inside",
     ),
-    "q46_kmeans_clusters": Query(
-        q46_kmeans_clusters, None,
-        "Lloyd's k-means (iterative, rows-only) cluster histogram",
-    ),
 }
 
-# Demoted demo-parameter twin of q44 (same LSH code path, toy constants);
-# see queries/__init__.py cap policy. Oracle-checked via full_registry().
+# Demoted under the 50-row driver cap (queries/__init__.py cap policy):
+# q43 is the demo-parameter twin of q44 (same LSH code path, toy
+# constants); q46 is rows-only anyway (iterative k-means has no SQL
+# oracle) and its real evidence is tests/test_kmeans.py — demoting it in
+# round 4 made room for the q72 transformWithState row, which has a full
+# hash-checked oracle. Both still run in local tests via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
     "q43_lsh_ann": Query(
         q43_lsh_ann, Q43_SQL, "hyperplane-LSH bucketed ANN top-k (demo params)"
+    ),
+    "q46_kmeans_clusters": Query(
+        q46_kmeans_clusters, None,
+        "Lloyd's k-means (iterative, rows-only) cluster histogram",
     ),
 }

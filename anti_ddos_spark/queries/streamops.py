@@ -253,16 +253,14 @@ SELECT DISTINCT CAST(band_id AS INTEGER) AS band_id, band_key FROM banded
 def tws_runtime_available() -> bool:
     """transformWithStateInPandas moves state through a protobuf-encoded
     state-server protocol; the Python worker needs google.protobuf at
-    runtime. Absent in some sandboxes (pip is unavailable there), so q72
-    registers only where it can actually execute — a red CORRECTNESS row
-    from a known-missing runtime helps nobody. The processor logic itself
-    is equivalence-tested without protobuf in tests/test_stateful_tws.py."""
-    try:
-        import google.protobuf  # noqa: F401
+    runtime. pip is unavailable in some sandboxes, so the repo vendors a
+    pure-Python protobuf runtime (`anti_ddos_spark/_vendor`, see its
+    README) and this probe falls back to it — q72 registers only where it
+    can actually execute. The processor logic itself is additionally
+    equivalence-tested without protobuf in tests/test_stateful_tws.py."""
+    from anti_ddos_spark._vendor import protobuf_importable
 
-        return True
-    except ImportError:
-        return False
+    return protobuf_importable()
 
 
 def q72_tws_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -271,9 +269,15 @@ def q72_tws_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     beyond the run → one partial row per flow equal to the whole-flow
     batch features. Requires the RocksDB state store provider (the
     engine API rejects the HDFS one) and google.protobuf."""
+    from anti_ddos_spark._vendor import ensure_protobuf
     from anti_ddos_spark.session import use_rocksdb
     from anti_ddos_spark.streaming.stateful_tws import tws_flow_features
 
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "q72 requires google.protobuf (site-packages or vendored) — "
+            "tws_runtime_available() should have prevented registration"
+        )
     use_rocksdb(spark)
     packets = events_as_packets(t(spark, sf, "events"))
     run_id = next(_counter)

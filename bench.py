@@ -27,7 +27,7 @@ HEADLINE = [
     "q12_distinct_counts",
     "q16_json_extract",
     "q20_event_sessions",
-    "q21_event_iat_stats",
+    "q21_event_iat_stats",  # demoted to EXTRA_QUERIES; resolved via full_registry
     "q24_flow_features_full",
     # round 2: track the LLM-pipeline plans too — banded MinHash dedup
     # at the production s-curve (the demo-parameter q32 is intentionally
@@ -41,11 +41,11 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from anti_ddos_spark.queries import registry
+    from anti_ddos_spark.queries import full_registry
     from anti_ddos_spark.session import get_spark
 
     spark = get_spark(app_name="anti_ddos_spark_bench")
-    reg = registry()
+    reg = full_registry()
 
     # JVM/codegen warmup on the smallest sf so per-query numbers measure
     # the plan, not first-call compilation.

@@ -71,7 +71,14 @@ def test_detection_pipeline_ndjson(spark, packets_df, flow_model, tmp_path):
         gap_s=60,
         watermark="0 seconds",
     )
-    q.awaitTermination(120)
+    # availableNow trigger → the query self-terminates when the replay is
+    # drained; wait on that signal (generous ceiling for contended runs)
+    # instead of assuming a fixed wall-clock budget suffices.
+    finished = q.awaitTermination(600)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        pytest.fail("detection pipeline did not drain its replay in 600 s")
 
     files = glob.glob(os.path.join(out, "batch_id=*", "*.json"))
     assert files, "pipeline wrote no NDJSON output"

@@ -18,7 +18,11 @@ from anti_ddos_spark.streaming.stateful import stateful_flow_features
 from tests.conftest import make_packets
 
 TIMEOUT_MS = 8_000
-WAIT_S = 60
+# Deadline ceiling for the poll loops below. Every loop breaks as soon as
+# its row-count condition holds, so a large ceiling costs nothing on a
+# healthy run — it only buys headroom when the box is contended (the r3
+# verdict saw these fail under a concurrent full-suite run at 60 s).
+WAIT_S = 300
 
 
 def test_stateful_partial_then_final(spark, tmp_path):

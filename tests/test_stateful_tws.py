@@ -30,12 +30,12 @@ from anti_ddos_spark.streaming.stateful_tws import (
 )
 from tests.conftest import make_packets
 
-try:  # TWS driver worker hard-requires the protobuf runtime
-    from google.protobuf import descriptor  # noqa: F401
+# TWS hard-requires the protobuf runtime; since round 4 the repo vendors
+# a pure-Python one (anti_ddos_spark/_vendor), so this is True except in
+# environments where even the vendored tree is broken/absent.
+from anti_ddos_spark._vendor import protobuf_importable
 
-    HAVE_PROTOBUF = True
-except ImportError:
-    HAVE_PROTOBUF = False
+HAVE_PROTOBUF = protobuf_importable()
 
 
 # --- fakes for the StatefulProcessor API surface --------------------------
@@ -158,8 +158,10 @@ def test_tws_processor_logic_matches_batch(spark):
 def test_tws_streaming_matches_batch(spark, tmp_path):
     """Real streaming execution of the TWS sessionizer (requires the
     protobuf runtime + RocksDB provider)."""
+    from anti_ddos_spark._vendor import ensure_protobuf
     from anti_ddos_spark.session import rocksdb_conf
 
+    assert ensure_protobuf(spark)
     prior = {
         k: spark.conf.get(k, None) for k in rocksdb_conf()
     }
