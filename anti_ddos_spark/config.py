@@ -18,6 +18,18 @@ the code paths are identical.
 
 from __future__ import annotations
 
+import os
+
+# Quality-path defaults (round-4, VERDICT r3 #8): operators that accept an
+# optional learned/seeded component — LSH hyperplanes, IVF index centroids
+# — use the PRODUCTION path (seeded Gaussian planes, k-means-learned
+# centers) when the caller passes nothing, so a user who lifts the code
+# gets the quality behavior without reading docstrings. The oracle queries
+# pin the deterministic `"data"` mode explicitly (DuckDB must replicate
+# without RNG), so correctness hashes are unaffected. Set
+# ANTI_DDOS_QUALITY_DEFAULTS=0 to make bare calls deterministic instead.
+QUALITY_DEFAULTS = os.environ.get("ANTI_DDOS_QUALITY_DEFAULTS", "1") != "0"
+
 # --- production defaults --------------------------------------------------
 MINHASH_K = 128      # signature length
 LSH_BANDS = 16       # bands of MINHASH_K / LSH_BANDS = 8 rows → thr ≈ 0.71

@@ -86,24 +86,41 @@ def hyperplane_signatures(
     planes_per_band: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: DataFrame | None = None,
+    planes: DataFrame | str | None = None,
 ) -> DataFrame:
     """(id, e, band_id, sig): per-band sign-bit LSH signatures.
 
-    Default hyperplanes are the table's leading vectors
-    1..n_bands*planes_per_band (deterministic — the oracle replicates
-    without RNG); pass ``planes`` (pid 1..n, h — e.g. gaussian_planes)
-    for production quality. Scale shape: planes broadcast, signature is
-    a map-side crossJoin + one groupBy shuffle on (id, band); downstream
-    candidate joins are equi-joins on (band, sig), never an all-pairs
-    product.
+    ``planes`` selects the hyperplane set:
+    - None (default): production-quality seeded Gaussian planes when
+      config.QUALITY_DEFAULTS is on (the default), else ``"data"``;
+    - ``"gaussian"``: seeded i.i.d. Gaussian planes (gaussian_planes);
+    - ``"data"``: the table's leading vectors 1..n_bands*planes_per_band
+      — deterministic, what the DuckDB oracle replicates without RNG;
+    - a DataFrame (pid 1..n, h): explicit planes, used as-is.
+    Scale shape: planes broadcast, signature is a map-side crossJoin +
+    one groupBy shuffle on (id, band); downstream candidate joins are
+    equi-joins on (band, sig), never an all-pairs product.
     """
     n_planes = n_bands * planes_per_band
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
     if planes is None:
-        planes = emb.filter(
-            (F.col(id_col) >= 1) & (F.col(id_col) <= n_planes)
-        ).select(F.col(id_col).alias("pid"), F.col("e").alias("h"))
+        from anti_ddos_spark.config import QUALITY_DEFAULTS
+
+        planes = "gaussian" if QUALITY_DEFAULTS else "data"
+    if isinstance(planes, str):
+        if planes == "gaussian":
+            head = emb.select(F.size("e")).head()
+            if head is None:
+                raise ValueError("cannot infer dim from an empty vector table")
+            planes = gaussian_planes(
+                vectors.sparkSession, n_planes, int(head[0])
+            )
+        elif planes == "data":
+            planes = emb.filter(
+                (F.col(id_col) >= 1) & (F.col(id_col) <= n_planes)
+            ).select(F.col(id_col).alias("pid"), F.col("e").alias("h"))
+        else:
+            raise ValueError(f"unknown planes mode {planes!r}")
     # A sparse/offset id space silently yields FEWER planes, shrinking
     # every signature and inflating collisions with no error — fail loud
     # instead. The planes side is k rows; the count is a build-time
@@ -138,6 +155,7 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    planes: DataFrame | str | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs: banded hyperplane-LSH candidate
     generation + exact cosine verification on candidates only.
@@ -145,8 +163,11 @@ def lsh_neardup_pairs(
     Replaces all-pairs comparison with per-band signature equi-joins —
     the only sub-O(n²) shape at corpus scale; a pair is a candidate when
     it collides in ≥1 band, then exact cosine (computed on the original
-    vectors) keeps only pairs ≥ threshold."""
-    sig = hyperplane_signatures(vectors, n_bands, planes_per_band, id_col, vec_col)
+    vectors) keeps only pairs ≥ threshold. ``planes`` as in
+    hyperplane_signatures (default: quality Gaussian planes)."""
+    sig = hyperplane_signatures(
+        vectors, n_bands, planes_per_band, id_col, vec_col, planes=planes
+    )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
@@ -212,7 +233,7 @@ def lsh_ann_topk(
     probe_hamming: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    planes: DataFrame | None = None,
+    planes: DataFrame | str | None = None,
 ) -> DataFrame:
     """Multi-probe hyperplane-LSH ANN top-k.
 
@@ -220,8 +241,8 @@ def lsh_ann_topk(
     its own signature (the standard multi-probe recall recovery — 17
     buckets at 16 planes/radius 1) via an exploded broadcast equi-join on
     the bucket id; exact cosine ranks the candidates. Scanned fraction
-    ≈ n_probes / 2^n_planes of the corpus instead of 1. Pass
-    ``planes=gaussian_planes(...)`` for the production plane set."""
+    ≈ n_probes / 2^n_planes of the corpus instead of 1. ``planes`` as in
+    hyperplane_signatures (default: quality Gaussian planes)."""
     sig = hyperplane_signatures(
         vectors, 1, n_planes, id_col, vec_col, planes=planes
     ).select(id_col, "sig", "e")
@@ -304,7 +325,7 @@ def ivf_build_index(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: list[list[float]] | None = None,
+    centroids: list[list[float]] | str | None = None,
 ) -> None:
     """Materialize the IVF index: vectors written as parquet PARTITIONED
     BY centroid_id, plus a tiny ``<path>_centroids`` sidecar holding the
@@ -319,19 +340,33 @@ def ivf_build_index(
     instead of trusting the caller to repeat the number (a mismatched
     count silently collapses recall otherwise).
 
-    Pass ``centroids`` (k learned centers, e.g. kmeans_train's) to build
-    the index around real cluster structure; the default leading-vector
-    cells are deterministic plumbing for the oracle fixtures. Assignment
-    stays max-cosine either way (on the unit-normalized corpora
-    embeddings live on, euclidean k-means centers rank identically by
-    cosine — spherical k-means)."""
+    ``centroids`` selects the cell structure:
+    - None (default): k-means-learned centers when config.QUALITY_DEFAULTS
+      is on (the default) — the index you'd ship; else ``"data"``;
+    - ``"learned"``: kmeans_train(k=n_centroids) centers;
+    - ``"data"``: the table's leading vectors — deterministic plumbing
+      for the oracle fixtures;
+    - a list of k vectors: explicit (e.g. a previous kmeans_train run).
+    Assignment stays max-cosine either way (on the unit-normalized
+    corpora embeddings live on, euclidean k-means centers rank
+    identically by cosine — spherical k-means)."""
     emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
-    if centroids is not None:
-        cents = _literal_centroids(vectors.sparkSession, centroids)
-    else:
+    if centroids is None:
+        from anti_ddos_spark.config import QUALITY_DEFAULTS
+
+        centroids = "learned" if QUALITY_DEFAULTS else "data"
+    if centroids == "learned":
+        centroids, _inertia = kmeans_train(
+            vectors, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if isinstance(centroids, str):
+        if centroids != "data":
+            raise ValueError(f"unknown centroids mode {centroids!r}")
         cents = emb.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col("_e").alias("cvec")
         )
+    else:
+        cents = _literal_centroids(vectors.sparkSession, centroids)
     from pyspark.sql import Window as W
 
     scored = emb.crossJoin(F.broadcast(cents)).withColumn(

@@ -111,6 +111,7 @@ def q42_cosine_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         NEARDUP_COS,
         NEARDUP_BANDS,
         NEARDUP_PLANES_PER_BAND,
+        planes="data",  # oracle mode: DuckDB replicates without RNG
     )
 
 
@@ -144,6 +145,7 @@ def q43_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
         k=TOPK,
         n_planes=DEMO_LSH_PLANES,
         probe_hamming=0,
+        planes="data",  # oracle mode: DuckDB replicates without RNG
     )
     return res.select("vec_id", rnd(F.col("cos"), 6).alias("cos"))
 
@@ -192,6 +194,7 @@ def q44_lsh_ann_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
         n_planes=LSH_PLANES,
         probe_hamming=LSH_PROBE_HAMMING,
         vec_col="e",
+        planes="data",  # oracle mode: DuckDB replicates without RNG
     )
     return res.select("vec_id", rnd(F.col("cos"), 6).alias("cos"))
 

@@ -1,0 +1,167 @@
+"""sf1-equivalent headroom probe: measure how the flagship plans scale.
+
+Builds a 10x replication of the sf0.1 `events` / `documents` /
+`embeddings` tables (≈ sf1: 1M events, 50k docs, 20k vectors) and times
+the five most expensive headline queries at sf0.01 / sf0.1 / 10x,
+reporting the per-decade scaling exponent alpha where
+t(10n) ≈ 10^alpha · t(n). alpha ≈ 1 is linear; the shuffle-bounded
+claims in PERF.md predict alpha ≤ ~1.1 for every flagship plan.
+
+Replication is designed so the SEMANTICS scale linearly too, not just
+the row count — naive duplication would make every row an exact dup and
+push the near-dup joins quadratic, proving nothing:
+
+- events: user_id (the flow key in events_as_packets) and event_id are
+  offset per replica → 10x distinct flows of unchanged length; the time
+  span is unchanged, so session windows per user keep their shape.
+- documents: doc_id offset; text gets a per-replica `r{k} ` prefix, so
+  within-replica shingle relationships are preserved while cross-replica
+  pairs don't become spurious near-dups.
+- embeddings: vec_id offset; each replica's vectors are multiplied by a
+  deterministic per-replica ±1 sign pattern — a diagonal orthogonal
+  transform, so within-replica angles (and thus the true near-dup pair
+  set) are preserved EXACTLY, while cross-replica cosines are
+  sign-randomized to ~0. Near-dup output therefore scales exactly 10x.
+
+Usage: python scripts/scale_probe.py [--replicas 10] [--runs 2]
+Writes one JSON line per (query, scale) and a summary with exponents.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF001 = "/root/testdata/sf0.01"
+SF01 = "/root/testdata/sf0.1"
+
+PROBE_QUERIES = [
+    "q24_flow_features_full",
+    "q20_event_sessions",
+    "q35_minhash_prod",
+    "q34_ngram_jaccard",
+    "q42_cosine_neardup_pairs",
+    "q37_curation_funnel",
+]
+
+
+def build_10x(spark, out_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("replica")
+
+    ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
+    u_span = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    e_span = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    (
+        ev.select("*", rep)
+        .select(
+            (F.col("event_id") + F.col("replica") * e_span).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("replica") * u_span).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "events.parquet"))
+    )
+
+    doc = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+    d_span = doc.agg(F.max("doc_id")).collect()[0][0] + 1
+    text10 = F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit(" "), F.col("text"))
+    (
+        doc.select("*", rep)
+        .select(
+            (F.col("doc_id") + F.col("replica") * d_span).alias("doc_id"),
+            text10.alias("text"),
+            "lang",
+            "source",
+            F.length(text10).cast("long").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+    emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
+    v_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    # per-(replica, dimension) deterministic ±1: diagonal orthogonal map
+    signed = F.expr(
+        "transform(embedding, (x, i) -> x * cast(1 - 2 * pmod(xxhash64(replica, i), 2) as float))"
+    )
+    (
+        emb.select("*", rep)
+        .select(
+            (F.col("vec_id") + F.col("replica") * v_span).alias("vec_id"),
+            signed.alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+
+
+def time_query(spark, fn, sf_dir: str, runs: int) -> float:
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.agg(F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))).collect()
+        return time.perf_counter() - t0
+
+    once()  # warm: codegen + AQE plan at this size
+    return min(once() for _ in range(runs))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--keep", action="store_true", help="keep the 10x dir")
+    args = ap.parse_args()
+
+    from anti_ddos_spark.queries import full_registry
+    from anti_ddos_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = full_registry()
+
+    out_dir = os.path.join(tempfile.gettempdir(), f"scale_{args.replicas}x")
+    build_10x(spark, out_dir, args.replicas)
+    import math
+
+    results: dict[str, dict[str, float]] = {}
+    for name in PROBE_QUERIES:
+        fn = reg[name].fn
+        r = {
+            "sf0.01": time_query(spark, fn, SF001, args.runs),
+            "sf0.1": time_query(spark, fn, SF01, args.runs),
+            f"{args.replicas}x_sf0.1": time_query(spark, fn, out_dir, args.runs),
+        }
+        lo, mid, hi = r["sf0.01"], r["sf0.1"], r[f"{args.replicas}x_sf0.1"]
+        r["alpha_low"] = round(math.log10(mid / lo), 3)
+        r["alpha_high"] = round(
+            math.log(hi / mid) / math.log(args.replicas), 3
+        )
+        results[name] = {k: round(v, 3) for k, v in r.items()}
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+
+    print(json.dumps({"summary": results}))
+    if not args.keep:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

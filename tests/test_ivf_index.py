@@ -27,7 +27,7 @@ def _emb(spark):
 def test_index_search_matches_ivf_topk(spark, tmp_path):
     emb = _emb(spark)
     path = str(tmp_path / "ivf_idx")
-    ivf_build_index(emb, path, n_centroids=8)
+    ivf_build_index(emb, path, n_centroids=8, centroids="data")
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
     got = ivf_search_index(spark, path, qvec, k=10, nprobe=3)
@@ -44,7 +44,7 @@ def test_index_search_matches_ivf_topk(spark, tmp_path):
 def test_probe_is_partition_filter(spark, tmp_path):
     emb = _emb(spark)
     path = str(tmp_path / "ivf_idx2")
-    ivf_build_index(emb, path, n_centroids=8)
+    ivf_build_index(emb, path, n_centroids=8, centroids="data")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
     from anti_ddos_spark.plans import plan_summary
 
@@ -70,11 +70,11 @@ def test_incremental_append_matches_full_rebuild(spark, tmp_path):
     from anti_ddos_spark.operators.similarity import ivf_append_index
 
     inc = str(tmp_path / "ivf_inc")
-    ivf_build_index(base, inc, n_centroids=8)
+    ivf_build_index(base, inc, n_centroids=8, centroids="data")
     ivf_append_index(delta, inc)
 
     full = str(tmp_path / "ivf_full")
-    ivf_build_index(emb, full, n_centroids=8)
+    ivf_build_index(emb, full, n_centroids=8, centroids="data")
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
     got = [

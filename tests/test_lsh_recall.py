@@ -120,4 +120,6 @@ def test_signature_build_rejects_missing_planes(spark):
 
     df = _planted_df(spark).filter("vec_id >= 3")  # ids 1..2 missing
     with _pytest.raises(ValueError, match="hyperplanes"):
-        hyperplane_signatures(df, 1, LSH_PLANES)
+        # "data" mode is the one that derives planes from row ids — the
+        # quality default (gaussian) has no id-coverage precondition.
+        hyperplane_signatures(df, 1, LSH_PLANES, planes="data")

@@ -1,0 +1,69 @@
+"""config.QUALITY_DEFAULTS: bare operator calls take the production
+quality path (seeded Gaussian planes, learned IVF centroids) while the
+oracle queries stay pinned to the deterministic "data" mode.
+
+VERDICT r3 #8: the quality components existed but were opt-in; a user
+who lifted the code got the demo path. These tests pin the new default
+resolution in both flag states.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+import anti_ddos_spark.config as config
+from anti_ddos_spark.operators.similarity import (
+    gaussian_planes,
+    hyperplane_signatures,
+    ivf_build_index,
+)
+
+DIM = 16
+N = 40
+
+
+def _vecs(spark):
+    # deterministic non-orthogonal fixture; ids 1..N so "data" mode works
+    rows = [
+        (i, [float(((i * 7 + j * 13) % 19) - 9) / 9.0 for j in range(DIM)])
+        for i in range(1, N + 1)
+    ]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def _sigs(df, planes=None):
+    out = hyperplane_signatures(df, 1, 8, planes=planes)
+    return sorted((r["vec_id"], r["sig"]) for r in out.select("vec_id", "sig").collect())
+
+
+def test_default_planes_are_gaussian(spark):
+    """planes=None under the default flag ≡ explicit gaussian_planes
+    (same seed), and ≠ the data-row planes."""
+    assert config.QUALITY_DEFAULTS  # env default
+    df = _vecs(spark)
+    assert _sigs(df) == _sigs(df, gaussian_planes(spark, 8, DIM))
+    assert _sigs(df) != _sigs(df, "data")
+
+
+def test_flag_off_restores_data_planes(spark, monkeypatch):
+    monkeypatch.setattr(config, "QUALITY_DEFAULTS", False)
+    df = _vecs(spark)
+    assert _sigs(df) == _sigs(df, "data")
+
+
+def test_default_index_centroids_are_learned(spark, tmp_path):
+    """A bare ivf_build_index must ship learned centers: the sidecar no
+    longer equals the leading data vectors (the demo plumbing)."""
+    df = _vecs(spark)
+    path = str(tmp_path / "idx")
+    ivf_build_index(df, path, n_centroids=4)
+    side = {
+        tuple(round(x, 6) for x in r["cvec_d"])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    }
+    leading = {
+        tuple(round(float(x), 6) for x in r["embedding"])
+        for r in df.filter(F.col("vec_id") < 4).collect()
+    }
+    assert side != leading
+    assert len(side) == 4
