@@ -52,6 +52,24 @@ PROBE_QUERIES = [
 ]
 
 
+def _neardup_prod(spark, sf_dir):
+    """q42's operator at PRODUCTION banding (4 bands x 8 Gaussian planes
+    → 256 buckets/band). q42 itself is pinned to the oracle's demo
+    banding (2x4 → 16 buckets/band), which is deliberately permissive
+    and goes near-quadratic once the corpus outgrows the bucket count —
+    the same demo-vs-production split bench.py notes for q32/q35. This
+    is the shape a production corpus would run."""
+    from anti_ddos_spark.operators.similarity import lsh_neardup_pairs
+    from anti_ddos_spark.queries.base import t
+
+    return lsh_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), 0.8, n_bands=4, planes_per_band=8
+    )
+
+
+EXTRA_PROBES = {"neardup_prod_params": _neardup_prod}
+
+
 def build_10x(spark, out_dir: str, replicas: int) -> None:
     from pyspark.sql import functions as F
 
@@ -143,8 +161,8 @@ def main() -> None:
     import math
 
     results: dict[str, dict[str, float]] = {}
-    for name in PROBE_QUERIES:
-        fn = reg[name].fn
+    probes = [(n, reg[n].fn) for n in PROBE_QUERIES] + list(EXTRA_PROBES.items())
+    for name, fn in probes:
         r = {
             "sf0.01": time_query(spark, fn, SF001, args.runs),
             "sf0.1": time_query(spark, fn, SF01, args.runs),
