@@ -130,3 +130,58 @@ def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("pred_lang", predict_lang()).withColumn(
         "quality", quality_score()
     )
+
+
+# --- repetition / boilerplate quality metrics (Gopher-style) --------------
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Word n-grams of a MATERIALIZED words column as 'w1 w2 ...' strings;
+    docs with fewer than n words get an empty array (a repetition metric
+    over no n-grams is 0, not a degenerate self-gram)."""
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(ws, (i + k + 1).cast("int")) for k in range(n)]
+        )
+
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(ws) - n), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_count(grams: Column) -> Column:
+    """Occurrences of the most frequent n-gram: max equal-adjacent run
+    over the SORTED gram array, via a single struct-accumulator fold —
+    per-row only, no explode/groupBy, so the whole metric stays narrow
+    (the repetition filters of Rae et al. 2021 [Gopher §A1.1] computed
+    with zero shuffles; at 100 TB this is embarrassingly parallel)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(a: Column, x: Column) -> Column:
+        run = F.when(a["prev"].eqNullSafe(x), a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(a["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(grams), zero, step, lambda a: a["best"])
+
+
+def repetition_metrics(bg: Column, tg: Column) -> dict[str, Column]:
+    """Per-document repetition fractions over MATERIALIZED bigram/trigram
+    columns: top_bigram_frac = occurrences of the most common bigram /
+    total bigrams; dup_trigram_frac = fraction of trigram occurrences
+    that are repeats. High values flag boilerplate/generated text — the
+    standard pre-training quality gates alongside text_stats()."""
+    top_frac = F.when(
+        F.size(bg) > 0, top_ngram_count(bg) / F.size(bg)
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        F.size(tg) > 0,
+        (F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg),
+    ).otherwise(F.lit(0.0))
+    return {"top_bigram_frac": top_frac, "dup_trigram_frac": dup_frac}

@@ -17,8 +17,12 @@ from anti_ddos_spark.operators.dedup import (
     minhash_candidates,
     simhash,
 )
-from anti_ddos_spark.operators.text import document_profile
-from anti_ddos_spark.queries.base import Query, t
+from anti_ddos_spark.operators.text import (
+    document_profile,
+    repetition_metrics,
+    word_ngrams,
+)
+from anti_ddos_spark.queries.base import Query, rnd, t
 
 # Shared DuckDB fragments -------------------------------------------------
 
@@ -598,9 +602,68 @@ QUERIES: dict[str, Query] = {
     ),
 }
 
+# --- q49: repetition / boilerplate metrics (Gopher-style, zero-shuffle) ---
+
+def q49_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document repetition quality metrics (Rae et al. 2021, Gopher
+    §A1.1): occurrences of the most frequent word-bigram as a fraction of
+    all bigrams, and the fraction of duplicated word-trigram occurrences.
+    Entirely per-row higher-order expressions over materialized
+    words/ngram columns (PERF.md §1b CSE rule) — the plan is a parquet
+    scan + project with NO Exchange, the shape that stays embarrassingly
+    parallel at 100 TB (plan-pinned in test_plans.py)."""
+    d = (
+        t(spark, sf, "documents")
+        .withColumn("_ws", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("_bg", word_ngrams(F.col("_ws"), 2))
+        .withColumn("_tg", word_ngrams(F.col("_ws"), 3))
+    )
+    m = repetition_metrics(F.col("_bg"), F.col("_tg"))
+    return d.select(
+        "doc_id",
+        F.size("_ws").alias("n_words"),
+        rnd(m["top_bigram_frac"], 6).alias("top_bigram_frac"),
+        rnd(m["dup_trigram_frac"], 6).alias("dup_trigram_frac"),
+    )
+
+
+Q49_SQL = f"""
+WITH w AS (
+  SELECT doc_id, {_W} AS ws FROM documents),
+g AS (
+  SELECT doc_id, ws,
+    CASE WHEN len(ws) >= 2
+         THEN [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws)-1)]
+         ELSE CAST([] AS VARCHAR[]) END AS bg,
+    CASE WHEN len(ws) >= 3
+         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               FOR i IN generate_series(1, len(ws)-2)]
+         ELSE CAST([] AS VARCHAR[]) END AS tg
+  FROM w),
+bgc AS (
+  SELECT doc_id, max(cnt) AS topc, sum(cnt) AS totc FROM (
+    SELECT doc_id, b, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b)
+  GROUP BY doc_id)
+SELECT g.doc_id, CAST(len(g.ws) AS INT) AS n_words,
+  floor(coalesce(bgc.topc * 1.0 / bgc.totc, 0.0) * 1000000 + 0.5) / 1000000.0
+    AS top_bigram_frac,
+  floor((CASE WHEN len(g.tg) > 0
+         THEN (len(g.tg) - len(list_distinct(g.tg))) * 1.0 / len(g.tg)
+         ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS dup_trigram_frac
+FROM g LEFT JOIN bgc ON g.doc_id = bgc.doc_id
+"""
+
+
 # Demoted demo-parameter twins of q35/q36 (same code path, toy constants);
 # see queries/__init__.py cap policy. Oracle-checked via full_registry().
+# q49 lives here too: the driver registry is at its 50-row cap, so the
+# repetition profile is local-oracle-checked via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
     "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
     "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
+    "q49_repetition_profile": Query(
+        q49_repetition_profile, Q49_SQL,
+        "Gopher-style repetition/boilerplate metrics (zero-shuffle narrow plan)",
+    ),
 }

@@ -11,10 +11,12 @@ from __future__ import annotations
 import pytest
 
 from anti_ddos_spark.plans import plan_summary
-from anti_ddos_spark.queries import registry
+from anti_ddos_spark.queries import full_registry
 
 SF = "/root/testdata/sf0.01"
-REG = registry()
+# full_registry ⊇ registry: plan pins also cover locally-demoted queries
+# (q49 lives in EXTRA_QUERIES under the 50-row driver cap).
+REG = full_registry()
 
 
 def _summary(spark, name):
@@ -121,6 +123,16 @@ def test_q38_sample_is_narrow(spark):
     s = _summary(spark, "q38_stratified_hash_sample")
     assert s["n_shuffle_exchanges"] == 0, s["text"][:1500]
     assert s["n_broadcast_joins"] == 0 and s["n_sortmerge_joins"] == 0
+
+
+def test_q49_repetition_is_narrow(spark):
+    """Gopher-style repetition metrics are per-row folds over materialized
+    ngram arrays: zero shuffles, zero joins, no Python — the whole metric
+    family must stay embarrassingly parallel at 100 TB."""
+    s = _summary(spark, "q49_repetition_profile")
+    assert s["n_shuffle_exchanges"] == 0, s["text"][:1500]
+    assert s["n_broadcast_joins"] == 0 and s["n_sortmerge_joins"] == 0
+    assert "Python" not in s["text"] and "ArrowEval" not in s["text"]
 
 
 def test_q01_whole_stage_codegen(spark):
