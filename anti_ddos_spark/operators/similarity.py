@@ -589,3 +589,93 @@ def ivf_assign(
         .filter(F.col("rn") == 1)
         .select(id_col, "centroid_id", "cos")
     )
+
+
+def semantic_dedup_flags(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication flags (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
+    within a cluster, and drop every vector that has a same-cell
+    neighbor of smaller id with (rounded) cosine >= tau. Returns
+    (id, centroid_id, kept 0/1).
+
+    Scale shape: the cluster is the candidate bound — the paper's whole
+    point is that k grows with the corpus so cell population stays
+    roughly constant and the within-cell product never goes corpus-
+    quadratic. Assignment is the IVF broadcast-crossJoin + per-id argmax
+    window (one shuffle); the pair stage is an equi-join on centroid_id
+    with per-vector norms precomputed once (the q42 lesson); the flag
+    join is id-keyed. ``centroids`` as in ivf_build_index: None resolves
+    to k-means-learned under config.QUALITY_DEFAULTS, "data" pins the
+    deterministic leading-vector cells (what the DuckDB oracle
+    replicates), a list is used literally.
+    """
+    emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
+    if centroids is None:
+        from anti_ddos_spark.config import QUALITY_DEFAULTS
+
+        centroids = "learned" if QUALITY_DEFAULTS else "data"
+    if centroids == "learned":
+        centroids, _inertia = kmeans_train(
+            vectors, k=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if isinstance(centroids, str):
+        if centroids != "data":
+            raise ValueError(f"unknown centroids mode {centroids!r}")
+        cents = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col("e").alias("cvec")
+        )
+    else:
+        cents = _literal_centroids(vectors.sparkSession, centroids).select(
+            F.col("cid").alias("centroid_id"), F.col("cvec")
+        )
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        id_col, "e", "centroid_id", cosine(F.col("e"), F.col("cvec")).alias("_ccos")
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "e", "centroid_id")
+        .withColumn("nrm", norm(F.col("e")))
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "centroid_id",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "centroid_id",
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    raw = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(0.0))
+    p = 10**round_dp
+    cos_r = F.floor(raw * p + F.lit(0.5)) / F.lit(float(p))
+    dups = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_r >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )

@@ -307,12 +307,56 @@ QUERIES: dict[str, Query] = {
     ),
 }
 
+# --- q51: SemDeDup-style semantic dedup flags -----------------------------
+
+def q51_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup via cluster-bounded pairwise cosine (SemDeDup,
+    Abbas et al. 2023): assign to cells, drop any vector with a same-cell
+    smaller-id neighbor at rounded cosine >= tau. Oracle mode pins the
+    deterministic data-centroids; production lifts of the operator get
+    k-means cells via config.QUALITY_DEFAULTS."""
+    from anti_ddos_spark.operators.similarity import semantic_dedup_flags
+
+    return semantic_dedup_flags(
+        t(spark, sf, "embeddings"),
+        n_centroids=CENTROIDS,
+        tau=NEARDUP_COS,
+        centroids="data",  # oracle mode: DuckDB replicates without RNG
+    )
+
+
+Q51_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.centroid_id,
+         {_cos_sql('e.embedding::DOUBLE[]', 'c.cvec')} AS ccos
+  FROM embeddings e, cents c),
+assigned AS (
+  SELECT vec_id, ev, centroid_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM scored) WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE floor(({_cos_sql('a.ev', 'b.ev')}) * 1000000 + 0.5) / 1000000.0
+        >= {NEARDUP_COS})
+SELECT a.vec_id, a.centroid_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+
 # Demoted under the 50-row driver cap (queries/__init__.py cap policy):
 # q43 is the demo-parameter twin of q44 (same LSH code path, toy
 # constants); q46 is rows-only anyway (iterative k-means has no SQL
 # oracle) and its real evidence is tests/test_kmeans.py — demoting it in
 # round 4 made room for the q72 transformWithState row, which has a full
-# hash-checked oracle. Both still run in local tests via full_registry().
+# hash-checked oracle. q51 (round 4) joins them: the cap is full, so the
+# semantic-dedup oracle runs locally via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
     "q43_lsh_ann": Query(
         q43_lsh_ann, Q43_SQL, "hyperplane-LSH bucketed ANN top-k (demo params)"
@@ -320,5 +364,9 @@ EXTRA_QUERIES: dict[str, Query] = {
     "q46_kmeans_clusters": Query(
         q46_kmeans_clusters, None,
         "Lloyd's k-means (iterative, rows-only) cluster histogram",
+    ),
+    "q51_semantic_dedup": Query(
+        q51_semantic_dedup, Q51_SQL,
+        "SemDeDup-style cluster-bounded semantic dedup flags",
     ),
 }

@@ -1,0 +1,72 @@
+"""semantic_dedup_flags (SemDeDup-style): planted-cluster behavior.
+
+q51 (full_registry) proves cross-engine parity of the data-centroid
+oracle mode; these prove the dedup DECISION on planted fixtures and that
+the learned-centroid quality default executes end-to-end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from anti_ddos_spark.operators.similarity import semantic_dedup_flags
+
+DIM = 16
+N_CLUSTERS = 3
+PER_CLUSTER = 4
+
+
+def _planted(spark):
+    """3 tight clusters (cos ≈ 0.9996 within) + 1 far singleton; ids
+    assigned so min-id-per-cluster is known: cluster c owns ids
+    c*PER_CLUSTER .. c*PER_CLUSTER+3, singleton is the last id."""
+    rng = np.random.default_rng(11)
+    bases = []
+    while len(bases) < N_CLUSTERS:
+        v = rng.normal(size=DIM)
+        v /= np.linalg.norm(v)
+        if all(abs(float(v @ b)) < 0.5 for b in bases):
+            bases.append(v)
+    rows = []
+    for c, base in enumerate(bases):
+        for m in range(PER_CLUSTER):
+            v = base if m == 0 else base + 0.005 * rng.normal(size=DIM)
+            rows.append((c * PER_CLUSTER + m, [float(x) for x in v]))
+    lone = rng.normal(size=DIM)
+    for b in bases:  # push the singleton away from every cluster
+        lone -= (lone @ b) * b
+    lone /= np.linalg.norm(lone)
+    rows.append((N_CLUSTERS * PER_CLUSTER, [float(x) for x in lone]))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>"), bases
+
+
+def test_literal_centroids_keep_min_id_per_cluster(spark):
+    df, bases = _planted(spark)
+    flags = semantic_dedup_flags(
+        df, n_centroids=N_CLUSTERS, tau=0.95,
+        centroids=[[float(x) for x in b] for b in bases],
+    ).collect()
+    kept = {r["vec_id"] for r in flags if r["kept"] == 1}
+    # exactly the min id of each planted cluster + the singleton survive
+    want = {c * PER_CLUSTER for c in range(N_CLUSTERS)} | {N_CLUSTERS * PER_CLUSTER}
+    assert kept == want, kept
+
+
+def test_learned_default_executes_and_dedups(spark):
+    """centroids=None → k-means under QUALITY_DEFAULTS; on the planted
+    fixture learned cells must separate the clusters well enough that
+    each loses its near-duplicates."""
+    df, _bases = _planted(spark)
+    flags = semantic_dedup_flags(df, n_centroids=N_CLUSTERS, tau=0.95).collect()
+    kept = sum(r["kept"] for r in flags)
+    assert kept == N_CLUSTERS + 1, [
+        (r["vec_id"], r["centroid_id"], r["kept"]) for r in sorted(flags, key=lambda r: r["vec_id"])
+    ]
+
+
+def test_tau_one_keeps_everything_except_exact_dups(spark):
+    df, _ = _planted(spark)
+    flags = semantic_dedup_flags(df, n_centroids=N_CLUSTERS, tau=1.0, centroids="data").collect()
+    # perturbed vectors are not exact dups → everything kept
+    assert all(r["kept"] == 1 for r in flags)
