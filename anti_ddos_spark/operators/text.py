@@ -97,6 +97,15 @@ def fingerprint(text: Column, ws: Column | None = None) -> Column:
     )
 
 
+# GPT-2-style pretokenizer, minus the trailing-space lookahead (RE2 — the
+# DuckDB oracle's engine — has no lookahead; on space-separated corpora
+# the two patterns count identically): contractions, space-prefixed
+# letter/digit runs, space-prefixed punctuation runs, whitespace runs.
+# Matches are what a BPE vocabulary would merge within — counting them
+# approximates tokenizer load without shipping a vocab.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_counts(text: Column, ws: Column | None = None) -> dict[str, Column]:
     """BPE-ish token accounting via regex classes."""
     ws = words(text) if ws is None else ws
@@ -104,6 +113,7 @@ def token_counts(text: Column, ws: Column | None = None) -> dict[str, Column]:
         "n_alpha_tokens": F.regexp_count(text, F.lit(r"[a-z]+")).cast("int"),
         "n_num_tokens": F.regexp_count(text, F.lit(r"[0-9]+")).cast("int"),
         "n_ws_tokens": F.size(ws).cast("int"),
+        "n_bpe_tokens": F.regexp_count(text, F.lit(BPE_PRETOKEN_RE)).cast("int"),
     }
 
 

@@ -89,11 +89,14 @@ WITH base AS (
          CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_tokens,
          CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_num_tokens,
          CAST(len({_W}) AS INT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+           AS INT) AS n_bpe_tokens,
          {", ".join(score_cols)},
          {_shingle_sig(0)} AS fingerprint
   FROM {src})
 SELECT doc_id, lang, n_words, n_chars_calc, distinct_ratio_pct, mean_word_len_x10,
-       long_word_pct, n_alpha_tokens, n_num_tokens, n_ws_tokens,
+       long_word_pct, n_alpha_tokens, n_num_tokens, n_ws_tokens, n_bpe_tokens,
        {", ".join(f"score_{l}" for l in LANG_ORDER)}, fingerprint,
        {pred} AS pred_lang,
        CAST(greatest(least(floor(least(n_words, 100) + distinct_ratio_pct / 2
