@@ -354,3 +354,120 @@ if tws_runtime_available():
         "deterministic single-batch form (registers only where "
         "google.protobuf exists)",
     )
+
+
+# --- q75: streaming embedding near-dup — hyperplane bucket state ----------
+
+def q75_streaming_embedding_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of q42's candidate generation: replay embeddings as
+    a stream, compute banded hyperplane sign signatures PER ROW against
+    planes FIXED AT BUILD TIME, then keep one state row per occupied
+    (band, signature) bucket via dropDuplicates — the online form of a
+    semantic near-dup filter (an arriving vector whose bands all hit
+    occupied buckets is a candidate duplicate; RocksDB-capable state,
+    one row per bucket).
+
+    The planes are collected driver-side once at query build (k x dim
+    doubles — a build-time scalar, exactly how an online index pins its
+    plane set; the oracle-deterministic "data" planes here so DuckDB
+    replicates without RNG). Per-row signatures are then pure literal
+    folds — zero shuffle before the dedup state, the only form an
+    unbounded stream can run. Batch twin: q42
+    (operators/similarity.py lsh_neardup_pairs).
+    """
+    from anti_ddos_spark.operators.similarity import as_double, dot
+    from anti_ddos_spark.queries.similarity import (
+        NEARDUP_BANDS,
+        NEARDUP_PLANES_PER_BAND,
+    )
+
+    n_planes = NEARDUP_BANDS * NEARDUP_PLANES_PER_BAND
+    emb = t(spark, sf, "embeddings").select("vec_id", "embedding")
+    plane_rows = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= n_planes))
+        .orderBy("vec_id")
+        .collect()
+    )
+    if len(plane_rows) != n_planes:
+        raise ValueError(
+            f"expected {n_planes} data planes, found {len(plane_rows)}"
+        )
+    planes = [[float(x) for x in r["embedding"]] for r in plane_rows]
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q75_stream_")
+    src = os.path.join(tmp, "vecs")
+    emb.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(emb.schema).parquet(src).withColumn(
+        "_e", as_double(F.col("embedding"))
+    )
+
+    def band_sig(b: int):
+        bits = None
+        for i in range(NEARDUP_PLANES_PER_BAND):
+            h = planes[b * NEARDUP_PLANES_PER_BAND + i]
+            hit = F.when(
+                dot(F.col("_e"), F.array(*[F.lit(x) for x in h])) >= 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            bits = hit if bits is None else bits + hit
+        return bits
+
+    sigs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                band_sig(b).alias("sig"),
+            )
+            for b in range(NEARDUP_BANDS)
+        ]
+    )
+    buckets = (
+        stream.select(F.explode(sigs).alias("s"))
+        .select("s.band_id", "s.sig")
+        .dropDuplicates(["band_id", "sig"])
+    )
+    name = f"q75_buckets_{run_id}"
+    q = (
+        buckets.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q75 streaming embedding buckets did not finish its availableNow "
+            "run in 240 s"
+        )
+    return spark.table(name).select("band_id", "sig").distinct()
+
+
+def _q75_sql() -> str:
+    from anti_ddos_spark.queries.similarity import (
+        NEARDUP_BANDS,
+        NEARDUP_PLANES_PER_BAND,
+        _sig_sql,
+    )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+{_sig_sql('e', NEARDUP_BANDS, NEARDUP_PLANES_PER_BAND)}
+SELECT DISTINCT CAST(band_id AS INT) AS band_id, CAST(sig AS BIGINT) AS sig
+FROM sig
+"""
+
+
+EXTRA_QUERIES: dict[str, Query] = {
+    "q75_streaming_embedding_buckets": Query(
+        q75_streaming_embedding_buckets,
+        _q75_sql(),
+        "streaming semantic near-dup: per-row literal-plane signatures "
+        "(zero-shuffle) + bucket dedup state, vs the q42 batch sig CTE",
+    ),
+}

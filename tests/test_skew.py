@@ -116,7 +116,10 @@ def test_skewed_walltime_bounded(spark):
 
     t_flat = min(_timed_run(spark, skewed=False)[0] for _ in range(2))
     t_skew = min(_timed_run(spark, skewed=True)[0] for _ in range(2))
-    assert t_skew <= max(4.0 * t_flat, t_flat + 2.0), (
+    # relative-timing bound: generous additive slack because a contended
+    # box (e.g. the full suite racing another Spark job) can stretch one
+    # side's min-of-2 by seconds without any plan regression
+    assert t_skew <= max(4.0 * t_flat, t_flat + 5.0), (
         f"skewed layout {t_skew:.2f}s vs balanced {t_flat:.2f}s — "
         "per-key sequential cost is no longer bounded by the gap split"
     )
