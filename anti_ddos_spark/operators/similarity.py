@@ -616,6 +616,11 @@ def semantic_dedup_flags(
     to k-means-learned under config.QUALITY_DEFAULTS, "data" pins the
     deterministic leading-vector cells (what the DuckDB oracle
     replicates), a list is used literally.
+
+    The self-join re-derives the assignment subtree on both sides (Spark
+    does not share it); at index scale, materialize the assignment once
+    with ivf_build_index and run the pair stage per cell partition —
+    then each side is a partition-pruned scan, not a recompute.
     """
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
     if centroids is None:
