@@ -590,7 +590,6 @@ QUERIES: dict[str, Query] = {
     "q15_datetime_agg": Query(q15_datetime_agg, Q15_SQL, "timestamp bucketing"),
     "q16_json_extract": Query(q16_json_extract, Q16_SQL, "regex/JSON scalar extraction"),
     "q17_pivot": Query(q17_pivot, Q17_SQL, "pivot to conditional-agg matrix"),
-    "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
     "q19_percentiles": Query(q19_percentiles, Q19_SQL, "exact percentile_cont per group"),
     "q27_cube": Query(q27_cube, Q27_SQL, "full cube grouping sets"),
     "q28_salted_agg": Query(
@@ -599,4 +598,14 @@ QUERIES: dict[str, Query] = {
     "q29_props_struct": Query(
         q29_props_struct, Q29_SQL, "typed from_json struct parse + agg on parsed field"
     ),
+}
+
+# Demoted in round 5 (judge brief): q18 is by-design rows-only (approx
+# sketches have no exact DuckDB oracle; the engine-side bound check in
+# tests/test_queries_oracle.py is the real evidence), so it carries zero
+# hash signal in the driver sweep. It yields its driver slot to q49
+# (repetition) which has a full hash-checked oracle; the HLL bound check
+# still runs locally via full_registry().
+EXTRA_QUERIES: dict[str, Query] = {
+    "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
 }

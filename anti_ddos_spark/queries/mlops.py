@@ -35,7 +35,13 @@ def ml_train_confusion(spark: SparkSession, sf: str) -> DataFrame:
     return confusion_matrix(scored)
 
 
-QUERIES: dict[str, Query] = {
+QUERIES: dict[str, Query] = {}
+
+# Demoted in round 5 (judge brief): rows-only (RandomForest training has
+# no SQL oracle; the real evidence is the metric assertions in
+# tests/test_pipeline.py). Its driver slot goes to q51 (semantic dedup),
+# which has a full hash-checked oracle. Still runs via full_registry().
+EXTRA_QUERIES: dict[str, Query] = {
     "q50_ml_train_confusion": Query(
         ml_train_confusion, None, "RF train + held-out confusion matrix (rows-only)"
     ),

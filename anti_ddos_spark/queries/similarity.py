@@ -350,13 +350,19 @@ FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
 """
 
 
+# Promoted to the driver registry in round 5 (judge brief): q51 has a
+# full hash-checked oracle and took the slot freed by the rows-only q50.
+QUERIES["q51_semantic_dedup"] = Query(
+    q51_semantic_dedup, Q51_SQL,
+    "SemDeDup-style cluster-bounded semantic dedup flags",
+)
+
 # Demoted under the 50-row driver cap (queries/__init__.py cap policy):
 # q43 is the demo-parameter twin of q44 (same LSH code path, toy
 # constants); q46 is rows-only anyway (iterative k-means has no SQL
 # oracle) and its real evidence is tests/test_kmeans.py — demoting it in
 # round 4 made room for the q72 transformWithState row, which has a full
-# hash-checked oracle. q51 (round 4) joins them: the cap is full, so the
-# semantic-dedup oracle runs locally via full_registry().
+# hash-checked oracle.
 EXTRA_QUERIES: dict[str, Query] = {
     "q43_lsh_ann": Query(
         q43_lsh_ann, Q43_SQL, "hyperplane-LSH bucketed ANN top-k (demo params)"
@@ -364,9 +370,5 @@ EXTRA_QUERIES: dict[str, Query] = {
     "q46_kmeans_clusters": Query(
         q46_kmeans_clusters, None,
         "Lloyd's k-means (iterative, rows-only) cluster histogram",
-    ),
-    "q51_semantic_dedup": Query(
-        q51_semantic_dedup, Q51_SQL,
-        "SemDeDup-style cluster-bounded semantic dedup flags",
     ),
 }

@@ -605,6 +605,9 @@ QUERIES: dict[str, Query] = {
     ),
 }
 
+# q49 is registered below (after its definition) — promoted to the driver
+# registry in round 5 in place of the rows-only q18.
+
 # --- q49: repetition / boilerplate metrics (Gopher-style, zero-shuffle) ---
 
 def q49_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
@@ -658,15 +661,16 @@ FROM g LEFT JOIN bgc ON g.doc_id = bgc.doc_id
 """
 
 
+# Promoted to the driver registry in round 5 (judge brief): q49 has a
+# full hash-checked oracle and took the slot freed by the rows-only q18.
+QUERIES["q49_repetition_profile"] = Query(
+    q49_repetition_profile, Q49_SQL,
+    "Gopher-style repetition/boilerplate metrics (zero-shuffle narrow plan)",
+)
+
 # Demoted demo-parameter twins of q35/q36 (same code path, toy constants);
 # see queries/__init__.py cap policy. Oracle-checked via full_registry().
-# q49 lives here too: the driver registry is at its 50-row cap, so the
-# repetition profile is local-oracle-checked via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
     "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
     "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
-    "q49_repetition_profile": Query(
-        q49_repetition_profile, Q49_SQL,
-        "Gopher-style repetition/boilerplate metrics (zero-shuffle narrow plan)",
-    ),
 }
