@@ -118,8 +118,13 @@ def minhash_banded_narrow(
     text_col: str = "text",
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Banded MinHash as a PURE PER-ROW projection → (id, band_id, band_key).
+
+    ``keep`` names passthrough columns (e.g. an event-time column for the
+    bounded-state dedup in streaming/dedup_stream.py) carried alongside
+    the projection — still zero-shuffle.
 
     Same signature arithmetic as minhash_candidates (one md5 per shingle,
     k universal-hash permutations, md5 band digests — identical values),
@@ -135,17 +140,22 @@ def minhash_banded_narrow(
     re-run the regex split and md5 per permutation (measured 40× on the
     explode path; same failure class here).
     """
+    extra = [F.col(c) for c in keep]
     pre = docs.select(
         F.col(id_col),
         F.col(text_col).alias("_txt"),
         words(F.col(text_col)).alias("_ws"),
+        *extra,
     )
     sh = pre.select(
-        F.col(id_col), shingles_of_words(F.col("_ws"), F.col("_txt")).alias("_sh")
+        F.col(id_col),
+        shingles_of_words(F.col("_ws"), F.col("_txt")).alias("_sh"),
+        *extra,
     )
     hashed = sh.select(
         F.col(id_col),
         F.transform(F.col("_sh"), lambda s: shingle_base_hash(s)).alias("_h"),
+        *extra,
     )
     def _perm(i: int):
         a_i, b_i = uhash_params(i)
@@ -157,11 +167,13 @@ def minhash_banded_narrow(
             F.array_min(F.transform(F.col("_h"), _perm(i))).alias(f"minhash_{i}")
             for i in range(k)
         ],
+        *extra,
     )
     sig_cols = [f"minhash_{i}" for i in range(k)]
     return sigs.select(
         F.col(id_col),
         F.posexplode(lsh_bands(sig_cols, bands=bands)).alias("band_id", "band_key"),
+        *extra,
     ).withColumn("band_id", F.col("band_id").cast("int"))
 
 

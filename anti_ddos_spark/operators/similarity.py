@@ -38,6 +38,45 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def literal_plane_band_sigs(
+    vec: Column, planes: list[list[float]], planes_per_band: int
+) -> Column:
+    """Banded hyperplane sign signatures against planes FIXED AT BUILD
+    TIME, as an ``array<struct<band_id:int, sig:long>>`` expression.
+
+    The planes are plain Python floats baked into the plan as literals —
+    no join, no broadcast variable, zero shuffle — so the expression is
+    legal on an unbounded stream ahead of stateful dedup. This is the
+    shared signature kernel of q75 (queries/streamops.py) and the
+    bounded-state near-dup filter (streaming/dedup_stream.py); the batch
+    twin with data-derived planes is hyperplane_signatures below.
+    """
+    if len(planes) % planes_per_band:
+        raise ValueError("len(planes) must be a multiple of planes_per_band")
+    n_bands = len(planes) // planes_per_band
+
+    def band_sig(b: int) -> Column:
+        bits = None
+        for i in range(planes_per_band):
+            h = planes[b * planes_per_band + i]
+            hit = F.when(
+                dot(vec, F.array(*[F.lit(x) for x in h])) >= 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            bits = hit if bits is None else bits + hit
+        return bits
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                band_sig(b).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query_id: int,

@@ -154,8 +154,12 @@ def q73_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     of digests is deterministic and hash-checkable against batch SQL.
 
     This is the streaming half of the dedup story: state is one row per
-    distinct digest (pair with watermark+event-time column, or the
-    RocksDB provider, to bound it on unbounded corpora)."""
+    distinct digest. The bare dropDuplicates here is the ORACLE form —
+    exact over this finite availableNow replay, state never evicted. The
+    production form on unbounded corpora is
+    streaming/dedup_stream.py::bounded_exact_dedup (watermark +
+    dropDuplicatesWithinWatermark, state bounded to the horizon;
+    eviction unit-proved in tests/test_bounded_dedup.py)."""
     docs = t(spark, sf, "documents").select(F.md5("text").alias("digest"))
     run_id = next(_counter)
     tmp = tempfile.mkdtemp(prefix="q73_stream_")
@@ -204,7 +208,10 @@ def q74_streaming_minhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
     bucket; RocksDB provider to bound memory) is exactly what a
     streaming near-dup filter maintains at corpus scale: an arriving
     doc whose bands all hit occupied buckets is a candidate duplicate.
-    Batch twin: q35 (operators/dedup.py minhash_candidates)."""
+    Batch twin: q35 (operators/dedup.py minhash_candidates). Bounded
+    production form: streaming/dedup_stream.py::bounded_minhash_buckets
+    (watermark TTL; this bare dropDuplicates is the oracle-replay
+    form)."""
     from anti_ddos_spark.operators.dedup import minhash_banded_narrow
 
     docs = t(spark, sf, "documents").select("doc_id", "text")
@@ -373,9 +380,15 @@ def q75_streaming_embedding_buckets(spark: SparkSession, sf: str) -> DataFrame:
     replicates without RNG). Per-row signatures are then pure literal
     folds — zero shuffle before the dedup state, the only form an
     unbounded stream can run. Batch twin: q42
-    (operators/similarity.py lsh_neardup_pairs).
+    (operators/similarity.py lsh_neardup_pairs). Bounded production
+    form: streaming/dedup_stream.py::bounded_embedding_buckets
+    (watermark TTL; this bare dropDuplicates is the oracle-replay
+    form).
     """
-    from anti_ddos_spark.operators.similarity import as_double, dot
+    from anti_ddos_spark.operators.similarity import (
+        as_double,
+        literal_plane_band_sigs,
+    )
     from anti_ddos_spark.queries.similarity import (
         NEARDUP_BANDS,
         NEARDUP_PLANES_PER_BAND,
@@ -403,25 +416,8 @@ def q75_streaming_embedding_buckets(spark: SparkSession, sf: str) -> DataFrame:
         "_e", as_double(F.col("embedding"))
     )
 
-    def band_sig(b: int):
-        bits = None
-        for i in range(NEARDUP_PLANES_PER_BAND):
-            h = planes[b * NEARDUP_PLANES_PER_BAND + i]
-            hit = F.when(
-                dot(F.col("_e"), F.array(*[F.lit(x) for x in h])) >= 0,
-                F.lit(1 << i).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            bits = hit if bits is None else bits + hit
-        return bits
-
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("int").alias("band_id"),
-                band_sig(b).alias("sig"),
-            )
-            for b in range(NEARDUP_BANDS)
-        ]
+    sigs = literal_plane_band_sigs(
+        F.col("_e"), planes, NEARDUP_PLANES_PER_BAND
     )
     buckets = (
         stream.select(F.explode(sigs).alias("s"))
