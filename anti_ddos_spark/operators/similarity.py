@@ -657,9 +657,10 @@ def semantic_dedup_flags(
     replicates), a list is used literally.
 
     The self-join re-derives the assignment subtree on both sides (Spark
-    does not share it); at index scale, materialize the assignment once
-    with ivf_build_index and run the pair stage per cell partition —
-    then each side is a partition-pruned scan, not a recompute.
+    does not share it) — acceptable at oracle scale only. The index-scale
+    form is semantic_dedup_flags_indexed below: materialize the
+    assignment once with ivf_build_index, then each join side is a plain
+    (and, per cell group, partition-pruned) scan, not a recompute.
     """
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
     if centroids is None:
@@ -692,6 +693,17 @@ def semantic_dedup_flags(
         .select(id_col, "e", "centroid_id")
         .withColumn("nrm", norm(F.col("e")))
     )
+    return _semantic_flags_from_assigned(assigned, tau, id_col, round_dp)
+
+
+def _semantic_flags_from_assigned(
+    assigned: DataFrame, tau: float, id_col: str, round_dp: int
+) -> DataFrame:
+    """Shared pair stage of SemDeDup: ``assigned`` is (id, e, centroid_id,
+    nrm); within-cell smaller-id neighbor at rounded cosine >= tau marks
+    the larger id dropped. Used by both the in-memory form above and the
+    materialized-index form below — the input decides whether each join
+    side is a recompute or a plain index scan."""
     a = assigned.select(
         F.col(id_col).alias("id_a"), "centroid_id",
         F.col("e").alias("ea"), F.col("nrm").alias("na"),
@@ -723,3 +735,36 @@ def semantic_dedup_flags(
             F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
         )
     )
+
+
+def semantic_dedup_flags_indexed(
+    spark,
+    path: str,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+    cells: list[int] | None = None,
+) -> DataFrame:
+    """SemDeDup over a MATERIALIZED assignment — the index-scale form the
+    in-memory docstring promises: ``ivf_build_index`` has already written
+    the corpus as parquet partitioned by centroid_id, so both sides of
+    the within-cell pair join are plain scans of that index (same flags
+    as semantic_dedup_flags; parity unit-proved). Nothing recomputes the
+    k-means/argmax assignment subtree, and because centroid_id is the
+    physical partition key, a run restricted via ``cells`` is PARTITION
+    PRUNING at the scan — only those cells' files are ever opened
+    (plan-asserted in tests/test_semantic_dedup.py). That restriction is
+    how a 100 TB dedup actually executes: cells are independent, so the
+    sweep shards into per-cell-group jobs, each touching 1/C of the
+    corpus, with results unioned by append.
+    """
+    idx = spark.read.parquet(path)
+    if cells is not None:
+        idx = idx.filter(F.col("centroid_id").isin([int(c) for c in cells]))
+    assigned = idx.select(
+        F.col(id_col),
+        F.col("centroid_id"),
+        as_double(F.col(vec_col)).alias("e"),
+    ).withColumn("nrm", norm(F.col("e")))
+    return _semantic_flags_from_assigned(assigned, tau, id_col, round_dp)

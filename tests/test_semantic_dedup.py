@@ -70,3 +70,69 @@ def test_tau_one_keeps_everything_except_exact_dups(spark):
     flags = semantic_dedup_flags(df, n_centroids=N_CLUSTERS, tau=1.0, centroids="data").collect()
     # perturbed vectors are not exact dups → everything kept
     assert all(r["kept"] == 1 for r in flags)
+
+
+# --- materialized-assignment form (round 5, VERDICT r4 #3) ----------------
+
+SF = "/root/testdata/sf0.001"
+TAU = 0.2  # the q51 oracle bar — low enough to produce real dups here
+
+
+def _flag_set(rows):
+    return {(r["vec_id"], r["centroid_id"], r["kept"]) for r in rows}
+
+
+def test_indexed_flags_match_in_memory(spark, tmp_path):
+    """semantic_dedup_flags_indexed over an ivf_build_index write must
+    produce exactly the in-memory flags (same cells, same tau)."""
+    from anti_ddos_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_dedup_flags_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "sem_idx")
+    ivf_build_index(emb, path, n_centroids=8, centroids="data")
+
+    got = _flag_set(
+        semantic_dedup_flags_indexed(spark, path, tau=TAU).collect()
+    )
+    want = _flag_set(
+        semantic_dedup_flags(
+            emb, n_centroids=8, tau=TAU, centroids="data"
+        ).collect()
+    )
+    assert got == want
+    assert any(k == 0 for _, _, k in want), "fixture produced no dups — tau too high"
+
+
+def test_indexed_cell_restriction_prunes_partitions(spark, tmp_path):
+    """The per-cell-group sweep the docstring promises: a cells=[...]
+    run must (a) match the full result filtered to those cells and
+    (b) read the index via PARTITION pruning on centroid_id, with no
+    assignment recompute (no Window / cross join) anywhere in the plan."""
+    from anti_ddos_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_dedup_flags_indexed,
+    )
+    from anti_ddos_spark.plans import plan_summary
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "sem_idx2")
+    ivf_build_index(emb, path, n_centroids=8, centroids="data")
+
+    cells = [2, 5]
+    sub = semantic_dedup_flags_indexed(spark, path, tau=TAU, cells=cells)
+    got = _flag_set(sub.collect())
+    full = semantic_dedup_flags_indexed(spark, path, tau=TAU).collect()
+    want = _flag_set(r for r in full if r["centroid_id"] in cells)
+    assert got == want
+
+    plan = plan_summary(sub)["text"]
+    assert "PartitionFilters: [" in plan
+    for seg in plan.split("PartitionFilters: [")[1:]:
+        head = seg.split("]", 1)[0]
+        assert "centroid_id" in head, head  # every index scan is pruned
+    # neither join side recomputes the assignment subtree
+    assert "Window" not in plan, "assignment argmax recomputed"
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
