@@ -70,12 +70,41 @@ def _header_len() -> Column:
     return F.when(F.col("protocol") == 6, F.lit(20)).otherwise(F.lit(8))
 
 
+# Expression-construction memo. Building the 77 aggregate Columns is
+# ~1.5 s of driver-side py4j round-trips (measured, PERF.md §q24) and the
+# result depends only on `mode` — Catalyst Columns are immutable
+# expression trees, safely shared across plans. Keyed by the py4j gateway
+# so a restarted JVM in the same process never sees stale object refs.
+_AGG_MEMO: dict[tuple, list[Column]] = {}
+
+
+def _jvm_key() -> int | None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc._gateway) if sc is not None else None
+
+
+def _memoized(name: str, mode: str, build) -> list[Column]:
+    key = (name, mode, _jvm_key())
+    cols = _AGG_MEMO.get(key)
+    if cols is None:
+        cols = _AGG_MEMO[key] = build()
+    return list(cols)  # shallow copy: callers may extend the list
+
+
 def flow_feature_aggs(mode: str = "faithful") -> list[Column]:
     """Aggregate Columns for the 77 features, in reference output order.
 
     Apply over a DataFrame prepared by ``sessionize.prepare_sessions`` and
-    grouped by the flow key (+ session id).
+    grouped by the flow key (+ session id). Memoized per (mode, JVM).
     """
+    if mode not in ("faithful", "exact"):
+        raise ValueError(f"mode must be 'faithful' or 'exact', got {mode!r}")
+    return _memoized("flow", mode, lambda: _build_flow_feature_aggs(mode))
+
+
+def _build_flow_feature_aggs(mode: str) -> list[Column]:
     if mode not in ("faithful", "exact"):
         raise ValueError(f"mode must be 'faithful' or 'exact', got {mode!r}")
     faithful = mode == "faithful"
@@ -257,8 +286,12 @@ def identity_aggs() -> list[Column]:
     """Flow identity columns: first-packet orientation + last-seen ts.
 
     All forward packets share the session-initiator 4-tuple, so any
-    fwd-conditional first() is deterministic.
+    fwd-conditional first() is deterministic. Memoized per JVM.
     """
+    return _memoized("identity", "", _build_identity_aggs)
+
+
+def _build_identity_aggs() -> list[Column]:
     src_ip = F.first(_fwd(F.col("src_ip")), ignorenulls=True)
     src_port = F.first(_fwd(F.col("src_port")), ignorenulls=True)
     dst_ip = F.first(_fwd(F.col("dst_ip")), ignorenulls=True)
