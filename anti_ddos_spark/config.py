@@ -30,6 +30,17 @@ import os
 # ANTI_DDOS_QUALITY_DEFAULTS=0 to make bare calls deterministic instead.
 QUALITY_DEFAULTS = os.environ.get("ANTI_DDOS_QUALITY_DEFAULTS", "1") != "0"
 
+if not QUALITY_DEFAULTS:  # warn once so result drift is traceable (ADVICE r4)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "ANTI_DDOS_QUALITY_DEFAULTS=0: bare hyperplane_signatures/"
+        "lsh_neardup_pairs/ivf_build_index/semantic_dedup_flags calls now "
+        "use deterministic data-derived planes/centroids instead of the "
+        "production seeded-Gaussian/k-means defaults — results will differ "
+        "from the default environment."
+    )
+
 # --- production defaults --------------------------------------------------
 MINHASH_K = 128      # signature length
 LSH_BANDS = 16       # bands of MINHASH_K / LSH_BANDS = 8 rows → thr ≈ 0.71

@@ -768,3 +768,45 @@ def semantic_dedup_flags_indexed(
         as_double(F.col(vec_col)).alias("e"),
     ).withColumn("nrm", norm(F.col("e")))
     return _semantic_flags_from_assigned(assigned, tau, id_col, round_dp)
+
+
+# --- int8 quantization (ANN memory scaling) --------------------------------
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization with a max-abs scale:
+    ``code_i = floor(x_i * 127 / max_j |x_j| + 0.5)`` — the standard
+    memory-scale trick for corpus-size ANN (4x smaller than float32, 8x
+    than float64; at 100 TB of embeddings the codes + one scale per
+    vector are what fits a cluster's aggregate RAM). Reconstruction is
+    ``code * scale / 127``; recall of cosine top-k on reconstructed
+    vectors is unit-proved in tests/test_quantize.py.
+
+    Pure per-row Catalyst expressions — zero shuffle, embarrassingly
+    parallel, and composes with the IVF index (quantize the residuals
+    the same way).
+    """
+    e = as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col), e.alias("_e")).withColumn(
+        "_scale", F.array_max(F.transform(F.col("_e"), F.abs))
+    )
+    scale = F.col("_scale")
+    codes = F.when(
+        scale > 0,
+        F.transform(
+            F.col("_e"),
+            lambda x: F.floor(x * 127.0 / scale + 0.5).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("_e"), lambda x: F.lit(0)))
+    return base.select(
+        F.col(id_col),
+        F.size("_e").alias("n_dims"),
+        scale.alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+def dequantize_int8(codes: Column, scale: Column) -> Column:
+    """codes array<int> + scale → array<double> reconstruction."""
+    return F.transform(codes, lambda c: c.cast("double") * scale / 127.0)

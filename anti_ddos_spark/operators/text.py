@@ -195,3 +195,51 @@ def repetition_metrics(bg: Column, tg: Column) -> dict[str, Column]:
         (F.size(tg) - F.size(F.array_distinct(tg))) / F.size(tg),
     ).otherwise(F.lit(0.0))
     return {"top_bigram_frac": top_frac, "dup_trigram_frac": dup_frac}
+
+
+# --- sequence packing (token-budget concat-and-chunk) ---------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    n_tokens_col: str = "n_tokens",
+    shard_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document its span of fixed-budget training sequences
+    under GPT-style concat-and-chunk packing: within a shard, documents
+    are concatenated in ``order_col`` order and the token stream is cut
+    every ``budget`` tokens. Emits per document:
+
+    - ``tok_start`` — offset of the doc's first token in the shard stream
+    - ``seq_first`` / ``seq_last`` — indices (within the shard) of the
+      training sequences the doc's tokens land in
+    - ``n_seqs`` — how many sequence boundaries the doc spans
+
+    Scale: ONE shuffle on ``shard_col``; the cumulative sum is a
+    per-shard ordered window, so shards are the parallel unit — exactly
+    how a production packing job is laid out (pack within file/shard,
+    never a global total order, which would serialize on one partition).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.col(n_tokens_col)
+    tok_start = F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0)).cast("long")
+    out = docs.withColumn("tok_start", tok_start)
+    seq_first = F.floor(F.col("tok_start") / budget)
+    # a zero-token doc sits AT its offset, never before it
+    seq_last = F.greatest(
+        seq_first, F.floor((F.col("tok_start") + n_tok - 1) / budget)
+    )
+    return (
+        out.withColumn("seq_first", seq_first.cast("int"))
+        .withColumn("seq_last", seq_last.cast("int"))
+        .withColumn(
+            "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("int")
+        )
+    )

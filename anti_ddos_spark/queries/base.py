@@ -69,6 +69,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     actually loaded and normalize both to a microsecond TimestampType —
     the same value DuckDB produces for either encoding, so oracle
     comparisons line up regardless of which generation is on disk.
+
+    SIDE EFFECT (documented per ADVICE r4): loading ``events`` sets
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the *caller's*
+    session, and every load disables
+    ``spark.sql.constraintPropagation``; these persist after the call.
+    All three are required for oracle hash stability on
+    harness-supplied sessions (the driver's verify harness constructs
+    its own session), so they are deliberately global rather than
+    save/restored — a consumer embedding this module in a non-UTC
+    session should load events through a dedicated session.
     """
     # The caller may hand us a session we didn't configure (the driver's
     # verify harness does). Constraint propagation must be off before any

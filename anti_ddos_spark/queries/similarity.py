@@ -372,3 +372,48 @@ EXTRA_QUERIES: dict[str, Query] = {
         "Lloyd's k-means (iterative, rows-only) cluster histogram",
     ),
 }
+
+
+# --- q54: int8 embedding quantization (ANN memory scaling) ----------------
+
+def q54_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric max-abs int8 codes per embedding — the storage form a
+    corpus-scale ANN index keeps in RAM (operators/similarity.py::
+    quantize_int8; zero-shuffle narrow plan). Codes cross the oracle
+    boundary as a joined string (full-signal hash); the scale as int
+    fixed-point."""
+    from anti_ddos_spark.operators.similarity import quantize_int8
+
+    q = quantize_int8(t(spark, sf, "embeddings"))
+    return q.select(
+        "vec_id",
+        F.col("n_dims").cast("int").alias("n_dims"),
+        F.floor(F.col("scale") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("scale_x1e6"),
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("code_str"),
+    )
+
+
+Q54_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
+      FROM e),
+q AS (SELECT vec_id, len(e) AS n_dims, scale,
+        CASE WHEN scale > 0
+             THEN list_transform(e, x -> CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+             ELSE list_transform(e, x -> 0) END AS codes
+      FROM s)
+SELECT vec_id, CAST(n_dims AS INT) AS n_dims,
+  CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_x1e6,
+  array_to_string(codes, ',') AS code_str
+FROM q
+"""
+
+EXTRA_QUERIES["q54_quantize_int8"] = Query(
+    q54_quantize_int8,
+    Q54_SQL,
+    "per-vector symmetric int8 quantization (max-abs scale, zero shuffle)",
+)

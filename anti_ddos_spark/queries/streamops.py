@@ -36,6 +36,34 @@ from anti_ddos_spark.streaming.sessionize_stream import streaming_flow_features
 
 _counter = itertools.count()
 
+# one retained memory-sink view per query family; the previous run's view
+# is dropped when the next run registers (ADVICE r4: long-lived sessions
+# were accumulating temp views + replay/checkpoint dirs across reruns).
+_prior_views: dict[str, str] = {}
+
+
+def _finish_stream_run(spark: SparkSession, tmp: str, name: str) -> None:
+    """Best-effort scratch cleanup after an availableNow run terminates.
+
+    The replay parquet + checkpoint dir are dead weight once the memory
+    sink holds the rows — remove them eagerly. The memory-sink temp view
+    itself must outlive this call (the caller returns a DataFrame over
+    it, collected later by the driver), so only the *previous* run's
+    view for the same query family is dropped here, bounding
+    accumulation to one live view per family.
+    """
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    family = name.rsplit("_", 1)[0]
+    old = _prior_views.get(family)
+    if old is not None and old != name:
+        try:
+            spark.catalog.dropTempView(old)
+        except Exception:
+            pass
+    _prior_views[family] = name
+
 STABLE_COLS = [
     f.name
     for f in FLOW_SCHEMA.fields
@@ -64,6 +92,7 @@ def q70_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    _finish_stream_run(spark, tmp, name)
     out = spark.table(name)
     return out.select(
         *STABLE_COLS, F.unix_micros("timestamp").alias("last_ts_us")
@@ -130,6 +159,7 @@ def q71_stateful_accum(spark: SparkSession, sf: str) -> DataFrame:
         _time.sleep(1)
     q.stop()
     q.awaitTermination(60)
+    _finish_stream_run(spark, tmp, name)
     out = spark.table(name)
     return out.select(
         *STABLE_COLS, F.unix_micros("timestamp").alias("last_ts_us")
@@ -186,6 +216,7 @@ def q73_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
             "— returning the half-filled memory table would masquerade as a "
             "dedup correctness failure"
         )
+    _finish_stream_run(spark, tmp, name)
     return spark.table(name).select("digest").distinct()
 
 
@@ -242,6 +273,7 @@ def q74_streaming_minhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
             "q74 streaming banded-minhash did not finish its availableNow "
             "run in 240 s"
         )
+    _finish_stream_run(spark, tmp, name)
     return spark.table(name).select("band_id", "band_key").distinct()
 
 
@@ -319,6 +351,7 @@ def q72_tws_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         _time.sleep(1)
     q.stop()
     q.awaitTermination(60)
+    _finish_stream_run(spark, tmp, name)
     out = spark.table(name)
     return out.select(*STABLE_COLS, F.unix_micros("timestamp").alias("last_ts_us"))
 
@@ -441,6 +474,7 @@ def q75_streaming_embedding_buckets(spark: SparkSession, sf: str) -> DataFrame:
             "q75 streaming embedding buckets did not finish its availableNow "
             "run in 240 s"
         )
+    _finish_stream_run(spark, tmp, name)
     return spark.table(name).select("band_id", "sig").distinct()
 
 

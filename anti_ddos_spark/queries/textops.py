@@ -674,3 +674,64 @@ EXTRA_QUERIES: dict[str, Query] = {
     "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
     "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
 }
+
+
+# --- q52: sequence packing (token-budget concat-and-chunk) ----------------
+
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+def q52_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style training-sequence packing: per shard (`source`), docs
+    are concatenated in doc_id order and the BPE-pretoken stream is cut
+    every PACK_BUDGET tokens; each doc reports the sequence span it
+    lands in. One shuffle on the shard key; the cumsum window runs
+    per-shard, so the packing layout parallelizes by shard at 100 TB
+    (operators/text.py::pack_sequences)."""
+    from anti_ddos_spark.operators.text import BPE_PRETOKEN_RE, pack_sequences
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(BPE_PRETOKEN_RE))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(docs, budget=PACK_BUDGET).select(
+        "doc_id", "source", "n_tokens", "tok_start",
+        "seq_first", "seq_last", "n_seqs",
+    )
+
+
+_BPE_SQL = (
+    "len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))"
+)
+
+Q52_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST({_BPE_SQL} AS INT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM toks)
+SELECT doc_id, source, n_tokens, tok_start,
+  CAST(floor(tok_start / {PACK_BUDGET}) AS INT) AS seq_first,
+  CAST(greatest(floor(tok_start / {PACK_BUDGET}),
+                floor((tok_start + n_tokens - 1) / {PACK_BUDGET})) AS INT)
+    AS seq_last,
+  CAST(greatest(floor(tok_start / {PACK_BUDGET}),
+                floor((tok_start + n_tokens - 1) / {PACK_BUDGET}))
+       - floor(tok_start / {PACK_BUDGET}) + 1 AS INT) AS n_seqs
+FROM c
+"""
+
+EXTRA_QUERIES["q52_sequence_packing"] = Query(
+    q52_sequence_packing,
+    Q52_SQL,
+    "token-budget training-sequence packing (per-shard cumsum window)",
+)

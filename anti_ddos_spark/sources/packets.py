@@ -62,18 +62,12 @@ def json_packet_stream(spark: SparkSession, path: str) -> DataFrame:
     return decode_packets(raw)
 
 
-def rate_packet_stream(
-    spark: SparkSession, rows_per_second: int = 10_000, n_flows: int = 1000
-) -> DataFrame:
-    """Synthetic packet stream from the rate source: deterministic flow
-    keys from the row counter, for backlog/throughput soak tests."""
-    rate = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", rows_per_second)
-        .load()
-    )
+def _synthetic_packet_cols(n_flows: int) -> list:
+    """Deterministic packet columns from a (timestamp, value) relation —
+    shared by the streaming rate source and its batch twin so a soak
+    model can be trained on exactly the traffic shape it will score."""
     v = F.col("value")
-    return rate.select(
+    return [
         F.col("timestamp"),
         F.concat(F.lit("10.0.0."), (v % n_flows).cast("string")).alias("src_ip"),
         F.lit("10.0.1.1").alias("dst_ip"),
@@ -98,4 +92,32 @@ def rate_packet_stream(
         F.lit(0).cast("int").alias("rst_flag"),
         (v % 100 == 0).cast("int").alias("syn_flag"),
         F.lit(0).cast("int").alias("fin_flag"),
+    ]
+
+
+def rate_packet_stream(
+    spark: SparkSession, rows_per_second: int = 10_000, n_flows: int = 1000
+) -> DataFrame:
+    """Synthetic packet stream from the rate source: deterministic flow
+    keys from the row counter, for backlog/throughput soak tests."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
     )
+    return rate.select(*_synthetic_packet_cols(n_flows))
+
+
+def synthetic_packets_batch(
+    spark: SparkSession, n_rows: int, n_flows: int = 1000
+) -> DataFrame:
+    """Batch twin of rate_packet_stream: the same deterministic traffic
+    over a range relation, spread across a synthetic time axis (1000
+    rows/sec), for training a soak-scoring model on matching features."""
+    base = spark.range(n_rows).select(
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 1000
+        ).alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    return base.select(*_synthetic_packet_cols(n_flows))

@@ -7,7 +7,12 @@ kept up: sustained processedRowsPerSecond, mean batch duration vs the
 trigger interval, and end-of-run backlog.
 
 Usage:  python bench_stream.py [rows_per_sec] [duration_s] [mode]
-        mode ∈ session_window | stateful      (default session_window)
+        mode ∈ session_window | accum | stateful, each optionally with a
+        "+score" suffix (e.g. accum+score) that appends in-stream RF
+        scoring (100 trees × depth 6, the reference's model contract) to
+        the plan — BASELINE.md's full streaming proxy. The model is
+        trained up front on batch flows from the same synthetic traffic
+        generator (training time excluded from the soak window).
 
 Prints one JSON line.
 """
@@ -19,6 +24,30 @@ import statistics
 import sys
 import tempfile
 import time
+
+
+def _train_soak_model(spark):
+    """RF 100×d6 (the reference's train_rf.py contract) fit on batch
+    flows from the same synthetic generator the soak streams, with a
+    traffic-shape label — the model is a realistic scoring payload, not
+    a correctness artifact."""
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.ml import train
+    from anti_ddos_spark.sources.packets import synthetic_packets_batch
+    from anti_ddos_spark.streaming.sessionize_stream import flow_features_arrayagg
+
+    pkts = synthetic_packets_batch(spark, n_rows=200_000)
+    flows = flow_features_arrayagg(pkts, gap_s=None)
+    labeled = flows.withColumn(
+        "label",
+        F.when(
+            F.col("total_fwd_packets") + F.col("total_backward_packets") > 150,
+            F.lit("DrDoS_UDP"),
+        ).otherwise(F.lit("BENIGN")),
+    )
+    model, _metrics, _ = train(labeled)
+    return model
 
 
 def main() -> None:
@@ -37,8 +66,25 @@ def main() -> None:
     # for local mode; a cluster deployment scales this with executor count.
     spark = get_spark(app_name="bench_stream", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+
+    mode, _, score_suffix = mode.partition("+")
+    with_score = score_suffix == "score"
+    model = _train_soak_model(spark) if with_score else None
+
     packets = rate_packet_stream(spark, rows_per_second=rows_per_sec)
-    if mode == "session_window":
+    if with_score:
+        # full reference proxy: sessionize → 77 features → finalized
+        # filter → RF transform, all in-stream (streaming/pipeline.py)
+        from anti_ddos_spark.streaming.pipeline import scored_flow_stream
+
+        kwargs = (
+            dict(gap_s=5, watermark="0 seconds")
+            if mode == "session_window"
+            else dict(timeout_ms=5_000)
+        )
+        flows = scored_flow_stream(packets, model, mode=mode, **kwargs)
+        out_mode = "append" if mode == "session_window" else "update"
+    elif mode == "session_window":
         flows = streaming_flow_features(packets, gap_s=5, watermark="0 seconds")
         out_mode = "append"
     elif mode == "accum":
@@ -70,7 +116,7 @@ def main() -> None:
         "metric": "stream_sustained_rows_per_sec",
         "value": round(statistics.median(proc), 1) if proc else 0.0,
         "unit": "rows/sec",
-        "mode": mode,
+        "mode": mode + ("+score" if with_score else ""),
         "offered_rows_per_sec": rows_per_sec,
         "batches": len(progress),
         "mean_batch_s": round(statistics.mean(durs), 2) if durs else None,

@@ -23,7 +23,18 @@ push the near-dup joins quadratic, proving nothing:
   set) are preserved EXACTLY, while cross-replica cosines are
   sign-randomized to ~0. Near-dup output therefore scales exactly 10x.
 
-Usage: python scripts/scale_probe.py [--replicas 10] [--runs 2]
+Usage: python scripts/scale_probe.py [--scales 10] [--runs 2]
+       [--queries q34_ngram_jaccard,neardup_prod_params]
+       [--tables documents,embeddings]
+
+--scales takes a comma list of replica factors (e.g. ``10,100``): one
+replicated dir is built per factor and each probe is timed at every
+scale, with a per-adjacent-decade alpha between consecutive scales —
+the round-5 form of the probe, which extends the two r4 watch rows
+(q34, production-banded near-dup) a further decade. --tables limits
+which tables are replicated (the 100x events table is 100M rows and
+irrelevant to the document/embedding watch rows).
+
 Writes one JSON line per (query, scale) and a summary with exponents.
 """
 
@@ -70,10 +81,24 @@ def _neardup_prod(spark, sf_dir):
 EXTRA_PROBES = {"neardup_prod_params": _neardup_prod}
 
 
-def build_10x(spark, out_dir: str, replicas: int) -> None:
+def build_10x(
+    spark, out_dir: str, replicas: int, tables: set[str] | None = None
+) -> None:
     from pyspark.sql import functions as F
 
+    tables = tables or {"events", "documents", "embeddings"}
     rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("replica")
+
+    if "events" in tables:
+        _build_events(spark, out_dir, rep)
+    if "documents" in tables:
+        _build_documents(spark, out_dir, rep)
+    if "embeddings" in tables:
+        _build_embeddings(spark, out_dir, rep)
+
+
+def _build_events(spark, out_dir: str, rep) -> None:
+    from pyspark.sql import functions as F
 
     ev = spark.read.parquet(os.path.join(SF01, "events.parquet"))
     u_span = ev.agg(F.max("user_id")).collect()[0][0] + 1
@@ -93,6 +118,10 @@ def build_10x(spark, out_dir: str, replicas: int) -> None:
         .parquet(os.path.join(out_dir, "events.parquet"))
     )
 
+
+def _build_documents(spark, out_dir: str, rep) -> None:
+    from pyspark.sql import functions as F
+
     doc = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     d_span = doc.agg(F.max("doc_id")).collect()[0][0] + 1
     text10 = F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit(" "), F.col("text"))
@@ -109,6 +138,10 @@ def build_10x(spark, out_dir: str, replicas: int) -> None:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
     )
+
+
+def _build_embeddings(spark, out_dir: str, rep) -> None:
+    from pyspark.sql import functions as F
 
     emb = spark.read.parquet(os.path.join(SF01, "embeddings.parquet"))
     v_span = emb.agg(F.max("vec_id")).collect()[0][0] + 1
@@ -144,10 +177,25 @@ def time_query(spark, fn, sf_dir: str, runs: int) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument(
+        "--scales",
+        default="10",
+        help="comma list of replica factors to build and probe (e.g. 10,100)",
+    )
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--keep", action="store_true", help="keep the 10x dir")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma subset of probes (default: all flagship probes)",
+    )
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma subset of tables to replicate (default: all three)",
+    )
+    ap.add_argument("--keep", action="store_true", help="keep the scale dirs")
     args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
 
     from anti_ddos_spark.queries import full_registry
     from anti_ddos_spark.session import get_spark
@@ -156,29 +204,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = full_registry()
 
-    out_dir = os.path.join(tempfile.gettempdir(), f"scale_{args.replicas}x")
-    build_10x(spark, out_dir, args.replicas)
+    tables = set(args.tables.split(",")) if args.tables else None
+    scale_dirs: list[tuple[int, str]] = []
+    for rep in scales:
+        out_dir = os.path.join(tempfile.gettempdir(), f"scale_{rep}x")
+        build_10x(spark, out_dir, rep, tables)
+        scale_dirs.append((rep, out_dir))
     import math
 
     results: dict[str, dict[str, float]] = {}
     probes = [(n, reg[n].fn) for n in PROBE_QUERIES] + list(EXTRA_PROBES.items())
+    if args.queries:
+        wanted = set(args.queries.split(","))
+        probes = [(n, fn) for n, fn in probes if n in wanted]
     for name, fn in probes:
-        r = {
-            "sf0.01": time_query(spark, fn, SF001, args.runs),
-            "sf0.1": time_query(spark, fn, SF01, args.runs),
-            f"{args.replicas}x_sf0.1": time_query(spark, fn, out_dir, args.runs),
-        }
-        lo, mid, hi = r["sf0.01"], r["sf0.1"], r[f"{args.replicas}x_sf0.1"]
-        r["alpha_low"] = round(math.log10(mid / lo), 3)
-        r["alpha_high"] = round(
-            math.log(hi / mid) / math.log(args.replicas), 3
-        )
+        # (label, replica factor relative to sf0.1, seconds)
+        points = [
+            ("sf0.01", 0.1, time_query(spark, fn, SF001, args.runs)),
+            ("sf0.1", 1.0, time_query(spark, fn, SF01, args.runs)),
+        ] + [
+            (f"{rep}x_sf0.1", float(rep), time_query(spark, fn, d, args.runs))
+            for rep, d in scale_dirs
+        ]
+        r = {lbl: secs for lbl, _f, secs in points}
+        # per-adjacent-interval exponent, normalized per decade
+        for (l0, f0, t0), (l1, f1, t1) in zip(points, points[1:]):
+            r[f"alpha({l0}->{l1})"] = round(
+                math.log(t1 / t0) / math.log(f1 / f0), 3
+            )
         results[name] = {k: round(v, 3) for k, v in r.items()}
         print(json.dumps({"query": name, **results[name]}), flush=True)
 
     print(json.dumps({"summary": results}))
     if not args.keep:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        for _rep, d in scale_dirs:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
