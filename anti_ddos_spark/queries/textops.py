@@ -735,3 +735,169 @@ EXTRA_QUERIES["q52_sequence_packing"] = Query(
     Q52_SQL,
     "token-budget training-sequence packing (per-shard cumsum window)",
 )
+
+
+# --- q55: temperature-weighted mixture sampling ---------------------------
+
+SAMPLE_TEMPERATURE = 0.5  # tau: q_s ∝ n_s^tau (tau<1 flattens the mixture)
+SAMPLE_TARGET_FRAC = 0.5  # sampled corpus size as a fraction of the input
+
+
+def q55_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened mixture sampling over `source` strata — the
+    standard rebalancing move for multi-source training corpora (as in
+    multilingual LM sampling): stratum s gets probability mass
+    q_s ∝ n_s^tau, so with tau<1 overrepresented sources are
+    downsampled harder. Selection is content-hash thresholded (q38's
+    trick), so the decision is reproducible, retry-stable, and a pure
+    narrow projection after a broadcast join of 10 per-source
+    thresholds — the only shuffle is the tiny count aggregate.
+
+    Cross-engine determinism: weights are integerized
+    (floor(sqrt(n_s)*1000+0.5); sqrt is IEEE-correctly-rounded, unlike
+    pow, which is why tau is pinned at 0.5 in the oracle form), so the
+    threshold is one multiply + one divide of exact integers in both
+    engines."""
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    weights = counts.withColumn(
+        "w_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * 1000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    tot = weights.agg(
+        F.sum("n_s").alias("n_tot"), F.sum("w_s").alias("w_tot")
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.floor(F.col("n_tot") * F.lit(SAMPLE_TARGET_FRAC)).cast("long"),
+        )
+        .withColumn(
+            "thresh",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * (F.col("w_s") * F.col("target"))
+                    / (F.col("w_tot") * F.col("n_s"))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+        )
+        .select("source", "thresh")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("thresh"))
+        .select("doc_id", "source", F.col("bucket").cast("int").alias("bucket"))
+    )
+
+
+Q55_SQL = f"""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+w AS (SELECT source, n_s,
+             CAST(floor(sqrt(n_s) * 1000 + 0.5) AS BIGINT) AS w_s FROM c),
+t AS (SELECT sum(n_s) AS n_tot, sum(w_s) AS w_tot FROM w),
+r AS (SELECT source,
+             least(1000000, CAST(floor(
+               1000000.0 * (w_s * CAST(floor(n_tot * {SAMPLE_TARGET_FRAC}) AS BIGINT))
+               / (w_tot * n_s) + 0.5) AS BIGINT)) AS thresh
+      FROM w, t)
+SELECT d.doc_id, d.source,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS INT) AS bucket
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 < r.thresh
+"""
+
+EXTRA_QUERIES["q55_temperature_sample"] = Query(
+    q55_temperature_sample,
+    Q55_SQL,
+    "temperature-flattened mixture sampling (hash-thresholded, "
+    "broadcast per-stratum rates)",
+)
+
+
+# --- q56: winnowing fingerprints (Schleimer et al., SIGMOD 2003) ----------
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # window of consecutive k-gram hashes
+
+
+def q56_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every char k-gram, slide a
+    w-window over the hash sequence, keep each window's minimum — the
+    MOSS scheme, guaranteeing any shared substring of length ≥ k+w-1
+    contributes a shared fingerprint. Entirely per-row higher-order
+    expressions (zero shuffle, like q49); the fingerprint SET crosses
+    the oracle boundary as count/min/max/sum so row width stays flat.
+    At 100 TB the follow-on is an explode + groupBy(fp) candidate join —
+    the same shape as q35's banded MinHash."""
+    text = F.col("text")
+    k, w = WINNOW_K, WINNOW_W
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - (k - 1)),
+        lambda i: text.substr(i, F.lit(k)),
+    )
+    d = (
+        t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "_h",
+            F.transform(
+                grams,
+                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            ),
+        )
+        .withColumn(
+            "_mins",
+            F.transform(
+                F.sequence(F.lit(1), F.size("_h") - (w - 1)),
+                lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+            ),
+        )
+        .withColumn("_fps", F.array_sort(F.array_distinct(F.col("_mins"))))
+    )
+    return d.select(
+        "doc_id",
+        F.size("_fps").alias("n_fps"),
+        F.element_at("_fps", 1).alias("fp_min"),
+        F.element_at("_fps", -1).alias("fp_max"),
+        F.aggregate(
+            "_fps", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("fp_sum"),
+    )
+
+
+Q56_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 8))::BIGINT
+          FOR i IN generate_series(1, length(text) - {WINNOW_K - 1})] AS h
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           [list_min(list_slice(h, j, j + {WINNOW_W - 1}))
+            FOR j IN generate_series(1, len(h) - {WINNOW_W - 1})])) AS fps
+  FROM g)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+       fps[1] AS fp_min, fps[-1] AS fp_max,
+       CAST(list_sum(fps) AS BIGINT) AS fp_sum
+FROM m
+"""
+
+EXTRA_QUERIES["q56_winnow_fingerprints"] = Query(
+    q56_winnow_fingerprints,
+    Q56_SQL,
+    "winnowing k-gram fingerprints (MOSS; zero-shuffle per-row folds)",
+)
