@@ -60,3 +60,25 @@ def lsh_threshold(k: int = MINHASH_K, bands: int = LSH_BANDS) -> float:
     probability crosses 1/2 — the banding s-curve midpoint (1/b)^(1/r)."""
     r = k // bands
     return (1.0 / bands) ** (1.0 / r)
+
+
+def lsh_planes_for(n_vectors: int, target_occupancy: int = 32) -> int:
+    """Scale-adaptive planes-per-band: size the bucket space to the
+    corpus (2^planes ≈ n / target_occupancy) so expected bucket
+    occupancy stays constant as data grows.
+
+    Why this exists: ANY fixed plane count saturates — candidate pairs
+    per band grow ~n²/2^planes, so a bucket space the corpus has
+    outgrown turns the "sub-quadratic" LSH join quadratic with a small
+    constant (measured at the round-5 100x probe: 8 planes/band over
+    200k vectors left ~780 vectors/bucket and the candidate join
+    spilled out of disk; see PERF.md "parameter-space saturation").
+    More planes/band lowers per-band match probability; production
+    deployments compensate with more bands (the standard E2LSH
+    recall/cost tradeoff) — this helper only sizes the bucket space.
+    """
+    import math
+
+    return max(
+        4, math.ceil(math.log2(max(n_vectors / target_occupancy, 2.0)))
+    )

@@ -496,7 +496,35 @@ def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     noise that rounds α up would shorten a prefix and silently lose a
     true pair.
     """
-    docs = t(spark, sf, "documents")
+    return ngram_jaccard_pairs(t(spark, sf, "documents"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, max_prefix_df: int | None = None) -> DataFrame:
+    """q34's operator form. ``max_prefix_df`` (None = exact, recall 1 —
+    the oracle-pinned default) enables the SCALABLE POSTURE for
+    token-space-saturated corpora: prefix tokens whose global document
+    frequency exceeds the cap are excluded as join keys, bounding
+    candidates per (token, block) group to cap² instead of df².
+
+    Why a cap exists at all: with V distinct n-grams, ANY recall-1
+    token-blocking equi-join has an expected candidate floor of ~n²/V
+    pairs — once the corpus outgrows its token space, exactness is
+    quadratic by counting, not by implementation (measured: the exact
+    form spilled >80 GB at a 500k-doc replication of the ~30-word demo
+    vocabulary, PERF.md "token-space saturation"). Capped recall on
+    real Zipfian text stays high because true near-dup pairs share RARE
+    tokens by construction of the rare-first prefix; recall under the
+    cap is measured in tests/test_jaccard_cap.py."""
+    tri = F.array_distinct(
+        F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
+    )
+    d = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.col("lang"),
+        F.floor(F.col("n_chars") / 100).alias("band"),
+        tri.alias("tri"),
+    )
     tri = F.array_distinct(
         F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
     )
@@ -523,8 +551,10 @@ def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         tok.join(dfreq, "w")
         .withColumn("rn", F.row_number().over(order))
         .filter(F.col("rn") <= F.col("n") - alpha + 1)
-        .select("doc_id", "source", "lang", "band", "w")
     )
+    if max_prefix_df is not None:
+        prefix = prefix.filter(F.col("dfreq") <= max_prefix_df)
+    prefix = prefix.select("doc_id", "source", "lang", "band", "w")
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -900,4 +930,67 @@ EXTRA_QUERIES["q56_winnow_fingerprints"] = Query(
     q56_winnow_fingerprints,
     Q56_SQL,
     "winnowing k-gram fingerprints (MOSS; zero-shuffle per-row folds)",
+)
+
+
+# --- q57: benchmark decontamination (eval n-gram overlap) -----------------
+
+DECONTAM_N = 3  # word n-gram length; production decontamination uses 8-13,
+#                 the demo corpus' ~30-word vocabulary needs 3 for density
+
+
+def q57_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-set decontamination: flag training documents sharing any
+    word n-gram with a held-out benchmark set (here: doc_id % 100 == 0
+    plays the benchmark), reporting how many distinct eval n-grams each
+    contaminated doc matches. The standard pre-training hygiene pass
+    (n-gram overlap decontamination as in GPT-3 App. C / Dodge et al.
+    2021).
+
+    Scale shape: the eval gram set is benchmark-sized (thousands of
+    docs), so it BROADCASTS; the train side streams through an
+    explode → broadcast-hash semi-ish join → per-doc count. No
+    all-pairs, no big-side shuffle except the final per-doc aggregate
+    on the (rare) contaminated subset."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("ws"), DECONTAM_N)).alias("g")
+    )
+    is_eval = F.col("doc_id") % 100 == 0
+    eval_grams = (
+        grams.filter(is_eval).select(F.col("g").alias("eg")).distinct()
+    )
+    return (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), F.col("g") == F.col("eg"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").cast("int").alias("n_hits"))
+    )
+
+
+Q57_SQL = f"""
+WITH w AS (SELECT doc_id, {{_W}} AS ws FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= {DECONTAM_N}
+         THEN [{{gram}} FOR i IN generate_series(1, len(ws) - {DECONTAM_N - 1})]
+         ELSE CAST([] AS VARCHAR[]) END) AS g
+  FROM w),
+e AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
+SELECT t.doc_id, CAST(count(DISTINCT t.g) AS INT) AS n_hits
+FROM g t JOIN e USING (g)
+WHERE t.doc_id % 100 <> 0
+GROUP BY t.doc_id
+""".format(
+    _W=_W,
+    gram=" || ' ' || ".join(f"ws[i+{k}]" for k in range(DECONTAM_N)),
+)
+
+EXTRA_QUERIES["q57_decontaminate"] = Query(
+    q57_decontaminate,
+    Q57_SQL,
+    "benchmark decontamination: eval n-gram overlap flags "
+    "(broadcast eval grams, no all-pairs)",
 )

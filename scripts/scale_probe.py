@@ -78,7 +78,25 @@ def _neardup_prod(spark, sf_dir):
     )
 
 
-EXTRA_PROBES = {"neardup_prod_params": _neardup_prod}
+def _neardup_adaptive(spark, sf_dir):
+    """The near-dup operator under the SCALE-ADAPTIVE parameter policy
+    (config.lsh_planes_for): bucket space sized to the corpus so
+    occupancy stays ~constant. The fixed-parameter twin above saturates
+    at the 100x decade (measured: disk-spill death); this row is the
+    posture a growing corpus actually runs."""
+    from anti_ddos_spark.config import lsh_planes_for
+    from anti_ddos_spark.operators.similarity import lsh_neardup_pairs
+    from anti_ddos_spark.queries.base import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    planes = lsh_planes_for(emb.count())
+    return lsh_neardup_pairs(emb, 0.8, n_bands=4, planes_per_band=planes)
+
+
+EXTRA_PROBES = {
+    "neardup_prod_params": _neardup_prod,
+    "neardup_adaptive_params": _neardup_adaptive,
+}
 
 
 def build_10x(
