@@ -27,6 +27,28 @@ from anti_ddos_spark.config import LSH_BANDS, MINHASH_K, SIMHASH_BITS
 
 SHINGLE_W = 3  # words per shingle
 
+# Driver-side Column construction for the k=128 permutation expressions
+# costs ~1.3 s per call in py4j round-trips (40% of q35's bench wall —
+# the same construction-cost disease PERF.md's q24 attribution found).
+# Catalyst Columns are immutable expression trees, so the built lists are
+# memoized per (shape key, JVM) exactly like features._AGG_MEMO.
+_EXPR_MEMO: dict[tuple, list[Column]] = {}
+
+
+def _jvm_key() -> int | None:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return id(sc._gateway) if sc is not None else None
+
+
+def _memoized_exprs(key: tuple, build) -> list[Column]:
+    full = (*key, _jvm_key())
+    cols = _EXPR_MEMO.get(full)
+    if cols is None:
+        cols = _EXPR_MEMO[full] = build()
+    return list(cols)
+
 
 def words(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
@@ -102,14 +124,29 @@ def minhash_signature(text: Column, k: int = MINHASH_K) -> list[Column]:
 
 
 def lsh_bands(sig_cols: list[str], bands: int = LSH_BANDS) -> Column:
-    """Band digests: md5 of the concatenated signature rows per band."""
-    rows_per = len(sig_cols) // bands
-    return F.array(
-        *[
-            F.md5(F.concat_ws("|", *[F.col(c) for c in sig_cols[b * rows_per : (b + 1) * rows_per]]))
-            for b in range(bands)
+    """Band digests: md5 of the concatenated signature rows per band.
+    Memoized per (columns, bands, JVM) — see _EXPR_MEMO."""
+
+    def build() -> list[Column]:
+        rows_per = len(sig_cols) // bands
+        return [
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(c)
+                                for c in sig_cols[b * rows_per : (b + 1) * rows_per]
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
         ]
-    )
+
+    return _memoized_exprs(("lsh_bands", tuple(sig_cols), bands), build)[0]
 
 
 def minhash_banded_narrow(
@@ -163,10 +200,15 @@ def minhash_banded_narrow(
 
     sigs = hashed.select(
         F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("_h"), _perm(i))).alias(f"minhash_{i}")
-            for i in range(k)
-        ],
+        *_memoized_exprs(
+            ("banded_narrow_sigs", k),
+            lambda: [
+                F.array_min(F.transform(F.col("_h"), _perm(i))).alias(
+                    f"minhash_{i}"
+                )
+                for i in range(k)
+            ],
+        ),
         *extra,
     )
     sig_cols = [f"minhash_{i}" for i in range(k)]
@@ -223,16 +265,22 @@ def minhash_candidates(
         F.col(id_col),
         F.explode(shingles_of_words(F.col("_ws"), F.col("_txt"))).alias("s"),
     )
-    base = shingle_base_hash(F.col("s"))
-    mins_exprs = []
-    for i in range(k):
-        a_i, b_i = uhash_params(i)
-        mins_exprs.append(
-            F.min((base * F.lit(a_i) + F.lit(b_i)) % F.lit(UHASH_M)).alias(
-                f"minhash_{i}"
+
+    def _build_mins() -> list[Column]:
+        base = shingle_base_hash(F.col("s"))
+        out = []
+        for i in range(k):
+            a_i, b_i = uhash_params(i)
+            out.append(
+                F.min((base * F.lit(a_i) + F.lit(b_i)) % F.lit(UHASH_M)).alias(
+                    f"minhash_{i}"
+                )
             )
-        )
-    mins = sh.groupBy(id_col).agg(*mins_exprs)
+        return out
+
+    mins = sh.groupBy(id_col).agg(
+        *_memoized_exprs(("minhash_mins", k), _build_mins)
+    )
     wsets = docs.select(
         F.col(id_col), F.array_distinct(words(F.col(text_col))).alias("wset")
     )
