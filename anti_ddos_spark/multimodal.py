@@ -276,3 +276,61 @@ def frame_sample(media: DataFrame, n_frames: int = 4, frame_bytes: int = 32) -> 
         "frame_no",
         F.substring(F.col("content"), off + 1, frame_bytes).alias("frame"),
     )
+
+
+def resize_plan(
+    media: DataFrame,
+    max_w: int = 64,
+    max_h: int = 64,
+    thumb_samples: int = 16,
+) -> DataFrame:
+    """Aspect-ratio-preserving fit of visual media into a (max_w, max_h)
+    box, plus a stride-sampled thumbnail signature — the resize step of
+    an image/video pipeline as pure Catalyst arithmetic.
+
+    The TARGET-DIMENSION math (what a distributed resize job plans per
+    row, and what partitions/bytes it budgets) is entirely engine-side:
+    integer aspect fit with the binding edge chosen by cross-multiply
+    (w·max_h ≤ h·max_w), so no float ratio ever rounds a dimension. The
+    PIXEL resample itself belongs to the real-codec hook
+    (`decode_media(impl="real")`); here the payload contribution is a
+    deterministic stride sample of `thumb_samples` bytes, md5'd into a
+    thumbnail signature — the same plumbing-over-stub contract as
+    frame_sample (payload stays prunable; only sampled offsets are
+    touched).
+    """
+    visual = media.filter(F.col("media_type").isin("image", "video"))
+    w = F.col("meta.width").cast("long")
+    h = F.col("meta.height").cast("long")
+    need = (w > max_w) | (h > max_h)
+    height_binding = (w * max_h) <= (h * max_w)
+    new_h = (
+        F.when(~need, h)
+        .when(height_binding, F.lit(max_h).cast("long"))
+        .otherwise(F.floor(h * max_w / w))
+    )
+    new_w = (
+        F.when(~need, w)
+        .when(height_binding, F.floor(w * max_h / h))
+        .otherwise(F.lit(max_w).cast("long"))
+    )
+    payload = F.decode(F.col("content"), "utf-8")
+    n = F.col("meta.n_bytes").cast("long")
+    thumb = F.concat(
+        *[
+            payload.substr(
+                (F.floor(F.lit(i) * n / thumb_samples) + 1).cast("int"),
+                F.lit(1),
+            )
+            for i in range(thumb_samples)
+        ]
+    )
+    return visual.select(
+        "media_id",
+        "media_type",
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        new_w.cast("int").alias("new_w"),
+        new_h.cast("int").alias("new_h"),
+        F.md5(thumb).alias("thumb_digest"),
+    )

@@ -110,3 +110,61 @@ QUERIES: dict[str, Query] = {
         q62_frame_sample, Q62_SQL, "binary frame sampling via substring-on-binary"
     ),
 }
+
+
+# --- q63: resize planning (aspect fit + thumbnail signature) --------------
+
+RESIZE_MAX_W = 64
+RESIZE_MAX_H = 64
+_THUMB_SAMPLES = 16
+
+
+def q63_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer aspect-ratio fit into a 64x64 box + stride-sampled
+    thumbnail signature over visual media (multimodal.py::resize_plan).
+    All target-dimension math is exact integer cross-multiply — no float
+    ratio can round a dimension differently across engines."""
+    from anti_ddos_spark.multimodal import resize_plan
+
+    media = media_from_documents(t(spark, sf, "documents"))
+    return resize_plan(
+        media, RESIZE_MAX_W, RESIZE_MAX_H, thumb_samples=_THUMB_SAMPLES
+    )
+
+
+def _q63_sql() -> str:
+    w = "CAST(n_chars % 640 + 16 AS BIGINT)"
+    h = "CAST(n_chars % 480 + 16 AS BIGINT)"
+    need = f"({w} > {RESIZE_MAX_W} OR {h} > {RESIZE_MAX_H})"
+    hb = f"({w} * {RESIZE_MAX_H} <= {h} * {RESIZE_MAX_W})"
+    new_h = (
+        f"CASE WHEN NOT {need} THEN {h} WHEN {hb} THEN {RESIZE_MAX_H} "
+        f"ELSE CAST(floor({h} * {RESIZE_MAX_W} / {w}) AS BIGINT) END"
+    )
+    new_w = (
+        f"CASE WHEN NOT {need} THEN {w} WHEN {hb} "
+        f"THEN CAST(floor({w} * {RESIZE_MAX_H} / {h}) AS BIGINT) "
+        f"ELSE {RESIZE_MAX_W} END"
+    )
+    thumb = " || ".join(
+        f"substr(text, CAST(floor({i} * octet_length(encode(text)) / "
+        f"{_THUMB_SAMPLES}) AS INT) + 1, 1)"
+        for i in range(_THUMB_SAMPLES)
+    )
+    return f"""
+SELECT doc_id AS media_id, {_MT_SQL} AS media_type,
+       CAST({w} AS INT) AS width, CAST({h} AS INT) AS height,
+       CAST({new_w} AS INT) AS new_w, CAST({new_h} AS INT) AS new_h,
+       md5({thumb}) AS thumb_digest
+FROM documents
+WHERE {_MT_SQL} IN ('image', 'video')
+"""
+
+
+EXTRA_QUERIES: dict[str, Query] = {
+    "q63_media_resize": Query(
+        q63_media_resize,
+        _q63_sql(),
+        "resize planning: integer aspect fit + stride thumbnail signature",
+    ),
+}
