@@ -810,3 +810,88 @@ def quantize_int8(
 def dequantize_int8(codes: Column, scale: Column) -> Column:
     """codes array<int> + scale → array<double> reconstruction."""
     return F.transform(codes, lambda c: c.cast("double") * scale / 127.0)
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+def pq_encode(
+    emb: DataFrame,
+    n_subspaces: int = 8,
+    n_centers: int = 4,
+    centers: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization codes (Jégou et al., TPAMI 2011): split each
+    vector into ``n_subspaces`` contiguous subvectors and snap each to
+    its nearest codebook center, storing one small int per subspace —
+    the memory step below int8 in the compression ladder (64 dims ×
+    float32 → 8 codes ≈ 32× smaller; IVF + PQ on residuals is the
+    standard billion-vector index layout).
+
+    ``centers``: per-subspace codebooks as literals
+    ``[subspace][center][dim]``. Default (None) derives the
+    deterministic "data" codebook from the subvectors of vectors
+    ``vec_id 1..n_centers`` — the same oracle-replicable convention as
+    IVF's "data" centers; a production build passes codebooks learned
+    with ``kmeans_train`` over each subspace slice.
+
+    The encode itself is pure per-row folds over literal centers — zero
+    shuffle, embarrassingly parallel. Ties break to the lowest center
+    index (first-wins), matching the SQL oracle's ``min(c)``.
+    Emits: id, ``codes`` (array<int>), ``err`` (sum over subspaces of
+    the chosen squared L2 distance — the reconstruction energy).
+    """
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_e"))
+    if centers is None:
+        rows = (
+            e.filter(
+                (F.col(id_col) >= 1) & (F.col(id_col) <= n_centers)
+            )
+            .orderBy(id_col)
+            .collect()
+        )
+        if len(rows) != n_centers:
+            raise ValueError(
+                f"data codebook needs ids 1..{n_centers}, found {len(rows)}"
+            )
+        dim = len(rows[0]["_e"])
+        sub_d = dim // n_subspaces
+        centers = [
+            [
+                [float(x) for x in r["_e"][j * sub_d : (j + 1) * sub_d]]
+                for r in rows
+            ]
+            for j in range(n_subspaces)
+        ]
+    sub_d = len(centers[0][0])
+
+    def dist(j: int, c: int) -> Column:
+        sub = F.slice(F.col("_e"), j * sub_d + 1, sub_d)
+        lit_c = F.array(*[F.lit(v) for v in centers[j][c]])
+        return F.aggregate(
+            F.zip_with(sub, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    code_cols, err_cols = [], []
+    for j in range(n_subspaces):
+        ds = [dist(j, c) for c in range(len(centers[j]))]
+        best = F.least(*ds) if len(ds) > 1 else ds[0]
+        code = F.lit(None).cast("int")
+        # reversed: earlier centers overwrite later → first-wins ties
+        for c in reversed(range(len(ds))):
+            code = F.when(ds[c] == best, F.lit(c)).otherwise(code)
+        code_cols.append(code.alias(f"_c{j}"))
+        err_cols.append(best.alias(f"_d{j}"))
+
+    coded = e.select(F.col(id_col), *code_cols, *err_cols)
+    return coded.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_c{j}") for j in range(n_subspaces)]).alias("codes"),
+        sum(
+            (F.col(f"_d{j}") for j in range(1, n_subspaces)),
+            F.col("_d0"),
+        ).alias("err"),
+    )

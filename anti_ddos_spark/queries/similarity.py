@@ -417,3 +417,70 @@ EXTRA_QUERIES["q54_quantize_int8"] = Query(
     Q54_SQL,
     "per-vector symmetric int8 quantization (max-abs scale, zero shuffle)",
 )
+
+
+# --- q64: product-quantization codes --------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CENTERS = 4
+
+
+def q64_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ codes over the deterministic "data" codebook (subvectors of
+    vec_id 1..4) — operators/similarity.py::pq_encode, the zero-shuffle
+    literal-fold encode. Codes cross as a joined string; reconstruction
+    energy as int fixed-point."""
+    from anti_ddos_spark.operators.similarity import pq_encode
+
+    out = pq_encode(
+        t(spark, sf, "embeddings"),
+        n_subspaces=PQ_SUBSPACES,
+        n_centers=PQ_CENTERS,
+    )
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("code_str"),
+        F.floor(F.col("err") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("err_x1e6"),
+    )
+
+
+def _q64_sql() -> str:
+    m, k = PQ_SUBSPACES, PQ_CENTERS
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+dims AS (SELECT len(e) // {m} AS sd FROM e LIMIT 1),
+sub AS (
+  SELECT vec_id, j.j, list_slice(e, j.j * sd + 1, (j.j + 1) * sd) AS s
+  FROM e, dims, (SELECT unnest(range({m})) AS j) j),
+cent AS (
+  SELECT vec_id - 1 AS c, j.j, list_slice(e, j.j * sd + 1, (j.j + 1) * sd) AS s
+  FROM e, dims, (SELECT unnest(range({m})) AS j) j
+  WHERE vec_id BETWEEN 1 AND {k}),
+d AS (
+  SELECT sub.vec_id, sub.j, cent.c,
+         list_sum([ (sub.s[i] - cent.s[i]) * (sub.s[i] - cent.s[i])
+                    FOR i IN generate_series(1, len(sub.s)) ]) AS dist
+  FROM sub JOIN cent ON sub.j = cent.j),
+a AS (SELECT vec_id, j, min(dist) AS best FROM d GROUP BY vec_id, j),
+code AS (
+  SELECT d.vec_id, d.j, min(d.c) AS code, min(a.best) AS best
+  FROM d JOIN a ON d.vec_id = a.vec_id AND d.j = a.j AND d.dist = a.best
+  GROUP BY d.vec_id, d.j)
+SELECT vec_id,
+       string_agg(code, ',' ORDER BY j) AS code_str,
+       CAST(floor(list_sum(list(best ORDER BY j)) * 1000000 + 0.5) AS BIGINT)
+         AS err_x1e6
+FROM code GROUP BY vec_id
+"""
+
+
+EXTRA_QUERIES["q64_pq_codes"] = Query(
+    q64_pq_codes,
+    _q64_sql(),
+    "product-quantization codes (per-subspace argmin over a "
+    "deterministic codebook, zero shuffle)",
+)
