@@ -994,3 +994,68 @@ EXTRA_QUERIES["q57_decontaminate"] = Query(
     "benchmark decontamination: eval n-gram overlap flags "
     "(broadcast eval grams, no all-pairs)",
 )
+
+
+# --- q58: per-source corpus data card -------------------------------------
+
+def q58_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-source datasheet a curation pipeline publishes with a
+    release: volume, token mass, exact-dup rate, language spread, and
+    length shape, in one bounded-shuffle aggregate (one groupBy on
+    source; every per-doc column is a narrow projection). The shape a
+    100 TB corpus report runs nightly."""
+    from anti_ddos_spark.operators.text import BPE_PRETOKEN_RE
+
+    per_doc = t(spark, sf, "documents").select(
+        "source",
+        "lang",
+        F.md5("text").alias("digest"),
+        F.regexp_count(F.col("text"), F.lit(BPE_PRETOKEN_RE))
+        .cast("long")
+        .alias("n_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("digest").alias("n_unique_docs"),
+        F.floor(
+            (F.count(F.lit(1)) - F.count_distinct("digest"))
+            * 10_000.0
+            / F.count(F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("int")
+        .alias("dup_bps"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.floor(F.sum("n_words") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("int")
+        .alias("mean_words"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+    )
+
+
+Q58_SQL = f"""
+WITH per_doc AS (
+  SELECT source, lang, md5(text) AS digest,
+         CAST({_BPE_SQL} AS BIGINT) AS n_tokens,
+         CAST(len({_W}) AS BIGINT) AS n_words
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       count(DISTINCT digest) AS n_unique_docs,
+       CAST(floor((count(*) - count(DISTINCT digest)) * 10000.0 / count(*)
+                  + 0.5) AS INT) AS dup_bps,
+       count(DISTINCT lang) AS n_langs,
+       CAST(floor(sum(n_words) * 1.0 / count(*) + 0.5) AS INT) AS mean_words,
+       CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+FROM per_doc GROUP BY source
+"""
+
+EXTRA_QUERIES["q58_corpus_datacard"] = Query(
+    q58_corpus_datacard,
+    Q58_SQL,
+    "per-source corpus datasheet (volume, tokens, dup rate, lang "
+    "spread, length shape) in one bounded-shuffle aggregate",
+)
