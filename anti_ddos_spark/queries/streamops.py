@@ -493,6 +493,72 @@ FROM sig
 """
 
 
+# --- q76: streaming decontamination (stream-static broadcast join) --------
+
+def q76_streaming_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of the q57 decontamination filter: the
+    eval n-gram set is built BATCH-side (benchmark-sized → broadcast),
+    then training documents stream through an explode → STREAM-STATIC
+    broadcast join → per-doc count aggregate. This is the online
+    hygiene gate a live ingest runs: each arriving doc is checked
+    against the fixed benchmark set with no stream-side state beyond
+    the count aggregate.
+
+    Single-file replay → one availableNow batch, so the update-mode
+    aggregate emits each contaminated doc exactly once — deterministic,
+    hash-checked against the same SQL as the batch q57."""
+    from anti_ddos_spark.operators.text import word_ngrams
+    from anti_ddos_spark.queries.textops import DECONTAM_N
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    grams_of = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            word_ngrams(F.split(F.trim(F.col("text")), r"\s+"), DECONTAM_N)
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams_of(docs.filter(F.col("doc_id") % 100 == 0))
+        .select(F.col("g").alias("eg"))
+        .distinct()
+    )
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q76_stream_")
+    src = os.path.join(tmp, "docs")
+    docs.filter(F.col("doc_id") % 100 != 0).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    # streaming aggregates reject count_distinct: dedupe (doc, gram)
+    # through dropDuplicates state first, then a plain count
+    hits = (
+        grams_of(stream)
+        .join(F.broadcast(eval_grams), F.col("g") == F.col("eg"))
+        .dropDuplicates(["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    )
+    name = f"q76_hits_{run_id}"
+    q = (
+        hits.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q76 streaming decontamination did not finish its availableNow "
+            "run in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+    return spark.table(name).select("doc_id", "n_hits")
+
+
 EXTRA_QUERIES: dict[str, Query] = {
     "q75_streaming_embedding_buckets": Query(
         q75_streaming_embedding_buckets,
@@ -501,3 +567,17 @@ EXTRA_QUERIES: dict[str, Query] = {
         "(zero-shuffle) + bucket dedup state, vs the q42 batch sig CTE",
     ),
 }
+
+
+def _q76_sql() -> str:
+    from anti_ddos_spark.queries.textops import Q57_SQL
+
+    return Q57_SQL
+
+
+EXTRA_QUERIES["q76_streaming_decontaminate"] = Query(
+    q76_streaming_decontaminate,
+    _q76_sql(),
+    "streaming decontamination: stream-static broadcast join against "
+    "batch-built eval grams, vs the batch q57 oracle",
+)
