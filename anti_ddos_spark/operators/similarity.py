@@ -942,3 +942,57 @@ def pq_topk(
         .orderBy(F.asc("adc_dist2"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- signed random projection (Johnson-Lindenstrauss dim reduction) -------
+
+def rp_sign_matrix(k: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix: sign[j][i] follows the first
+    hex digit of md5("rp:j:i"). Achlioptas (2001) shows ±1 entries give
+    the JL guarantee; deriving them from md5 makes the matrix identical
+    in any engine/language without shipping state."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Project each vector to k signed-sum components over a
+    fixed-point-quantized copy (floor(x*quant+0.5) — exact integer
+    arithmetic end-to-end, so any engine reproduces the output
+    bit-for-bit). Zero shuffle: k zip_with folds per row, each a
+    whole-stage-codegen expression; at 100 TB this is the cheap first
+    stage of an ANN ladder (project → bucket → refine on the raw
+    vectors)."""
+    signs = rp_sign_matrix(k, dim)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
+    )
+    out = emb.withColumn("_q", q)
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"p{j}")
+        for j in range(k)
+    ]
+    return out.select("vec_id", *projs)

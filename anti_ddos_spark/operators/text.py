@@ -243,3 +243,108 @@ def pack_sequences(
             "n_seqs", (F.col("seq_last") - F.col("seq_first") + 1).cast("int")
         )
     )
+
+
+# --- PII redaction (regex scrub; the pre-release privacy pass) ------------
+
+# Patterns restricted to the regex intersection of Java (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b — no lookaround.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# Redaction order matters and is part of the contract: emails first (their
+# local/domain parts may contain digit runs a later pattern could bite
+# into), then phones, then bare IPv4s.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IPV4_RE, "<IP>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-row match counts for each PII class (pre-redaction)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("int"),
+        "n_phones": F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("int"),
+        "n_ipv4": F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("int"),
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its class placeholder, in PII_RULES
+    order. Pure regexp_replace chain — narrow, zero-shuffle, whole-stage
+    codegen; at 100 TB this is a free rider on any scan."""
+    out = text
+    for pat, tag in PII_RULES:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+# --- HTML boilerplate strip (tag removal + entity unescape) ---------------
+
+# The entity subset every curation pipeline actually meets; applied after
+# tag removal so entity-encoded angle brackets can't re-form tags.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+)
+HTML_TAG_RE = r"<[^>]*>"
+
+
+def strip_html(html: Column) -> Column:
+    """Markup → clean text: drop tags, unescape common entities, collapse
+    whitespace. regexp_replace + replace chain — same zero-shuffle shape
+    as redact_pii."""
+    out = F.regexp_replace(html, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# --- overlapping-window document chunking ---------------------------------
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int,
+    stride: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into overlapping windows
+    (context windows for embedding/retrieval indexing): chunk i covers
+    tokens [i*stride, i*stride + window). The last chunk starts at the
+    final stride offset that still introduces new tokens, so every token
+    is covered and no chunk is empty.
+
+    Per-row sequence + explode — the chunk grid never leaves the row
+    until the explode, and the explode multiplies rows by ~n/stride
+    without any shuffle, so the op stays embarrassingly parallel at
+    100 TB (chunks of one doc stay in its partition).
+    """
+    if stride <= 0 or window < stride:
+        raise ValueError("need stride >= 1 and window >= stride")
+    base = docs.withColumn("_ws", F.split(F.trim(F.col(text_col)), r"\s+"))
+    n = F.size(F.col("_ws"))
+    # number of chunks: 1 + ceil(max(0, n - window) / stride), in exact
+    # integer arithmetic (`div` floors like DuckDB's //).
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.expr(f"1 + (size(_ws) - {window} + {stride} - 1) div {stride}")
+    )
+    d = base.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    tok_start = F.col("chunk_id") * stride
+    chunk = F.slice(F.col("_ws"), tok_start + 1, window)
+    return d.select(
+        id_col,
+        F.col("chunk_id").cast("int"),
+        (tok_start + 1).cast("int").alias("tok_start"),
+        F.size(chunk).cast("int").alias("n_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

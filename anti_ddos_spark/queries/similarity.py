@@ -484,3 +484,47 @@ EXTRA_QUERIES["q64_pq_codes"] = Query(
     "product-quantization codes (per-subspace argmin over a "
     "deterministic codebook, zero shuffle)",
 )
+
+
+# --- q67: signed random projection (JL dimensionality reduction) ----------
+
+RP_K = 8
+RP_DIM = 64
+
+
+def _rp_sql() -> str:
+    from anti_ddos_spark.operators.similarity import rp_sign_matrix
+
+    signs = rp_sign_matrix(RP_K, RP_DIM)
+    cols = ", ".join(
+        "CAST(list_sum([q[i] * ([" +
+        ", ".join(str(s) for s in signs[j]) +
+        f"])[i] FOR i IN generate_series(1, {RP_DIM})]) AS BIGINT) AS p{j}"
+        for j in range(RP_K)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         [CAST(floor(x * 1000 + 0.5) AS BIGINT)
+          FOR x IN embedding::DOUBLE[]] AS q
+  FROM embeddings)
+SELECT vec_id, {cols} FROM q
+"""
+
+
+def q67_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection 64 → 8 dims over a
+    fixed-point-quantized copy of each embedding — exact integer sums,
+    so the md5-derived ±1 matrix (operators/similarity.py::
+    rp_sign_matrix) reproduces bit-identically in any engine. Zero
+    shuffle; the cheap bucketing stage of a 100 TB ANN ladder."""
+    from anti_ddos_spark.operators.similarity import random_projection
+
+    return random_projection(t(spark, sf, "embeddings"), k=RP_K, dim=RP_DIM)
+
+
+EXTRA_QUERIES["q67_random_projection"] = Query(
+    q67_random_projection,
+    _rp_sql(),
+    "signed random projection (JL 64->8, exact fixed-point; zero shuffle)",
+)

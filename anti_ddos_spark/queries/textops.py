@@ -1059,3 +1059,195 @@ EXTRA_QUERIES["q58_corpus_datacard"] = Query(
     "per-source corpus datasheet (volume, tokens, dup rate, lang "
     "spread, length shape) in one bounded-shuffle aggregate",
 )
+
+
+# --- q59: PII redaction profile (pre-release privacy pass) ----------------
+
+def q59_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over a deterministically-enriched corpus: the synthetic
+    documents contain no PII, so each doc is suffixed with an email, a
+    NANP phone, and an IPv4 derived purely from its own columns (both
+    engines build the identical string), then the engine counts and
+    redacts each class (operators/text.py::redact_pii). The whole op is
+    a regexp projection — zero shuffle, whole-stage codegen, a free
+    rider on any 100 TB scan."""
+    from anti_ddos_spark.operators.text import pii_counts, redact_pii
+
+    dirty = F.concat_ws(
+        "",
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call "),
+        (F.col("doc_id") % 800 + 100).cast("string"),
+        F.lit("-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from "),
+        (F.col("doc_id") % 223 + 1).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 254 + 1).cast("string"),
+    )
+    d = t(spark, sf, "documents").withColumn("_dirty", dirty)
+    c = pii_counts(F.col("_dirty"))
+    red = redact_pii(F.col("_dirty"))
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        c["n_ipv4"].alias("n_ipv4"),
+        F.length(red).cast("int").alias("red_len"),
+        F.md5(red).alias("red_md5"),
+    )
+
+
+Q59_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail.example.com call '
+              || (doc_id % 800 + 100) || '-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from ' || (doc_id % 223 + 1) || '.0.'
+              || (doc_id % 256) || '.' || (doc_id % 254 + 1) AS dirty
+  FROM documents),
+r AS (
+  SELECT doc_id, dirty,
+         regexp_replace(regexp_replace(regexp_replace(dirty,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+  FROM d)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(dirty,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{3}-\d{4}\b')) AS INT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(dirty,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+  CAST(length(red) AS INT) AS red_len,
+  md5(red) AS red_md5
+FROM r
+"""
+
+EXTRA_QUERIES["q59_pii_redaction"] = Query(
+    q59_pii_redaction,
+    Q59_SQL,
+    "PII redaction (email/phone/IPv4 regex scrub; zero-shuffle "
+    "regexp projection)",
+)
+
+
+# --- q65: HTML boilerplate strip ------------------------------------------
+
+def q65_html_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup removal over deterministically HTML-wrapped documents
+    (tags + a sprinkling of entities built from the doc's own columns in
+    both engines): strip tags, unescape entities, collapse whitespace
+    (operators/text.py::strip_html). Zero-shuffle regexp projection —
+    the standard first stage of a web-corpus curation funnel."""
+    from anti_ddos_spark.operators.text import HTML_TAG_RE, strip_html
+
+    html = F.concat_ws(
+        "",
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(" #"),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><h1>"),
+        F.upper(F.col("source")),
+        F.lit("</h1><p>"),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
+        F.lit("</p><br/></body></html>"),
+    )
+    d = t(spark, sf, "documents").withColumn("_html", html)
+    clean = strip_html(F.col("_html"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("_html"), F.lit(HTML_TAG_RE))
+        .cast("int")
+        .alias("n_tags"),
+        F.length("_html").cast("int").alias("raw_len"),
+        F.length(clean).cast("int").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+Q65_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><head><title>' || source || ' #' || doc_id
+         || '</title></head><body><h1>' || upper(source) || '</h1><p>'
+         || replace(text, ' the ', ' &amp; ')
+         || '</p><br/></body></html>' AS html
+  FROM documents),
+s AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''),
+           '\s+', ' ', 'g')) AS clean
+  FROM d)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+  CAST(length(html) AS INT) AS raw_len,
+  CAST(length(clean) AS INT) AS clean_len,
+  md5(clean) AS clean_md5
+FROM s
+"""
+
+EXTRA_QUERIES["q65_html_strip"] = Query(
+    q65_html_strip,
+    Q65_SQL,
+    "HTML boilerplate strip (tag removal + entity unescape + "
+    "whitespace collapse)",
+)
+
+
+# --- q66: overlapping-window document chunking ----------------------------
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def q66_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking for retrieval/embedding indexing: each
+    doc's token stream is cut into 64-token windows every 48 tokens
+    (operators/text.py::chunk_documents). Per-row sequence + explode —
+    chunks never cross partitions, so the op scales linearly with no
+    shuffle at 100 TB."""
+    from anti_ddos_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf, "documents"), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
+    )
+
+
+Q66_SQL = f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= {CHUNK_WINDOW} THEN 1
+              ELSE 1 + (len(ws) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1})
+                       // {CHUNK_STRIDE} END AS n_chunks
+  FROM w),
+e AS (SELECT doc_id, ws, unnest(range(n_chunks)) AS i FROM c)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(i * {CHUNK_STRIDE} + 1 AS INT) AS tok_start,
+       CAST(len(list_slice(ws, i * {CHUNK_STRIDE} + 1,
+                           i * {CHUNK_STRIDE} + {CHUNK_WINDOW})) AS INT)
+         AS n_toks,
+       md5(array_to_string(list_slice(ws, i * {CHUNK_STRIDE} + 1,
+                                      i * {CHUNK_STRIDE} + {CHUNK_WINDOW}),
+                           ' ')) AS chunk_md5
+FROM e
+"""
+
+EXTRA_QUERIES["q66_doc_chunks"] = Query(
+    q66_doc_chunks,
+    Q66_SQL,
+    "overlapping context-window chunking (per-row sequence+explode, "
+    "no shuffle)",
+)

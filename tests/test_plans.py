@@ -157,3 +157,19 @@ def test_q34_neardup_join_is_prefix_token_keyed(spark):
     assert block_joins, "candidate join with blocking keys not found"
     for k in block_joins:
         assert re.search(r"\bw#", k), f"join keyed on blocking keys without token: {k}"
+
+
+def test_cleanup_family_is_narrow(spark):
+    """q59 (PII redaction), q65 (HTML strip), q66 (chunking) and q67
+    (random projection) are per-row regexp/fold projections: zero
+    shuffles, zero joins, no Python — free riders on a 100 TB scan."""
+    for name in (
+        "q59_pii_redaction",
+        "q65_html_strip",
+        "q66_doc_chunks",
+        "q67_random_projection",
+    ):
+        s = _summary(spark, name)
+        assert s["n_shuffle_exchanges"] == 0, (name, s["text"][:1500])
+        assert s["n_broadcast_joins"] == 0 and s["n_sortmerge_joins"] == 0, name
+        assert "Python" not in s["text"] and "ArrowEval" not in s["text"], name
