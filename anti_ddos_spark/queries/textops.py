@@ -1251,3 +1251,66 @@ EXTRA_QUERIES["q66_doc_chunks"] = Query(
     "overlapping context-window chunking (per-row sequence+explode, "
     "no shuffle)",
 )
+
+
+# --- q68: sub-document (window-granular) exact dedup ----------------------
+
+SPAN_TOKENS = 16  # non-overlapping pseudo-sentence span, C4-style
+
+
+def q68_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style sub-document dedup signal: cut every doc into
+    non-overlapping 16-token spans (chunk_documents with window=stride),
+    hash each span, and report per document how many of its spans occur
+    elsewhere in the corpus (span count > 1 over a hash-partition
+    window). Two shuffles total — one on span hash, one per-doc
+    aggregate — never all-pairs; the exact shape a 100 TB
+    line-level dedup runs (RefinedWeb/C4 drop dup spans, we report
+    them)."""
+    from pyspark.sql.window import Window
+
+    from anti_ddos_spark.operators.text import chunk_documents
+
+    spans = chunk_documents(
+        t(spark, sf, "documents"), window=SPAN_TOKENS, stride=SPAN_TOKENS
+    )
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
+    d = spans.withColumn("_cnt", cnt)
+    dup = F.sum((F.col("_cnt") > 1).cast("long"))
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        dup.cast("int").alias("n_dup_spans"),
+        F.floor(dup * 10000.0 / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("int")
+        .alias("dup_bps"),
+    )
+
+
+Q68_SQL = f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= {SPAN_TOKENS} THEN 1
+              ELSE 1 + (len(ws) - {SPAN_TOKENS} + {SPAN_TOKENS - 1})
+                       // {SPAN_TOKENS} END AS n_chunks
+  FROM w),
+e AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, i * {SPAN_TOKENS} + 1,
+                                        i * {SPAN_TOKENS} + {SPAN_TOKENS}),
+                             ' ')) AS h
+  FROM (SELECT doc_id, ws, unnest(range(n_chunks)) AS i FROM c)),
+g AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM e)
+SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans,
+       CAST(floor(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 10000.0
+                  / count(*) + 0.5) AS INT) AS dup_bps
+FROM g GROUP BY doc_id
+"""
+
+EXTRA_QUERIES["q68_window_dedup"] = Query(
+    q68_window_dedup,
+    Q68_SQL,
+    "sub-document span dedup (C4-style 16-token spans; span-hash window "
+    "+ per-doc aggregate, never all-pairs)",
+)

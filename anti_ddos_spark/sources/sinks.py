@@ -96,3 +96,40 @@ def kafka_sink(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Training-shard writer: deterministic hash sharding of a curated
+    corpus into ``n_shards`` parquet partitions (shard = pmod(hash(key)))
+    plus an optional per-file row cap — the layout a dataloader consumes
+    (shard -> worker, file -> read unit).
+
+    Scale notes: one shuffle (repartition on the shard id, so each shard
+    is written by its own tasks, files stay contiguous per shard);
+    ``maxRecordsPerFile`` bounds file size without a second pass. The
+    returned manifest (shard -> rows, key span) is a driver-sized
+    aggregate a release pins alongside the data.
+    """
+    sharded = df.withColumn(
+        "shard", F.pmod(F.hash(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+    w = sharded.repartition(n_shards, "shard").write.mode(mode).partitionBy("shard")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(key_col).alias("key_min"),
+            F.max(key_col).alias("key_max"),
+        )
+        .orderBy("shard")
+    )
