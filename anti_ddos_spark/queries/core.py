@@ -609,3 +609,98 @@ QUERIES: dict[str, Query] = {
 EXTRA_QUERIES: dict[str, Query] = {
     "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
 }
+
+
+# --- q69: full outer join reconciliation ----------------------------------
+
+def q69_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Roster reconciliation — the one join type the surface didn't yet
+    pin: per-customer 1995 order totals FULL OUTER JOIN the AUTOMOBILE
+    segment roster. Produces all three row classes (matched, order-only,
+    roster-only); null sides are made explicit as flags + zero-defaults.
+    The small roster side broadcasts; Spark runs a broadcast full-outer
+    only when the stream side preserves all rows, so the plan pins to a
+    single shuffle pair (SMJ FullOuter) — the honest 100 TB shape for
+    two big sides."""
+    orders = t(spark, sf, "orders")
+    spend = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    roster = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey", rnd(F.col("c_acctbal"), 2).alias("acctbal"))
+    )
+    j = spend.join(roster, spend.o_custkey == roster.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("int").alias("n_orders"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+        F.col("o_custkey").isNotNull().cast("int").alias("has_orders"),
+        F.col("c_custkey").isNotNull().cast("int").alias("in_segment"),
+        F.col("acctbal"),
+    )
+
+
+Q69_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, CAST(count(*) AS INT) AS n_orders,
+         {sql_rnd('sum(o_totalprice)', 2)} AS spend
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+roster AS (
+  SELECT c_custkey, {sql_rnd('c_acctbal', 2)} AS acctbal
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT coalesce(o_custkey, c_custkey) AS custkey,
+       CAST(coalesce(n_orders, 0) AS INT) AS n_orders,
+       coalesce(spend, 0.0) AS spend,
+       CAST(o_custkey IS NOT NULL AS INT) AS has_orders,
+       CAST(c_custkey IS NOT NULL AS INT) AS in_segment,
+       acctbal
+FROM spend FULL OUTER JOIN roster ON o_custkey = c_custkey
+"""
+
+EXTRA_QUERIES["q69_full_outer_reconcile"] = Query(
+    q69_full_outer_reconcile,
+    Q69_SQL,
+    "full outer join reconciliation (matched / left-only / right-only)",
+)
+
+
+# --- q77: SQL API surface (CTE + GROUPING SETS via spark.sql) -------------
+
+Q77_SQL = f"""
+WITH r AS (
+  SELECT o_orderpriority AS priority, year(o_orderdate) AS yr, o_totalprice
+  FROM orders)
+SELECT priority, yr,
+       CAST(count(*) AS INT) AS n_orders,
+       CAST({sql_rnd('sum(o_totalprice)', 2)} AS DOUBLE) AS total_price,
+       CAST(grouping(priority) AS INT) AS g_priority,
+       CAST(grouping(yr) AS INT) AS g_yr
+FROM r
+GROUP BY GROUPING SETS ((priority, yr), (priority), ())
+"""
+
+
+def q77_sql_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL entry point: the exact oracle text runs through
+    spark.sql() over a registered temp view — CTE + GROUPING SETS +
+    grouping() flags, the dialect surface a DataFrame API can't show.
+    The one dialect trap: Spark SQL types fractional literals as
+    DECIMAL (the DataFrame API's F.lit makes doubles), so the rounded
+    sum carries an explicit CAST AS DOUBLE — with that, the string is
+    shared verbatim with DuckDB."""
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(Q77_SQL)
+
+
+EXTRA_QUERIES["q77_sql_grouping_sets"] = Query(
+    q77_sql_grouping_sets,
+    Q77_SQL,
+    "SQL API surface: CTE + GROUPING SETS, one query text on both engines",
+)

@@ -581,3 +581,55 @@ EXTRA_QUERIES["q76_streaming_decontaminate"] = Query(
     "streaming decontamination: stream-static broadcast join against "
     "batch-built eval grams, vs the batch q57 oracle",
 )
+
+
+# --- q78: streaming PII scrub (stateless online redaction) ----------------
+
+def q78_streaming_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of the q59 PII scrub: documents replay
+    through a parquet stream and each micro-batch is redacted by the
+    same zero-state regexp projection the batch path uses — the online
+    ingest form of the privacy pass (append mode, no watermark, no
+    state store; at 100 TB of stream this is pure per-record CPU).
+    Hash-checked against the identical batch SQL (Q59_SQL)."""
+    from anti_ddos_spark.queries.textops import pii_enriched_text, pii_profile
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q78_stream_")
+    src = os.path.join(tmp, "docs")
+    docs.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    out = pii_profile(stream.withColumn("_dirty", pii_enriched_text()))
+    name = f"q78_pii_{run_id}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q78 streaming PII scrub did not finish its availableNow run in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+    return spark.table(name)
+
+
+def _q78_sql() -> str:
+    from anti_ddos_spark.queries.textops import Q59_SQL
+
+    return Q59_SQL
+
+
+EXTRA_QUERIES["q78_streaming_pii"] = Query(
+    q78_streaming_pii,
+    _q78_sql(),
+    "streaming PII scrub: stateless online redaction, vs the batch q59 SQL",
+)

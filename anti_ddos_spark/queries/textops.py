@@ -1063,17 +1063,12 @@ EXTRA_QUERIES["q58_corpus_datacard"] = Query(
 
 # --- q59: PII redaction profile (pre-release privacy pass) ----------------
 
-def q59_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
-    """PII scrub over a deterministically-enriched corpus: the synthetic
-    documents contain no PII, so each doc is suffixed with an email, a
-    NANP phone, and an IPv4 derived purely from its own columns (both
-    engines build the identical string), then the engine counts and
-    redacts each class (operators/text.py::redact_pii). The whole op is
-    a regexp projection — zero shuffle, whole-stage codegen, a free
-    rider on any 100 TB scan."""
-    from anti_ddos_spark.operators.text import pii_counts, redact_pii
-
-    dirty = F.concat_ws(
+def pii_enriched_text() -> "F.Column":
+    """The synthetic documents contain no PII, so each doc is suffixed
+    with an email, a NANP phone, and an IPv4 derived purely from its own
+    columns — Q59_SQL builds the identical string, and the streaming
+    twin (streamops q78) reuses this exact expression."""
+    return F.concat_ws(
         "",
         F.col("text"),
         F.lit(" contact user"),
@@ -1089,7 +1084,13 @@ def q59_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("."),
         (F.col("doc_id") % 254 + 1).cast("string"),
     )
-    d = t(spark, sf, "documents").withColumn("_dirty", dirty)
+
+
+def pii_profile(d: DataFrame) -> DataFrame:
+    """doc_id + per-class counts + redacted length/hash for a frame that
+    already carries the enriched `_dirty` column."""
+    from anti_ddos_spark.operators.text import pii_counts, redact_pii
+
     c = pii_counts(F.col("_dirty"))
     red = redact_pii(F.col("_dirty"))
     return d.select(
@@ -1099,6 +1100,17 @@ def q59_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
         c["n_ipv4"].alias("n_ipv4"),
         F.length(red).cast("int").alias("red_len"),
         F.md5(red).alias("red_md5"),
+    )
+
+
+def q59_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub over a deterministically-enriched corpus (see
+    pii_enriched_text): the engine counts and redacts each class
+    (operators/text.py::redact_pii). The whole op is a regexp
+    projection — zero shuffle, whole-stage codegen, a free rider on any
+    100 TB scan."""
+    return pii_profile(
+        t(spark, sf, "documents").withColumn("_dirty", pii_enriched_text())
     )
 
 
