@@ -528,3 +528,46 @@ EXTRA_QUERIES["q67_random_projection"] = Query(
     _rp_sql(),
     "signed random projection (JL 64->8, exact fixed-point; zero shuffle)",
 )
+
+
+# --- q79: ANN recall evaluation (measure, don't guess) --------------------
+
+def q79_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine quality gate for the ANN ladder: recall@k of the IVF
+    multiprobe search (q45's exact configuration) against the
+    brute-force ground truth (q40), computed entirely as a semi-join +
+    count — the number a 100 TB index publishes next to its latency.
+    Both legs reuse the production operators, so this is also a
+    regression tripwire: an index bug shows up as a recall drop before
+    any correctness oracle notices."""
+    emb = t(spark, sf, "embeddings")
+    exact = brute_force_topk(emb, QUERY_ID, TOPK).select("vec_id")
+    approx = ivf_topk(
+        emb, QUERY_ID, k=TOPK, n_centroids=CENTROIDS, nprobe=NPROBE
+    ).select("vec_id")
+    hits = exact.join(approx, "vec_id", "left_semi")
+    return hits.agg(
+        F.lit(TOPK).alias("k"),
+        F.lit(NPROBE).alias("nprobe"),
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        F.floor(F.count(F.lit(1)) * 100.0 / TOPK + F.lit(0.5))
+        .cast("int")
+        .alias("recall_pct"),
+    )
+
+
+Q79_SQL = f"""
+WITH exact_k AS ({Q40_SQL.strip().rstrip()}),
+approx_k AS ({Q45_SQL.strip().rstrip()})
+SELECT {TOPK} AS k, {NPROBE} AS nprobe,
+       CAST(count(*) AS INT) AS n_hits,
+       CAST(floor(count(*) * 100.0 / {TOPK} + 0.5) AS INT) AS recall_pct
+FROM exact_k WHERE vec_id IN (SELECT vec_id FROM approx_k)
+"""
+
+EXTRA_QUERIES["q79_ann_recall"] = Query(
+    q79_ann_recall,
+    Q79_SQL,
+    "ANN recall@k evaluation: IVF multiprobe vs brute-force ground "
+    "truth in one semi-join",
+)
