@@ -1,0 +1,80 @@
+"""Table-maintenance operations a long-lived 100 TB corpus needs:
+incremental partition refresh (upsert without a full rewrite) and
+small-file compaction.
+
+OSS Spark without a lakehouse layer has no MERGE; the scalable
+equivalent for partition-aligned updates is DYNAMIC partition overwrite
+(`spark.sql.sources.partitionOverwriteMode=dynamic`): writing in
+overwrite mode replaces ONLY the partitions present in the incoming
+frame and leaves every other partition's files untouched — so a nightly
+refresh of one source touches 1/N of the table, not all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    partition_col: str,
+) -> None:
+    """Replace exactly the ``partition_col`` partitions present in
+    ``updates``; all other partitions keep their existing files (proved
+    by inode in tests/test_maintenance.py). The conf is scoped
+    save/restore — dynamic overwrite is surprising as a session-wide
+    default."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    dest: str,
+    partition_col: str,
+    target_rows_per_file: int,
+) -> DataFrame:
+    """Rewrite the table at ``path`` into ``dest`` with ⌈rows/target⌉
+    files per partition — the small-file fix for a table that accreted
+    tiny files from streaming or incremental writes. Writes to a new
+    location (compact-and-swap): overwriting a path while scanning it is
+    undefined in Spark, so the atomic rename/swap is the caller's final
+    step. Returns the per-partition manifest (rows, files planned).
+
+    Scale shape: ONE count aggregate (driver gets one row per
+    partition), then one shuffle keyed by (partition, salt) where the
+    salt fans each partition into exactly its file budget — balanced
+    writes without a global sort or a fixed repartition(N) guess.
+    """
+    df = spark.read.parquet(path)
+    counts = (
+        df.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "n_files",
+            F.ceil(F.col("n_rows") / F.lit(target_rows_per_file)).cast("int"),
+        )
+    )
+    plan = counts.select(partition_col, "n_files")
+    salted = (
+        df.join(F.broadcast(plan), partition_col)
+        .withColumn(
+            "_salt",
+            F.pmod(F.monotonically_increasing_id(), F.col("n_files")).cast("int"),
+        )
+    )
+    (
+        salted.repartition(F.col(partition_col), F.col("_salt"))
+        .drop("_salt", "n_files")
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(dest)
+    )
+    return counts

@@ -1,0 +1,77 @@
+"""Partition upsert (dynamic overwrite) and small-file compaction."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from anti_ddos_spark.sources.maintenance import (
+    compact_partitions,
+    upsert_partitions,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _files(path, part):
+    return sorted(
+        (f, os.stat(f).st_ino)
+        for f in glob.glob(os.path.join(path, f"source={part}", "*.parquet"))
+    )
+
+
+def test_upsert_touches_only_its_partitions(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    target, untouched = sources[0], sources[1]
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "corpus")
+        docs.write.partitionBy("source").parquet(path)
+        before_untouched = _files(path, untouched)
+        before_target = _files(path, target)
+
+        updates = docs.filter(F.col("source") == target).withColumn(
+            "text", F.upper("text")
+        )
+        n_updates = updates.count()
+        upsert_partitions(spark, updates, path, "source")
+
+        # untouched partition: identical files, same inodes
+        assert _files(path, untouched) == before_untouched
+        # target partition: rewritten
+        assert _files(path, target) != before_target
+        back = spark.read.parquet(path)
+        assert back.count() == docs.count()
+        got = back.filter(F.col("source") == target)
+        assert got.count() == n_updates
+        # the update actually applied
+        assert got.filter(F.col("text") != F.upper("text")).count() == 0
+
+
+def test_compaction_respects_file_budget(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    with tempfile.TemporaryDirectory() as tmp:
+        frag = os.path.join(tmp, "fragmented")
+        dest = os.path.join(tmp, "compacted")
+        # accrete many small files per partition
+        docs.repartition(20).write.partitionBy("source").parquet(frag)
+        some_part = docs.select("source").head()["source"]
+        assert len(_files(frag, some_part)) > 3
+
+        manifest = {
+            r["source"]: r
+            for r in compact_partitions(
+                spark, frag, dest, "source", target_rows_per_file=40
+            ).collect()
+        }
+        total = 0
+        for part, row in manifest.items():
+            files = _files(dest, part)
+            assert 1 <= len(files) <= row["n_files"], (part, len(files), row)
+            total += row["n_rows"]
+        assert total == docs.count()
+        assert spark.read.parquet(dest).count() == docs.count()
