@@ -977,22 +977,32 @@ def random_projection(
     whole-stage-codegen expression; at 100 TB this is the cheap first
     stage of an ANN ladder (project → bucket → refine on the raw
     vectors)."""
-    signs = rp_sign_matrix(k, dim)
-    q = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast("long"),
-    )
-    out = emb.withColumn("_q", q)
-    projs = [
-        F.aggregate(
-            F.zip_with(
-                F.col("_q"),
-                F.array(*[F.lit(s) for s in signs[j]]),
-                lambda a, b: a * b,
+    from anti_ddos_spark.operators.dedup import _memoized_exprs
+
+    def build() -> list[Column]:
+        signs = rp_sign_matrix(k, dim)
+        q = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * quant + F.lit(0.5)).cast(
+                "long"
             ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias(f"p{j}")
-        for j in range(k)
-    ]
-    return out.select("vec_id", *projs)
+        )
+        projs = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"p{j}")
+            for j in range(k)
+        ]
+        return [q, *projs]
+
+    # k*dim literal Columns ≈ 500+ py4j round-trips per build — memoized
+    # per (params, JVM) like dedup._EXPR_MEMO / features._AGG_MEMO.
+    cols = _memoized_exprs(("rand_proj", k, dim, quant, vec_col), build)
+    q, projs = cols[0], cols[1:]
+    return emb.withColumn("_q", q).select("vec_id", *projs)

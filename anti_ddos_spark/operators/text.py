@@ -285,14 +285,16 @@ def redact_pii(text: Column) -> Column:
 # --- HTML boilerplate strip (tag removal + entity unescape) ---------------
 
 # The entity subset every curation pipeline actually meets; applied after
-# tag removal so entity-encoded angle brackets can't re-form tags.
+# tag removal so entity-encoded angle brackets can't re-form tags, and
+# with &amp; decoded LAST (the standard order) so doubly-escaped input
+# like "&amp;lt;" decodes to the literal "&lt;", never to "<".
 HTML_ENTITIES: tuple[tuple[str, str], ...] = (
     ("&nbsp;", " "),
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
+    ("&amp;", "&"),
 )
 HTML_TAG_RE = r"<[^>]*>"
 
@@ -329,7 +331,16 @@ def chunk_documents(
     """
     if stride <= 0 or window < stride:
         raise ValueError("need stride >= 1 and window >= stride")
-    base = docs.withColumn("_ws", F.split(F.trim(F.col(text_col)), r"\s+"))
+    # empty-token filter: split('') yields [''], which would otherwise
+    # become a phantom 1-token chunk for blank docs (and blank docs
+    # would all share md5('') spans, counting each other as dups in the
+    # q68 family) — blank docs emit ZERO chunks instead.
+    base = docs.withColumn(
+        "_ws",
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+        ),
+    ).filter(F.size("_ws") > 0)
     n = F.size(F.col("_ws"))
     # number of chunks: 1 + ceil(max(0, n - window) / stride), in exact
     # integer arithmetic (`div` floors like DuckDB's //).

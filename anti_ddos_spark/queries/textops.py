@@ -1198,8 +1198,8 @@ s AS (
          trim(regexp_replace(
            replace(replace(replace(replace(replace(replace(
              regexp_replace(html, '<[^>]*>', ' ', 'g'),
-             '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&amp;', '&'),
            '\s+', ' ', 'g')) AS clean
   FROM d)
 SELECT doc_id,
@@ -1237,15 +1237,24 @@ def q66_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q66_SQL = f"""
-WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+def _chunk_grid_sql(window: int, stride: int) -> str:
+    """Shared DuckDB CTE chain (w → c → e): filtered words + chunk grid,
+    mirroring operators/text.py::chunk_documents exactly — including
+    the empty-token filter and blank-doc drop. Q66 and Q68 both build
+    on this so the grid arithmetic has ONE SQL-side definition."""
+    return f"""
+w AS (SELECT doc_id, list_filter({_W}, x -> x <> '') AS ws FROM documents),
 c AS (
   SELECT doc_id, ws,
-         CASE WHEN len(ws) <= {CHUNK_WINDOW} THEN 1
-              ELSE 1 + (len(ws) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1})
-                       // {CHUNK_STRIDE} END AS n_chunks
-  FROM w),
-e AS (SELECT doc_id, ws, unnest(range(n_chunks)) AS i FROM c)
+         CASE WHEN len(ws) <= {window} THEN 1
+              ELSE 1 + (len(ws) - {window} + {stride - 1})
+                       // {stride} END AS n_chunks
+  FROM w WHERE len(ws) > 0),
+e AS (SELECT doc_id, ws, unnest(range(n_chunks)) AS i FROM c)"""
+
+
+Q66_SQL = f"""
+WITH {_chunk_grid_sql(CHUNK_WINDOW, CHUNK_STRIDE)}
 SELECT doc_id, CAST(i AS INT) AS chunk_id,
        CAST(i * {CHUNK_STRIDE} + 1 AS INT) AS tok_start,
        CAST(len(list_slice(ws, i * {CHUNK_STRIDE} + 1,
@@ -1299,20 +1308,14 @@ def q68_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q68_SQL = f"""
-WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
-c AS (
-  SELECT doc_id, ws,
-         CASE WHEN len(ws) <= {SPAN_TOKENS} THEN 1
-              ELSE 1 + (len(ws) - {SPAN_TOKENS} + {SPAN_TOKENS - 1})
-                       // {SPAN_TOKENS} END AS n_chunks
-  FROM w),
-e AS (
+WITH {_chunk_grid_sql(SPAN_TOKENS, SPAN_TOKENS)},
+s AS (
   SELECT doc_id,
          md5(array_to_string(list_slice(ws, i * {SPAN_TOKENS} + 1,
                                         i * {SPAN_TOKENS} + {SPAN_TOKENS}),
                              ' ')) AS h
-  FROM (SELECT doc_id, ws, unnest(range(n_chunks)) AS i FROM c)),
-g AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM e)
+  FROM e),
+g AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM s)
 SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
        CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans,
        CAST(floor(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 10000.0

@@ -62,12 +62,27 @@ def compact_partitions(
             F.ceil(F.col("n_rows") / F.lit(target_rows_per_file)).cast("int"),
         )
     )
-    plan = counts.select(partition_col, "n_files")
+    # null-safe join: Spark writes NULL partition values as
+    # __HIVE_DEFAULT_PARTITION__ and they must survive compaction — an
+    # inner equi-join would silently drop them (NULL != NULL).
+    plan = counts.select(
+        F.col(partition_col).alias("_pc"), F.col("n_files")
+    )
     salted = (
-        df.join(F.broadcast(plan), partition_col)
+        df.join(
+            F.broadcast(plan),
+            F.col(partition_col).eqNullSafe(F.col("_pc")),
+        )
+        .drop("_pc")
+        # salt from row CONTENT, not monotonically_increasing_id: a
+        # recomputed map task must route every row to the same reduce
+        # partition or a fetch-failure rerun duplicates/loses rows
+        # (the SPARK-23207 class of bug).
         .withColumn(
             "_salt",
-            F.pmod(F.monotonically_increasing_id(), F.col("n_files")).cast("int"),
+            F.pmod(
+                F.hash(*[F.col(c) for c in df.columns]), F.col("n_files")
+            ).cast("int"),
         )
     )
     (

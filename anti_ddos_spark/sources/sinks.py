@@ -111,8 +111,10 @@ def write_training_shards(
     plus an optional per-file row cap — the layout a dataloader consumes
     (shard -> worker, file -> read unit).
 
-    Scale notes: one shuffle (repartition on the shard id, so each shard
-    is written by its own tasks, files stay contiguous per shard);
+    Scale notes: one shuffle (range repartition on the shard id — hash
+    repartition would balls-in-bins multiple shards into one task and
+    leave ~1/e of the tasks empty; range gives exactly one shard per
+    task, so files stay contiguous per shard);
     ``maxRecordsPerFile`` bounds file size without a second pass. The
     returned manifest (shard -> rows, key span) is a driver-sized
     aggregate a release pins alongside the data.
@@ -120,7 +122,11 @@ def write_training_shards(
     sharded = df.withColumn(
         "shard", F.pmod(F.hash(F.col(key_col)), F.lit(n_shards)).cast("int")
     )
-    w = sharded.repartition(n_shards, "shard").write.mode(mode).partitionBy("shard")
+    w = (
+        sharded.repartitionByRange(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)

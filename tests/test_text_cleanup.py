@@ -42,7 +42,7 @@ def test_redact_pii_planted(spark):
     assert (rows[1]["e"], rows[1]["p"], rows[1]["i"]) == (1, 1, 1)
     assert rows[1]["red"] == "mail <EMAIL> call <PHONE> from <IP> ok"
     assert (rows[2]["e"], rows[2]["p"], rows[2]["i"]) == (0, 0, 0)
-    assert rows[2]["red"] == rows[2]["red"]  # untouched
+    assert rows[2]["red"] == "no pii here, just words and 123 numbers"  # untouched
     assert (rows[3]["e"], rows[3]["i"]) == (2, 1)
     assert rows[3]["red"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
 
@@ -54,6 +54,27 @@ def test_strip_html_planted(spark):
     )
     out = df.select(strip_html(F.col("html")).alias("clean")).head()["clean"]
     assert out == "a & b c <d>"
+
+
+def test_strip_html_double_escaped_entities(spark):
+    """&amp; decodes LAST: doubly-escaped '&amp;lt;b&amp;gt;' is HTML
+    that *displays* the text '&lt;b&gt;' — it must decode to that
+    literal, never re-form a '<b>' tag."""
+    df = spark.createDataFrame(
+        [(1, "<p>&amp;lt;b&amp;gt; and &amp;amp;</p>")], "id long, html string"
+    )
+    out = df.select(strip_html(F.col("html")).alias("c")).head()["c"]
+    assert out == "&lt;b&gt; and &amp;"
+
+
+def test_chunk_documents_blank_doc_emits_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, "one token here")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, window=4, stride=3).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["n_toks"] == 3
 
 
 def test_chunk_documents_planted(spark):
