@@ -1329,3 +1329,199 @@ EXTRA_QUERIES["q68_window_dedup"] = Query(
     "sub-document span dedup (C4-style 16-token spans; span-hash window "
     "+ per-doc aggregate, never all-pairs)",
 )
+
+
+# --- q80: end-to-end curation pipeline v2 (the new ops composed) ----------
+
+SPAN_DUP_MAX_BPS = 5000       # drop docs with >50% duplicated spans
+REP_FRAC_MAX_X1E6 = 200_000   # Gopher-style gates at 0.2
+
+
+def q80_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-5 operators composed into one release pipeline, per
+    source: exact dedup → span-dup gate (q68) → repetition gate (q49)
+    → quality/language gate (q31) → BPE token mass → training-sequence
+    count at the q52 packing budget. Each stage is a boolean flag on a
+    per-doc frame (conjunction cascade), so the funnel is ONE plan:
+    doc_id-co-partitioned joins of four per-doc signals, one final
+    groupBy(source). The shape a nightly 100 TB release run publishes
+    as its funnel report."""
+    from pyspark.sql.window import Window
+
+    from anti_ddos_spark.operators.text import (
+        chunk_documents,
+        document_profile,
+        repetition_metrics,
+        word_ngrams,
+    )
+
+    docs = t(spark, sf, "documents")
+
+    rep_doc = (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_rep"))
+    )
+
+    spans = chunk_documents(docs, window=SPAN_TOKENS, stride=SPAN_TOKENS)
+    span_doc = (
+        spans.withColumn(
+            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum((F.col("_cnt") > 1).cast("long"))
+                * 10000.0
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("int")
+            .alias("dup_bps")
+        )
+    )
+
+    d = (
+        docs.withColumn("_ws", F.split(F.trim(F.col("text")), r"\s+"))
+        .withColumn("_bg", word_ngrams(F.col("_ws"), 2))
+        .withColumn("_tg", word_ngrams(F.col("_ws"), 3))
+    )
+    m = repetition_metrics(F.col("_bg"), F.col("_tg"))
+    rep_metrics_doc = d.select(
+        "doc_id",
+        F.floor(m["top_bigram_frac"] * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("bg_x1e6"),
+        F.floor(m["dup_trigram_frac"] * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("tg_x1e6"),
+    )
+
+    prof = document_profile(docs).select(
+        "doc_id", "quality", "pred_lang", "n_bpe_tokens"
+    )
+
+    flags = (
+        docs.select("doc_id", "source")
+        .join(rep_doc, "doc_id", "left")
+        .join(span_doc, "doc_id", "left")
+        .join(rep_metrics_doc, "doc_id", "left")
+        .join(prof, "doc_id", "left")
+        .withColumn("p1", F.coalesce(F.col("is_rep"), F.lit(0)) == 1)
+        .withColumn(
+            "p2",
+            F.col("p1")
+            & (F.coalesce(F.col("dup_bps"), F.lit(0)) <= SPAN_DUP_MAX_BPS),
+        )
+        .withColumn(
+            "p3",
+            F.col("p2")
+            & (F.col("bg_x1e6") <= REP_FRAC_MAX_X1E6)
+            & (F.col("tg_x1e6") <= REP_FRAC_MAX_X1E6),
+        )
+        .withColumn(
+            "p4",
+            F.col("p3")
+            & (F.col("quality") >= CURATION_Q_MIN)
+            & (F.col("pred_lang") != "und"),
+        )
+    )
+    kept_tok = F.sum(F.when(F.col("p4"), F.col("n_bpe_tokens")).otherwise(0))
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum(F.col("p1").cast("int")).cast("int").alias("n_uniq"),
+        F.sum(F.col("p2").cast("int")).cast("int").alias("n_span_ok"),
+        F.sum(F.col("p3").cast("int")).cast("int").alias("n_rep_ok"),
+        F.sum(F.col("p4").cast("int")).cast("int").alias("n_kept"),
+        kept_tok.cast("bigint").alias("kept_tokens"),
+        F.when(kept_tok > 0, F.floor((kept_tok - 1) / PACK_BUDGET) + 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("n_train_seqs"),
+    )
+
+
+def _q80_sql() -> str:
+    return f"""
+WITH {_chunk_grid_sql(SPAN_TOKENS, SPAN_TOKENS)},
+sp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(ws, i * {SPAN_TOKENS} + 1,
+                                        i * {SPAN_TOKENS} + {SPAN_TOKENS}),
+                             ' ')) AS h
+  FROM e),
+spc AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM sp),
+span_doc AS (
+  SELECT doc_id,
+         CAST(floor(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 10000.0
+                    / count(*) + 0.5) AS INT) AS dup_bps
+  FROM spc GROUP BY doc_id),
+rep_doc AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+gw AS (SELECT doc_id, {_W} AS ws FROM documents),
+gg AS (
+  SELECT doc_id, ws,
+    CASE WHEN len(ws) >= 2
+         THEN [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws)-1)]
+         ELSE CAST([] AS VARCHAR[]) END AS bg,
+    CASE WHEN len(ws) >= 3
+         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+               FOR i IN generate_series(1, len(ws)-2)]
+         ELSE CAST([] AS VARCHAR[]) END AS tg
+  FROM gw),
+bgc AS (
+  SELECT doc_id, max(cnt) AS topc, sum(cnt) AS totc FROM (
+    SELECT doc_id, b, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(bg) AS b FROM gg) GROUP BY doc_id, b)
+  GROUP BY doc_id),
+rep_metrics AS (
+  SELECT gg.doc_id,
+    CAST(floor(coalesce(bgc.topc * 1.0 / bgc.totc, 0.0) * 1000000 + 0.5)
+         AS BIGINT) AS bg_x1e6,
+    CAST(floor((CASE WHEN len(gg.tg) > 0
+           THEN (len(gg.tg) - len(list_distinct(gg.tg))) * 1.0 / len(gg.tg)
+           ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS tg_x1e6
+  FROM gg LEFT JOIN bgc ON gg.doc_id = bgc.doc_id),
+prof AS ({_q31_sql()}),
+flags AS (
+  SELECT d.source,
+         CASE WHEN r.doc_id IS NOT NULL THEN true ELSE false END AS p1,
+         (r.doc_id IS NOT NULL
+          AND coalesce(s.dup_bps, 0) <= {SPAN_DUP_MAX_BPS}) AS p2,
+         (r.doc_id IS NOT NULL
+          AND coalesce(s.dup_bps, 0) <= {SPAN_DUP_MAX_BPS}
+          AND m.bg_x1e6 <= {REP_FRAC_MAX_X1E6}
+          AND m.tg_x1e6 <= {REP_FRAC_MAX_X1E6}) AS p3,
+         (r.doc_id IS NOT NULL
+          AND coalesce(s.dup_bps, 0) <= {SPAN_DUP_MAX_BPS}
+          AND m.bg_x1e6 <= {REP_FRAC_MAX_X1E6}
+          AND m.tg_x1e6 <= {REP_FRAC_MAX_X1E6}
+          AND p.quality >= {CURATION_Q_MIN}
+          AND p.pred_lang != 'und') AS p4,
+         p.n_bpe_tokens
+  FROM documents d
+  LEFT JOIN rep_doc r ON d.doc_id = r.doc_id
+  LEFT JOIN span_doc s ON d.doc_id = s.doc_id
+  LEFT JOIN rep_metrics m ON d.doc_id = m.doc_id
+  LEFT JOIN prof p ON d.doc_id = p.doc_id)
+SELECT source, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS INT) AS n_uniq,
+       CAST(sum(CASE WHEN p2 THEN 1 ELSE 0 END) AS INT) AS n_span_ok,
+       CAST(sum(CASE WHEN p3 THEN 1 ELSE 0 END) AS INT) AS n_rep_ok,
+       CAST(sum(CASE WHEN p4 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       CAST(sum(CASE WHEN p4 THEN n_bpe_tokens ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(CASE WHEN sum(CASE WHEN p4 THEN n_bpe_tokens ELSE 0 END) > 0
+            THEN floor((sum(CASE WHEN p4 THEN n_bpe_tokens ELSE 0 END) - 1)
+                       / {PACK_BUDGET}) + 1
+            ELSE 0 END AS INT) AS n_train_seqs
+FROM flags GROUP BY source
+"""
+
+
+EXTRA_QUERIES["q80_curation_pipeline"] = Query(
+    q80_curation_pipeline,
+    _q80_sql(),
+    "end-to-end curation pipeline v2: dedup -> span gate -> repetition "
+    "gate -> quality gate -> token mass -> packing stats, per source",
+)

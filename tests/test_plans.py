@@ -173,3 +173,13 @@ def test_cleanup_family_is_narrow(spark):
         assert s["n_shuffle_exchanges"] == 0, (name, s["text"][:1500])
         assert s["n_broadcast_joins"] == 0 and s["n_sortmerge_joins"] == 0, name
         assert "Python" not in s["text"] and "ArrowEval" not in s["text"], name
+
+
+def test_q80_pipeline_bounded_and_pure(spark):
+    """The composed curation pipeline must stay pure-Catalyst with
+    bounded shuffles: four doc_id-keyed per-doc signals joined + one
+    span-hash window + one final source agg — no Python, no cartesian."""
+    s = _summary(spark, "q80_curation_pipeline")
+    assert "Python" not in s["text"] and "ArrowEval" not in s["text"]
+    assert "CartesianProduct" not in s["text"]
+    assert s["n_shuffle_exchanges"] <= 12, s["text"][:1500]
