@@ -1525,3 +1525,96 @@ EXTRA_QUERIES["q80_curation_pipeline"] = Query(
     "end-to-end curation pipeline v2: dedup -> span gate -> repetition "
     "gate -> quality gate -> token mass -> packing stats, per source",
 )
+
+
+# --- q81: corpus drift monitor (PSI between snapshots) --------------------
+
+DRIFT_BINS = 8
+DRIFT_BIN_W = 25  # words per length bin
+
+
+def q81_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index drift between two corpus snapshots
+    (doc_id parity plays baseline vs candidate): doc length binned into
+    8 fixed buckets, Laplace-smoothed shares, per-bin PSI contribution
+    (p−q)·ln(p/q). The nightly distribution-health check a corpus
+    release gates on, next to the q58 data card. Scale: two narrow
+    scans + one 8-row aggregate each — the joins touch only bin-count
+    rows, so the whole monitor is broadcast-sized after the first
+    aggregate."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.least(
+            F.lit(DRIFT_BINS - 1),
+            F.floor(F.size(F.split(F.trim("text"), r"\s+")) / DRIFT_BIN_W),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+
+    def side(parity: int, name: str) -> DataFrame:
+        return (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    bins = spark.range(DRIFT_BINS).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(F.broadcast(side(0, "n_base")), "bin", "left")
+        .join(F.broadcast(side(1, "n_cand")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).cast("int").alias("n_base"),
+            F.coalesce("n_cand", F.lit(0)).cast("int").alias("n_cand"),
+        )
+    )
+    tots = j.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_cand").alias("tot_cand")
+    )
+    p = (F.col("n_base") + 1) / (F.col("tot_base") + DRIFT_BINS)
+    q = (F.col("n_cand") + 1) / (F.col("tot_cand") + DRIFT_BINS)
+    return (
+        j.crossJoin(F.broadcast(tots))
+        .select(
+            "bin",
+            "n_base",
+            "n_cand",
+            F.floor((p - q) * F.log(p / q) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("psi_x1e6"),
+        )
+    )
+
+
+Q81_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(least({DRIFT_BINS - 1},
+                    floor(len({_W}) / {DRIFT_BIN_W})) AS INT) AS bin
+  FROM documents),
+base AS (SELECT bin, count(*) AS n_base FROM d WHERE doc_id % 2 = 0 GROUP BY bin),
+cand AS (SELECT bin, count(*) AS n_cand FROM d WHERE doc_id % 2 = 1 GROUP BY bin),
+bins AS (SELECT unnest(range({DRIFT_BINS})) AS bin),
+j AS (
+  SELECT bins.bin,
+         CAST(coalesce(n_base, 0) AS INT) AS n_base,
+         CAST(coalesce(n_cand, 0) AS INT) AS n_cand
+  FROM bins LEFT JOIN base ON bins.bin = base.bin
+            LEFT JOIN cand ON bins.bin = cand.bin),
+t AS (SELECT sum(n_base) AS tot_base, sum(n_cand) AS tot_cand FROM j)
+SELECT bin, n_base, n_cand,
+  CAST(floor(((n_base + 1) * 1.0 / (tot_base + {DRIFT_BINS})
+              - (n_cand + 1) * 1.0 / (tot_cand + {DRIFT_BINS}))
+             * ln(((n_base + 1) * 1.0 / (tot_base + {DRIFT_BINS}))
+                  / ((n_cand + 1) * 1.0 / (tot_cand + {DRIFT_BINS})))
+             * 1000000 + 0.5) AS BIGINT) AS psi_x1e6
+FROM j, t
+"""
+
+EXTRA_QUERIES["q81_corpus_drift"] = Query(
+    q81_corpus_drift,
+    Q81_SQL,
+    "corpus drift monitor: Laplace-smoothed PSI over length bins "
+    "between two snapshots",
+)
