@@ -1618,3 +1618,68 @@ EXTRA_QUERIES["q81_corpus_drift"] = Query(
     "corpus drift monitor: Laplace-smoothed PSI over length bins "
     "between two snapshots",
 )
+
+
+# --- q82: vocabulary drift / OOV rate between snapshots -------------------
+
+OOV_VOCAB_K = 30
+
+
+def q82_oov_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-coverage drift: build the top-K term vocabulary from
+    the baseline snapshot (even doc_ids), then measure what fraction of
+    candidate-snapshot (odd doc_ids) token OCCURRENCES fall outside it
+    — the out-of-vocabulary mass a frozen tokenizer would meet on the
+    new data. The vocab is K rows → broadcast anti-join; the only real
+    shuffle is the term count. Complements q81 (length-shape drift)
+    with content drift."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(OOV_VOCAB_K)
+        .select("term")
+    )
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+    tot = cand.agg(F.count(F.lit(1)).alias("cand_tokens"))
+    oov = cand.join(F.broadcast(vocab), "term", "left_anti").agg(
+        F.count(F.lit(1)).alias("oov_tokens")
+    )
+    return (
+        tot.crossJoin(oov)
+        .select(
+            F.lit(OOV_VOCAB_K).alias("vocab_k"),
+            F.col("cand_tokens").cast("long"),
+            F.col("oov_tokens").cast("long"),
+            F.floor(F.col("oov_tokens") * 10000.0 / F.col("cand_tokens") + F.lit(0.5))
+            .cast("int")
+            .alias("oov_bps"),
+        )
+    )
+
+
+Q82_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_W}) AS term FROM documents),
+vocab AS (
+  SELECT term FROM tok WHERE doc_id % 2 = 0
+  GROUP BY term ORDER BY count(*) DESC, term ASC LIMIT {OOV_VOCAB_K}),
+cand AS (SELECT term FROM tok WHERE doc_id % 2 = 1)
+SELECT {OOV_VOCAB_K} AS vocab_k,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS cand_tokens,
+       CAST(count(*) AS BIGINT) AS oov_tokens,
+       CAST(floor(count(*) * 10000.0 / (SELECT count(*) FROM cand) + 0.5)
+            AS INT) AS oov_bps
+FROM cand WHERE term NOT IN (SELECT term FROM vocab)
+"""
+
+EXTRA_QUERIES["q82_oov_drift"] = Query(
+    q82_oov_drift,
+    Q82_SQL,
+    "vocabulary drift: OOV token mass of the candidate snapshot "
+    "against the baseline top-K vocab",
+)

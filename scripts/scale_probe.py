@@ -234,7 +234,12 @@ def main() -> None:
     probes = [(n, reg[n].fn) for n in PROBE_QUERIES] + list(EXTRA_PROBES.items())
     if args.queries:
         wanted = set(args.queries.split(","))
-        probes = [(n, fn) for n, fn in probes if n in wanted]
+        known = {n for n, _fn in probes}
+        # any full_registry query can be probed by name, not only the
+        # flagship set
+        probes = [(n, fn) for n, fn in probes if n in wanted] + [
+            (n, reg[n].fn) for n in sorted(wanted - known) if n in reg
+        ]
     for name, fn in probes:
         # (label, replica factor relative to sf0.1, seconds)
         points = [
