@@ -633,3 +633,103 @@ EXTRA_QUERIES["q78_streaming_pii"] = Query(
     _q78_sql(),
     "streaming PII scrub: stateless online redaction, vs the batch q59 SQL",
 )
+
+
+# --- q83: streaming corpus-drift monitor (PSI vs static baseline) ---------
+
+def q83_streaming_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of the q81 drift monitor's candidate
+    leg: candidate documents stream through a binned update-mode count
+    aggregate (the only state: 8 rows), then the PSI against the
+    STATIC baseline snapshot is computed batch-side from the final
+    counts — exactly how an ingest monitor runs (stream keeps tiny
+    running histograms, the comparison job reads them). Hash-checked
+    against the identical batch SQL (Q81_SQL)."""
+    from anti_ddos_spark.queries.textops import (
+        DRIFT_BIN_W,
+        DRIFT_BINS,
+    )
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    bin_of = (
+        F.least(
+            F.lit(DRIFT_BINS - 1),
+            F.floor(F.size(F.split(F.trim("text"), r"\s+")) / DRIFT_BIN_W),
+        )
+        .cast("int")
+        .alias("bin")
+    )
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q83_stream_")
+    src = os.path.join(tmp, "docs")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    counts = (
+        stream.select(bin_of)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_cand"))
+    )
+    name = f"q83_bins_{run_id}"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q83 streaming drift did not finish its availableNow run in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+
+    cand = spark.table(name)
+    base = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(bin_of)
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    bins = spark.range(DRIFT_BINS).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(F.broadcast(base), "bin", "left")
+        .join(F.broadcast(cand), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).cast("int").alias("n_base"),
+            F.coalesce("n_cand", F.lit(0)).cast("int").alias("n_cand"),
+        )
+    )
+    tots = j.agg(
+        F.sum("n_base").alias("tot_base"), F.sum("n_cand").alias("tot_cand")
+    )
+    p = (F.col("n_base") + 1) / (F.col("tot_base") + DRIFT_BINS)
+    qq = (F.col("n_cand") + 1) / (F.col("tot_cand") + DRIFT_BINS)
+    return j.crossJoin(F.broadcast(tots)).select(
+        "bin",
+        "n_base",
+        "n_cand",
+        F.floor((p - qq) * F.log(p / qq) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("psi_x1e6"),
+    )
+
+
+def _q83_sql() -> str:
+    from anti_ddos_spark.queries.textops import Q81_SQL
+
+    return Q81_SQL
+
+
+EXTRA_QUERIES["q83_streaming_drift"] = Query(
+    q83_streaming_drift,
+    _q83_sql(),
+    "streaming drift monitor: update-mode bin histogram + batch PSI "
+    "vs the static baseline, vs the batch q81 SQL",
+)
