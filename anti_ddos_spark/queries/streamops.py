@@ -645,20 +645,10 @@ def q83_streaming_drift(spark: SparkSession, sf: str) -> DataFrame:
     counts — exactly how an ingest monitor runs (stream keeps tiny
     running histograms, the comparison job reads them). Hash-checked
     against the identical batch SQL (Q81_SQL)."""
-    from anti_ddos_spark.queries.textops import (
-        DRIFT_BIN_W,
-        DRIFT_BINS,
-    )
+    from anti_ddos_spark.queries.textops import drift_bin, psi_frame
 
     docs = t(spark, sf, "documents").select("doc_id", "text")
-    bin_of = (
-        F.least(
-            F.lit(DRIFT_BINS - 1),
-            F.floor(F.size(F.split(F.trim("text"), r"\s+")) / DRIFT_BIN_W),
-        )
-        .cast("int")
-        .alias("bin")
-    )
+    bin_of = drift_bin()
 
     run_id = next(_counter)
     tmp = tempfile.mkdtemp(prefix="q83_stream_")
@@ -696,29 +686,8 @@ def q83_streaming_drift(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_base"))
     )
-    bins = spark.range(DRIFT_BINS).select(F.col("id").cast("int").alias("bin"))
-    j = (
-        bins.join(F.broadcast(base), "bin", "left")
-        .join(F.broadcast(cand), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_base", F.lit(0)).cast("int").alias("n_base"),
-            F.coalesce("n_cand", F.lit(0)).cast("int").alias("n_cand"),
-        )
-    )
-    tots = j.agg(
-        F.sum("n_base").alias("tot_base"), F.sum("n_cand").alias("tot_cand")
-    )
-    p = (F.col("n_base") + 1) / (F.col("tot_base") + DRIFT_BINS)
-    qq = (F.col("n_cand") + 1) / (F.col("tot_cand") + DRIFT_BINS)
-    return j.crossJoin(F.broadcast(tots)).select(
-        "bin",
-        "n_base",
-        "n_cand",
-        F.floor((p - qq) * F.log(p / qq) * 1_000_000 + F.lit(0.5))
-        .cast("long")
-        .alias("psi_x1e6"),
-    )
+    # shared PSI math — one definition for batch (q81) and this stream
+    return psi_frame(spark, base, cand)
 
 
 def _q83_sql() -> str:

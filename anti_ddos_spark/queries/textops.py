@@ -663,10 +663,15 @@ def q49_repetition_profile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q49_SQL = f"""
-WITH w AS (
+def _ngram_rep_sql() -> str:
+    """Shared DuckDB CTE chain rw → rg → bgc (per-doc words, bi/trigram
+    arrays, top/total bigram counts) — the SQL twin of the
+    word_ngrams + repetition_metrics pair, used by Q49 and Q80. CTE
+    names are prefixed (rw/rg) so the chain composes with
+    _chunk_grid_sql's w/c/e in one WITH clause."""
+    return f"""rw AS (
   SELECT doc_id, {_W} AS ws FROM documents),
-g AS (
+rg AS (
   SELECT doc_id, ws,
     CASE WHEN len(ws) >= 2
          THEN [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws)-1)]
@@ -675,19 +680,23 @@ g AS (
          THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                FOR i IN generate_series(1, len(ws)-2)]
          ELSE CAST([] AS VARCHAR[]) END AS tg
-  FROM w),
+  FROM rw),
 bgc AS (
   SELECT doc_id, max(cnt) AS topc, sum(cnt) AS totc FROM (
     SELECT doc_id, b, count(*) AS cnt
-    FROM (SELECT doc_id, unnest(bg) AS b FROM g) GROUP BY doc_id, b)
-  GROUP BY doc_id)
-SELECT g.doc_id, CAST(len(g.ws) AS INT) AS n_words,
+    FROM (SELECT doc_id, unnest(bg) AS b FROM rg) GROUP BY doc_id, b)
+  GROUP BY doc_id)"""
+
+
+Q49_SQL = f"""
+WITH {_ngram_rep_sql()}
+SELECT rg.doc_id, CAST(len(rg.ws) AS INT) AS n_words,
   floor(coalesce(bgc.topc * 1.0 / bgc.totc, 0.0) * 1000000 + 0.5) / 1000000.0
     AS top_bigram_frac,
-  floor((CASE WHEN len(g.tg) > 0
-         THEN (len(g.tg) - len(list_distinct(g.tg))) * 1.0 / len(g.tg)
+  floor((CASE WHEN len(rg.tg) > 0
+         THEN (len(rg.tg) - len(list_distinct(rg.tg))) * 1.0 / len(rg.tg)
          ELSE 0.0 END) * 1000000 + 0.5) / 1000000.0 AS dup_trigram_frac
-FROM g LEFT JOIN bgc ON g.doc_id = bgc.doc_id
+FROM rg LEFT JOIN bgc ON rg.doc_id = bgc.doc_id
 """
 
 
@@ -1279,22 +1288,16 @@ EXTRA_QUERIES["q66_doc_chunks"] = Query(
 SPAN_TOKENS = 16  # non-overlapping pseudo-sentence span, C4-style
 
 
-def q68_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """C4-style sub-document dedup signal: cut every doc into
-    non-overlapping 16-token spans (chunk_documents with window=stride),
-    hash each span, and report per document how many of its spans occur
-    elsewhere in the corpus (span count > 1 over a hash-partition
-    window). Two shuffles total — one on span hash, one per-doc
-    aggregate — never all-pairs; the exact shape a 100 TB
-    line-level dedup runs (RefinedWeb/C4 drop dup spans, we report
-    them)."""
+def span_dup_signal(docs: DataFrame) -> DataFrame:
+    """Per-doc span-dup stats — the ONE definition of the 16-token span
+    dedup signal, shared by q68 (full output) and q80 (dup_bps gate):
+    chunk → corpus-wide count over a span-hash window → per-doc
+    aggregate. Two shuffles, never all-pairs."""
     from pyspark.sql.window import Window
 
     from anti_ddos_spark.operators.text import chunk_documents
 
-    spans = chunk_documents(
-        t(spark, sf, "documents"), window=SPAN_TOKENS, stride=SPAN_TOKENS
-    )
+    spans = chunk_documents(docs, window=SPAN_TOKENS, stride=SPAN_TOKENS)
     cnt = F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
     d = spans.withColumn("_cnt", cnt)
     dup = F.sum((F.col("_cnt") > 1).cast("long"))
@@ -1307,20 +1310,40 @@ def q68_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-Q68_SQL = f"""
-WITH {_chunk_grid_sql(SPAN_TOKENS, SPAN_TOKENS)},
-s AS (
+def q68_window_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style sub-document dedup signal: cut every doc into
+    non-overlapping 16-token spans (chunk_documents with window=stride),
+    hash each span, and report per document how many of its spans occur
+    elsewhere in the corpus (span count > 1 over a hash-partition
+    window). Two shuffles total — one on span hash, one per-doc
+    aggregate — never all-pairs; the exact shape a 100 TB
+    line-level dedup runs (RefinedWeb/C4 drop dup spans, we report
+    them)."""
+    return span_dup_signal(t(spark, sf, "documents"))
+
+
+def _span_doc_sql() -> str:
+    """Shared DuckDB CTE chain ending in ``span_doc`` (per-doc span-dup
+    stats) — the SQL twin of span_dup_signal, used by Q68 and Q80."""
+    return f"""{_chunk_grid_sql(SPAN_TOKENS, SPAN_TOKENS)},
+sp AS (
   SELECT doc_id,
          md5(array_to_string(list_slice(ws, i * {SPAN_TOKENS} + 1,
                                         i * {SPAN_TOKENS} + {SPAN_TOKENS}),
                              ' ')) AS h
   FROM e),
-g AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM s)
-SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans,
-       CAST(floor(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 10000.0
-                  / count(*) + 0.5) AS INT) AS dup_bps
-FROM g GROUP BY doc_id
+spc AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM sp),
+span_doc AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+         CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_spans,
+         CAST(floor(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 10000.0
+                    / count(*) + 0.5) AS INT) AS dup_bps
+  FROM spc GROUP BY doc_id)"""
+
+
+Q68_SQL = f"""
+WITH {_span_doc_sql()}
+SELECT doc_id, n_spans, n_dup_spans, dup_bps FROM span_doc
 """
 
 EXTRA_QUERIES["q68_window_dedup"] = Query(
@@ -1346,10 +1369,7 @@ def q80_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     doc_id-co-partitioned joins of four per-doc signals, one final
     groupBy(source). The shape a nightly 100 TB release run publishes
     as its funnel report."""
-    from pyspark.sql.window import Window
-
     from anti_ddos_spark.operators.text import (
-        chunk_documents,
         document_profile,
         repetition_metrics,
         word_ngrams,
@@ -1363,23 +1383,8 @@ def q80_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.lit(1).alias("is_rep"))
     )
 
-    spans = chunk_documents(docs, window=SPAN_TOKENS, stride=SPAN_TOKENS)
-    span_doc = (
-        spans.withColumn(
-            "_cnt", F.count(F.lit(1)).over(Window.partitionBy("chunk_md5"))
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.floor(
-                F.sum((F.col("_cnt") > 1).cast("long"))
-                * 10000.0
-                / F.count(F.lit(1))
-                + F.lit(0.5)
-            )
-            .cast("int")
-            .alias("dup_bps")
-        )
-    )
+    # the q68 signal, verbatim (one definition — span_dup_signal)
+    span_doc = span_dup_signal(docs).select("doc_id", "dup_bps")
 
     d = (
         docs.withColumn("_ws", F.split(F.trim(F.col("text")), r"\s+"))
@@ -1442,46 +1447,22 @@ def q80_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q80_sql() -> str:
+    # composes the SHARED fragment builders — _span_doc_sql (q68's
+    # chain) and _ngram_rep_sql (q49's chain) — so the pipeline can
+    # never disagree with the standalone oracles about the same metric
     return f"""
-WITH {_chunk_grid_sql(SPAN_TOKENS, SPAN_TOKENS)},
-sp AS (
-  SELECT doc_id,
-         md5(array_to_string(list_slice(ws, i * {SPAN_TOKENS} + 1,
-                                        i * {SPAN_TOKENS} + {SPAN_TOKENS}),
-                             ' ')) AS h
-  FROM e),
-spc AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt FROM sp),
-span_doc AS (
-  SELECT doc_id,
-         CAST(floor(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) * 10000.0
-                    / count(*) + 0.5) AS INT) AS dup_bps
-  FROM spc GROUP BY doc_id),
+WITH {_span_doc_sql()},
 rep_doc AS (
   SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-gw AS (SELECT doc_id, {_W} AS ws FROM documents),
-gg AS (
-  SELECT doc_id, ws,
-    CASE WHEN len(ws) >= 2
-         THEN [ws[i] || ' ' || ws[i+1] FOR i IN generate_series(1, len(ws)-1)]
-         ELSE CAST([] AS VARCHAR[]) END AS bg,
-    CASE WHEN len(ws) >= 3
-         THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-               FOR i IN generate_series(1, len(ws)-2)]
-         ELSE CAST([] AS VARCHAR[]) END AS tg
-  FROM gw),
-bgc AS (
-  SELECT doc_id, max(cnt) AS topc, sum(cnt) AS totc FROM (
-    SELECT doc_id, b, count(*) AS cnt
-    FROM (SELECT doc_id, unnest(bg) AS b FROM gg) GROUP BY doc_id, b)
-  GROUP BY doc_id),
+{_ngram_rep_sql()},
 rep_metrics AS (
-  SELECT gg.doc_id,
+  SELECT rg.doc_id,
     CAST(floor(coalesce(bgc.topc * 1.0 / bgc.totc, 0.0) * 1000000 + 0.5)
          AS BIGINT) AS bg_x1e6,
-    CAST(floor((CASE WHEN len(gg.tg) > 0
-           THEN (len(gg.tg) - len(list_distinct(gg.tg))) * 1.0 / len(gg.tg)
+    CAST(floor((CASE WHEN len(rg.tg) > 0
+           THEN (len(rg.tg) - len(list_distinct(rg.tg))) * 1.0 / len(rg.tg)
            ELSE 0.0 END) * 1000000 + 0.5) AS BIGINT) AS tg_x1e6
-  FROM gg LEFT JOIN bgc ON gg.doc_id = bgc.doc_id),
+  FROM rg LEFT JOIN bgc ON rg.doc_id = bgc.doc_id),
 prof AS ({_q31_sql()}),
 flags AS (
   SELECT d.source,
@@ -1533,36 +1514,30 @@ DRIFT_BINS = 8
 DRIFT_BIN_W = 25  # words per length bin
 
 
-def q81_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
-    """Population-stability-index drift between two corpus snapshots
-    (doc_id parity plays baseline vs candidate): doc length binned into
-    8 fixed buckets, Laplace-smoothed shares, per-bin PSI contribution
-    (p−q)·ln(p/q). The nightly distribution-health check a corpus
-    release gates on, next to the q58 data card. Scale: two narrow
-    scans + one 8-row aggregate each — the joins touch only bin-count
-    rows, so the whole monitor is broadcast-sized after the first
-    aggregate."""
-    docs = t(spark, sf, "documents").select(
-        "doc_id",
+def drift_bin() -> "F.Column":
+    """The ONE definition of the drift length-bin expression (over a
+    `text` column), shared by q81 and the streaming q83."""
+    return (
         F.least(
             F.lit(DRIFT_BINS - 1),
             F.floor(F.size(F.split(F.trim("text"), r"\s+")) / DRIFT_BIN_W),
         )
         .cast("int")
-        .alias("bin"),
+        .alias("bin")
     )
 
-    def side(parity: int, name: str) -> DataFrame:
-        return (
-            docs.filter(F.col("doc_id") % 2 == parity)
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
 
+def psi_frame(
+    spark: SparkSession, base: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Laplace-smoothed per-bin PSI contributions from two (bin, n_base)
+    / (bin, n_cand) count frames — the ONE definition of the PSI math,
+    shared by q81 (batch counts) and q83 (streaming counts). Everything
+    here is broadcast-sized (DRIFT_BINS rows)."""
     bins = spark.range(DRIFT_BINS).select(F.col("id").cast("int").alias("bin"))
     j = (
-        bins.join(F.broadcast(side(0, "n_base")), "bin", "left")
-        .join(F.broadcast(side(1, "n_cand")), "bin", "left")
+        bins.join(F.broadcast(base), "bin", "left")
+        .join(F.broadcast(cand), "bin", "left")
         .select(
             "bin",
             F.coalesce("n_base", F.lit(0)).cast("int").alias("n_base"),
@@ -1585,6 +1560,27 @@ def q81_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
             .alias("psi_x1e6"),
         )
     )
+
+
+def q81_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index drift between two corpus snapshots
+    (doc_id parity plays baseline vs candidate): doc length binned into
+    8 fixed buckets, Laplace-smoothed shares, per-bin PSI contribution
+    (p−q)·ln(p/q). The nightly distribution-health check a corpus
+    release gates on, next to the q58 data card. Scale: two narrow
+    scans + one 8-row aggregate each — the joins touch only bin-count
+    rows, so the whole monitor is broadcast-sized after the first
+    aggregate."""
+    docs = t(spark, sf, "documents").select("doc_id", drift_bin())
+
+    def side(parity: int, name: str) -> DataFrame:
+        return (
+            docs.filter(F.col("doc_id") % 2 == parity)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    return psi_frame(spark, side(0, "n_base"), side(1, "n_cand"))
 
 
 Q81_SQL = f"""

@@ -68,28 +68,39 @@ def compact_partitions(
     plan = counts.select(
         F.col(partition_col).alias("_pc"), F.col("n_files")
     )
+    # salt from row CONTENT, not monotonically_increasing_id: a
+    # recomputed map task must route every row to the same reduce
+    # partition or a fetch-failure rerun duplicates/loses rows (the
+    # SPARK-23207 class of bug). Map-typed columns are unhashable
+    # (spark.sql.legacy.allowHashOnMapType) and are skipped.
+    hashable = [
+        f.name
+        for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    salt = (
+        F.pmod(F.hash(*[F.col(c) for c in hashable]), F.col("n_files"))
+        if hashable
+        else F.lit(0)
+    )
     salted = (
         df.join(
             F.broadcast(plan),
             F.col(partition_col).eqNullSafe(F.col("_pc")),
         )
         .drop("_pc")
-        # salt from row CONTENT, not monotonically_increasing_id: a
-        # recomputed map task must route every row to the same reduce
-        # partition or a fetch-failure rerun duplicates/loses rows
-        # (the SPARK-23207 class of bug).
-        .withColumn(
-            "_salt",
-            F.pmod(
-                F.hash(*[F.col(c) for c in df.columns]), F.col("n_files")
-            ).cast("int"),
-        )
+        .withColumn("_salt", salt.cast("int"))
     )
     (
         salted.repartition(F.col(partition_col), F.col("_salt"))
         .drop("_salt", "n_files")
         .write.mode("overwrite")
         .partitionBy(partition_col)
+        # backstop for content-identical rows (they share one salt and
+        # collapse into one reduce group): the writer still splits the
+        # group at the target size, so the file budget degrades
+        # gracefully instead of producing one giant file
+        .option("maxRecordsPerFile", str(target_rows_per_file))
         .parquet(dest)
     )
     return counts

@@ -111,11 +111,16 @@ def write_training_shards(
     plus an optional per-file row cap — the layout a dataloader consumes
     (shard -> worker, file -> read unit).
 
-    Scale notes: one shuffle (range repartition on the shard id — hash
-    repartition would balls-in-bins multiple shards into one task and
-    leave ~1/e of the tasks empty; range gives exactly one shard per
-    task, so files stay contiguous per shard);
-    ``maxRecordsPerFile`` bounds file size without a second pass. The
+    Scale notes: the shuffle is a range repartition on the shard id —
+    hash repartition would balls-in-bins multiple shards into one task
+    and leave ~1/e of the tasks empty; range keeps shards in disjoint
+    tasks (one per task when sizes are even — the sampled bounds are
+    weight-based, so heavy skew can still co-locate two shards, with
+    output correctness unaffected via partitionBy). Range partitioning
+    costs one extra sampling pass over the input; the manifest is
+    therefore computed from the WRITTEN table (a columnar scan of two
+    pruned columns), not a third pass over the source plan.
+    ``maxRecordsPerFile`` bounds file size without any extra pass. The
     returned manifest (shard -> rows, key span) is a driver-sized
     aggregate a release pins alongside the data.
     """
@@ -131,7 +136,8 @@ def write_training_shards(
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
     return (
-        sharded.groupBy("shard")
+        df.sparkSession.read.parquet(path)
+        .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min(key_col).alias("key_min"),

@@ -222,6 +222,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = full_registry()
 
+    probes = [(n, reg[n].fn) for n in PROBE_QUERIES] + list(EXTRA_PROBES.items())
+    if args.queries:
+        wanted = set(args.queries.split(","))
+        known = {n for n, _fn in probes}
+        unknown = wanted - known - set(reg)
+        if unknown:
+            # fail BEFORE the expensive replica build: a typo'd name
+            # would otherwise probe nothing and exit 0
+            raise SystemExit(f"unknown probe/query names: {sorted(unknown)}")
+        # any full_registry query can be probed by name, not only the
+        # flagship set
+        probes = [(n, fn) for n, fn in probes if n in wanted] + [
+            (n, reg[n].fn) for n in sorted(wanted - known) if n in reg
+        ]
+
     tables = set(args.tables.split(",")) if args.tables else None
     scale_dirs: list[tuple[int, str]] = []
     for rep in scales:
@@ -231,15 +246,6 @@ def main() -> None:
     import math
 
     results: dict[str, dict[str, float]] = {}
-    probes = [(n, reg[n].fn) for n in PROBE_QUERIES] + list(EXTRA_PROBES.items())
-    if args.queries:
-        wanted = set(args.queries.split(","))
-        known = {n for n, _fn in probes}
-        # any full_registry query can be probed by name, not only the
-        # flagship set
-        probes = [(n, fn) for n, fn in probes if n in wanted] + [
-            (n, reg[n].fn) for n in sorted(wanted - known) if n in reg
-        ]
     for name, fn in probes:
         # (label, replica factor relative to sf0.1, seconds)
         points = [
