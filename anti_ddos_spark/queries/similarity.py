@@ -571,3 +571,39 @@ EXTRA_QUERIES["q79_ann_recall"] = Query(
     "ANN recall@k evaluation: IVF multiprobe vs brute-force ground "
     "truth in one semi-join",
 )
+
+
+# --- q84: semantic search with metadata fetch -----------------------------
+
+def q84_semantic_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The retrieval pattern every corpus user runs: ANN top-k over the
+    embedding index, then a join back to the documents table for the
+    result metadata (vec_id aligns with doc_id in the testdata
+    contract). The k-row result side broadcasts into the metadata join,
+    so at 100 TB the document table is touched only by a broadcast-hash
+    probe — no big-side shuffle."""
+    emb = t(spark, sf, "embeddings")
+    topk = brute_force_topk(emb, QUERY_ID, TOPK).select(
+        "vec_id", rnd(F.col("cos"), 6).alias("cos")
+    )
+    docs = t(spark, sf, "documents").select(
+        F.col("doc_id"), "source", "lang", F.col("n_chars").cast("long")
+    )
+    return (
+        F.broadcast(topk)
+        .join(docs, topk.vec_id == docs.doc_id)
+        .select("vec_id", "cos", "source", "lang", "n_chars")
+    )
+
+
+Q84_SQL = f"""
+WITH topk AS ({Q40_SQL.strip()})
+SELECT k.vec_id, k.cos, d.source, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM topk k JOIN documents d ON k.vec_id = d.doc_id
+"""
+
+EXTRA_QUERIES["q84_semantic_search"] = Query(
+    q84_semantic_search,
+    Q84_SQL,
+    "ANN top-k + broadcast metadata fetch from the documents table",
+)
