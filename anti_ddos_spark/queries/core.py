@@ -704,3 +704,117 @@ EXTRA_QUERIES["q77_sql_grouping_sets"] = Query(
     Q77_SQL,
     "SQL API surface: CTE + GROUPING SETS, one query text on both engines",
 )
+
+
+# --- q85: ordered funnel conversion ---------------------------------------
+
+def q85_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic ordered funnel over the event stream: per user, first
+    'view', then the first 'click' AFTER that view, then the first
+    'purchase' after that click — strictly ordered, so late clicks
+    without a prior view don't count. Three user_id-co-partitioned
+    conditional aggregates (AQE coalesces them onto one partitioning),
+    one global count row out."""
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = ev.select("user_id").distinct().count()
+    return (
+        v.select(F.lit(1).alias("_one"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("int").alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("int").alias("n_purchase")))
+        .select(
+            F.lit(users).cast("int").alias("n_users"),
+            "n_view",
+            "n_click",
+            "n_purchase",
+        )
+    )
+
+
+Q85_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS INT) AS n_users,
+       CAST((SELECT count(*) FROM v) AS INT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS INT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS INT) AS n_purchase
+"""
+
+EXTRA_QUERIES["q85_funnel_conversion"] = Query(
+    q85_funnel_conversion,
+    Q85_SQL,
+    "ordered funnel conversion (view -> click -> purchase, strictly "
+    "time-ordered per user)",
+)
+
+
+# --- q86: cohort retention ------------------------------------------------
+
+RETENTION_DAYS = 7
+
+
+def q86_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, count
+    of distinct users active at each day offset 0..7. One aggregate for
+    the cohort map (user-count rows), a user_id-co-partitioned join
+    back, one (cohort, offset) aggregate."""
+    ev = t(spark, sf, "events").select("user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn("offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("offset") <= RETENTION_DAYS)
+        .groupBy("cohort_day", "offset")
+        .agg(F.count_distinct("user_id").cast("int").alias("n_active"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("offset").cast("int"),
+            "n_active",
+        )
+    )
+
+
+Q86_SQL = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, e.day) AS INT) AS "offset",
+       CAST(count(DISTINCT e.user_id) AS INT) AS n_active
+FROM ev e JOIN first f ON e.user_id = f.user_id
+WHERE date_diff('day', f.cohort_day, e.day) <= {RETENTION_DAYS}
+GROUP BY f.cohort_day, date_diff('day', f.cohort_day, e.day)
+"""
+
+EXTRA_QUERIES["q86_cohort_retention"] = Query(
+    q86_cohort_retention,
+    Q86_SQL,
+    "cohort retention triangle (first-seen day x day offset, distinct "
+    "active users)",
+)
