@@ -818,3 +818,64 @@ EXTRA_QUERIES["q86_cohort_retention"] = Query(
     "cohort retention triangle (first-seen day x day offset, distinct "
     "active users)",
 )
+
+
+# --- q87: event-rate anomaly detection (the DDoS-shaped analytic) ---------
+
+ANOMALY_Z_X1E4 = 20_000  # |z| >= 2.0 flags a spike
+
+
+def q87_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-spike detection — the analytic the reference's whole
+    pipeline exists to feed: events bucketed per minute, global
+    mean/std of the per-minute rate, z-score per bucket, spike flag at
+    |z| ≥ 2. One narrow scan → minute aggregate → broadcast of the
+    2-value stats row back over the buckets. Variance is computed from
+    (n, Σx, Σx²) integer sums, so both engines do the identical float
+    arithmetic (no stddev_samp implementation drift)."""
+    ev = t(spark, sf, "events").select(
+        F.date_trunc("minute", "ts").alias("minute")
+    )
+    per_min = ev.groupBy("minute").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_min.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("m")
+    var = F.col("s2") / F.col("m") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        per_min.crossJoin(F.broadcast(stats))
+        .select(
+            F.unix_micros("minute").alias("minute_us"),
+            F.col("n").cast("int").alias("n"),
+            F.floor(z * 10_000 + F.lit(0.5)).cast("long").alias("z_x1e4"),
+        )
+        .withColumn(
+            "is_spike", (F.abs(F.col("z_x1e4")) >= ANOMALY_Z_X1E4).cast("int")
+        )
+    )
+
+
+Q87_SQL = f"""
+WITH per_min AS (
+  SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1),
+s AS (SELECT count(*) AS m, sum(n) AS s1, sum(n * n) AS s2 FROM per_min)
+SELECT epoch_us(minute) AS minute_us, CAST(n AS INT) AS n,
+       CAST(floor((n - s1 * 1.0 / m)
+                  / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m))
+                  * 10000 + 0.5) AS BIGINT) AS z_x1e4,
+       CAST(abs(floor((n - s1 * 1.0 / m)
+                  / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m))
+                  * 10000 + 0.5)) >= {ANOMALY_Z_X1E4} AS INT) AS is_spike
+FROM per_min, s
+"""
+
+EXTRA_QUERIES["q87_rate_anomaly"] = Query(
+    q87_rate_anomaly,
+    Q87_SQL,
+    "per-minute rate z-score anomaly flags (exact integer sums -> "
+    "identical float math in both engines)",
+)
