@@ -702,3 +702,98 @@ EXTRA_QUERIES["q83_streaming_drift"] = Query(
     "streaming drift monitor: update-mode bin histogram + batch PSI "
     "vs the static baseline, vs the batch q81 SQL",
 )
+
+
+# --- q88: streaming rate-anomaly monitor (windowed counts in-stream) ------
+
+def q88_streaming_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of q87's rate monitor: events stream
+    through an event-time tumbling-window count (1-minute windows,
+    0-second watermark, append mode — exactly the windowed-aggregation
+    machinery a live DDoS monitor runs), then the z-score pass runs
+    batch-side over the emitted histogram. Append mode only emits
+    windows sealed by the final watermark, so the last minute(s) are
+    completed by a batch top-up of the un-emitted tail — the pattern a
+    production monitor uses at shutdown. Hash-checked against the batch
+    q87 SQL."""
+    from anti_ddos_spark.queries.core import ANOMALY_Z_X1E4
+
+    ev = t(spark, sf, "events").select("ts")
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q88_stream_")
+    src = os.path.join(tmp, "events")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("ts TIMESTAMP").parquet(src)
+    counts = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("minute"), "n")
+    )
+    name = f"q88_rates_{run_id}"
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q88 streaming rate monitor did not finish its availableNow "
+            "run in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+
+    emitted = spark.table(name)
+    # batch top-up of windows the final watermark left unsealed (append
+    # emits only windows strictly before the max event time's watermark)
+    all_counts = (
+        t(spark, sf, "events")
+        .select(F.date_trunc("minute", "ts").alias("minute"))
+        .groupBy("minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tail = all_counts.join(
+        emitted.select("minute"), "minute", "left_anti"
+    )
+    per_min = emitted.select("minute", "n").unionByName(tail)
+
+    stats = per_min.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("m")
+    var = F.col("s2") / F.col("m") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        per_min.crossJoin(F.broadcast(stats))
+        .select(
+            F.unix_micros("minute").alias("minute_us"),
+            F.col("n").cast("int").alias("n"),
+            F.floor(z * 10_000 + F.lit(0.5)).cast("long").alias("z_x1e4"),
+        )
+        .withColumn(
+            "is_spike", (F.abs(F.col("z_x1e4")) >= ANOMALY_Z_X1E4).cast("int")
+        )
+    )
+
+
+def _q88_sql() -> str:
+    from anti_ddos_spark.queries.core import Q87_SQL
+
+    return Q87_SQL
+
+
+EXTRA_QUERIES["q88_streaming_rate_anomaly"] = Query(
+    q88_streaming_rate_anomaly,
+    _q88_sql(),
+    "streaming rate monitor: event-time tumbling-window counts "
+    "in-stream + batch z-scores, vs the batch q87 SQL",
+)
