@@ -1679,3 +1679,57 @@ EXTRA_QUERIES["q82_oov_drift"] = Query(
     "vocabulary drift: OOV token mass of the candidate snapshot "
     "against the baseline top-K vocab",
 )
+
+
+# --- q89: deterministic weighted sampling (Efraimidis-Spirakis) -----------
+
+WSAMPLE_K = 25
+
+
+def q89_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, derandomized: the
+    Efraimidis-Spirakis key ln(u)/w with u drawn from the document's
+    OWN content hash instead of an RNG — so the sample is reproducible,
+    retry-stable, and identical in any engine (the q38/q55 trick
+    applied to weighted selection). Weight = doc length in chars, so
+    token-heavy docs are proportionally favored — the standard move
+    when sampling a fixed-size training subset by value. Plan: narrow
+    projection + TakeOrdered top-k; no shuffle beyond the k-row
+    ordering."""
+    docs = t(spark, sf, "documents")
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000.0
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            F.floor(key * 1_000_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("key_x1e9"),
+        )
+        .orderBy(F.col("key_x1e9").desc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+    )
+
+
+Q89_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(floor(ln((('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
+                        + 0.5) / 1000000.0)
+                    / n_chars * 1000000000 + 0.5) AS BIGINT) AS key_x1e9
+  FROM documents)
+SELECT doc_id, w, key_x1e9 FROM keyed
+ORDER BY key_x1e9 DESC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+EXTRA_QUERIES["q89_weighted_sample"] = Query(
+    q89_weighted_sample,
+    Q89_SQL,
+    "derandomized Efraimidis-Spirakis weighted sampling (content-hash "
+    "uniform, length weights, top-k keys)",
+)
