@@ -734,18 +734,12 @@ def q85_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    users = ev.select("user_id").distinct().count()
     return (
-        v.select(F.lit(1).alias("_one"))
-        .agg(F.count(F.lit(1)).cast("int").alias("n_view"))
+        ev.agg(F.count_distinct("user_id").cast("int").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).cast("int").alias("n_view")))
         .crossJoin(c.agg(F.count(F.lit(1)).cast("int").alias("n_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).cast("int").alias("n_purchase")))
-        .select(
-            F.lit(users).cast("int").alias("n_users"),
-            "n_view",
-            "n_click",
-            "n_purchase",
-        )
+        .select("n_users", "n_view", "n_click", "n_purchase")
     )
 
 
@@ -825,18 +819,14 @@ EXTRA_QUERIES["q86_cohort_retention"] = Query(
 ANOMALY_Z_X1E4 = 20_000  # |z| >= 2.0 flags a spike
 
 
-def q87_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
-    """Rate-spike detection — the analytic the reference's whole
-    pipeline exists to feed: events bucketed per minute, global
-    mean/std of the per-minute rate, z-score per bucket, spike flag at
-    |z| ≥ 2. One narrow scan → minute aggregate → broadcast of the
-    2-value stats row back over the buckets. Variance is computed from
-    (n, Σx, Σx²) integer sums, so both engines do the identical float
-    arithmetic (no stddev_samp implementation drift)."""
-    ev = t(spark, sf, "events").select(
-        F.date_trunc("minute", "ts").alias("minute")
-    )
-    per_min = ev.groupBy("minute").agg(F.count(F.lit(1)).alias("n"))
+def rate_zscores(per_min: DataFrame) -> DataFrame:
+    """(minute, n) → (minute_us, n, z_x1e4, is_spike) — the ONE
+    definition of the z-score pass, shared by q87 (batch) and the
+    streaming q88. Variance is computed from (m, Σn, Σn²) integer sums,
+    so both engines do the identical float arithmetic; var = 0 (a
+    perfectly uniform rate) is guarded to z = 0 per the base.py
+    guarded-division policy — Spark would otherwise make NaN where
+    DuckDB makes NULL."""
     stats = per_min.agg(
         F.count(F.lit(1)).alias("m"),
         F.sum("n").alias("s1"),
@@ -844,7 +834,9 @@ def q87_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
     mean = F.col("s1") / F.col("m")
     var = F.col("s2") / F.col("m") - mean * mean
-    z = (F.col("n") - mean) / F.sqrt(var)
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
     return (
         per_min.crossJoin(F.broadcast(stats))
         .select(
@@ -858,19 +850,34 @@ def q87_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q87_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-spike detection — the analytic the reference's whole
+    pipeline exists to feed: events bucketed per minute, global
+    mean/std of the per-minute rate, z-score per bucket, spike flag at
+    |z| ≥ 2. One narrow scan → minute aggregate → broadcast of the
+    2-value stats row back over the buckets (rate_zscores)."""
+    ev = t(spark, sf, "events").select(
+        F.date_trunc("minute", "ts").alias("minute")
+    )
+    return rate_zscores(ev.groupBy("minute").agg(F.count(F.lit(1)).alias("n")))
+
+
 Q87_SQL = f"""
 WITH per_min AS (
   SELECT date_trunc('minute', ts) AS minute, count(*) AS n
   FROM events GROUP BY 1),
-s AS (SELECT count(*) AS m, sum(n) AS s1, sum(n * n) AS s2 FROM per_min)
-SELECT epoch_us(minute) AS minute_us, CAST(n AS INT) AS n,
-       CAST(floor((n - s1 * 1.0 / m)
-                  / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m))
-                  * 10000 + 0.5) AS BIGINT) AS z_x1e4,
-       CAST(abs(floor((n - s1 * 1.0 / m)
-                  / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m))
-                  * 10000 + 0.5)) >= {ANOMALY_Z_X1E4} AS INT) AS is_spike
-FROM per_min, s
+s AS (SELECT count(*) AS m, sum(n) AS s1, sum(n * n) AS s2 FROM per_min),
+z AS (
+  SELECT minute, n,
+         CASE WHEN s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m) > 0
+              THEN CAST(floor((n - s1 * 1.0 / m)
+                   / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m))
+                   * 10000 + 0.5) AS BIGINT)
+              ELSE 0 END AS z_x1e4
+  FROM per_min, s)
+SELECT epoch_us(minute) AS minute_us, CAST(n AS INT) AS n, z_x1e4,
+       CAST(abs(z_x1e4) >= {ANOMALY_Z_X1E4} AS INT) AS is_spike
+FROM z
 """
 
 EXTRA_QUERIES["q87_rate_anomaly"] = Query(

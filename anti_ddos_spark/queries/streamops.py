@@ -716,8 +716,6 @@ def q88_streaming_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     completed by a batch top-up of the un-emitted tail — the pattern a
     production monitor uses at shutdown. Hash-checked against the batch
     q87 SQL."""
-    from anti_ddos_spark.queries.core import ANOMALY_Z_X1E4
-
     ev = t(spark, sf, "events").select("ts")
     run_id = next(_counter)
     tmp = tempfile.mkdtemp(prefix="q88_stream_")
@@ -763,26 +761,10 @@ def q88_streaming_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         emitted.select("minute"), "minute", "left_anti"
     )
     per_min = emitted.select("minute", "n").unionByName(tail)
+    # shared z-score math — one definition for batch (q87) and this stream
+    from anti_ddos_spark.queries.core import rate_zscores
 
-    stats = per_min.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("n").alias("s1"),
-        F.sum(F.col("n") * F.col("n")).alias("s2"),
-    )
-    mean = F.col("s1") / F.col("m")
-    var = F.col("s2") / F.col("m") - mean * mean
-    z = (F.col("n") - mean) / F.sqrt(var)
-    return (
-        per_min.crossJoin(F.broadcast(stats))
-        .select(
-            F.unix_micros("minute").alias("minute_us"),
-            F.col("n").cast("int").alias("n"),
-            F.floor(z * 10_000 + F.lit(0.5)).cast("long").alias("z_x1e4"),
-        )
-        .withColumn(
-            "is_spike", (F.abs(F.col("z_x1e4")) >= ANOMALY_Z_X1E4).cast("int")
-        )
-    )
+    return rate_zscores(per_min)
 
 
 def _q88_sql() -> str:

@@ -1702,7 +1702,9 @@ def q89_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         % 1_000_000
         + F.lit(0.5)
     ) / 1_000_000.0
-    key = F.log(u) / F.col("n_chars").cast("double")
+    # weight guarded at 1: an empty doc (n_chars=0) would divide to
+    # -Infinity, where Spark and DuckDB disagree on the long cast
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
     return (
         docs.select(
             "doc_id",
@@ -1721,7 +1723,8 @@ WITH keyed AS (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
          CAST(floor(ln((('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
                         + 0.5) / 1000000.0)
-                    / n_chars * 1000000000 + 0.5) AS BIGINT) AS key_x1e9
+                    / greatest(n_chars, 1) * 1000000000 + 0.5) AS BIGINT)
+           AS key_x1e9
   FROM documents)
 SELECT doc_id, w, key_x1e9 FROM keyed
 ORDER BY key_x1e9 DESC, doc_id ASC LIMIT {WSAMPLE_K}

@@ -15,7 +15,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-SF = "/root/testdata/sf0.001"
+from conftest import SF_DIR as SF  # env-overridable testdata root
 
 
 def _run_once(spark, src, out, ckpt):
