@@ -1736,3 +1736,97 @@ EXTRA_QUERIES["q89_weighted_sample"] = Query(
     "derandomized Efraimidis-Spirakis weighted sampling (content-hash "
     "uniform, length weights, top-k keys)",
 )
+
+
+# --- q90: winsorized length trimming --------------------------------------
+
+def q90_winsorize_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier trimming for a length-sensitive training mix: clamp each
+    doc's char length into its corpus [p05, p95] band (exact
+    percentile_cont over the length distribution — two scalar values,
+    broadcast back), reporting the clamped value and which side was
+    trimmed. The standard winsorization pass before length-weighted
+    sampling. One narrow scan + one 2-value aggregate."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    pcts = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    lo = F.floor(F.col("p05") + F.lit(0.5)).cast("long")
+    hi = F.floor(F.col("p95") + F.lit(0.5)).cast("long")
+    return docs.crossJoin(F.broadcast(pcts)).select(
+        "doc_id",
+        "n_chars",
+        F.greatest(lo, F.least(hi, F.col("n_chars"))).alias("clamped"),
+        F.when(F.col("n_chars") < lo, -1)
+        .when(F.col("n_chars") > hi, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("trimmed"),
+    )
+
+
+Q90_SQL = """
+WITH p AS (
+  SELECT CAST(floor(percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars)
+              + 0.5) AS BIGINT) AS lo,
+         CAST(floor(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars)
+              + 0.5) AS BIGINT) AS hi
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       greatest(lo, least(hi, n_chars)) AS clamped,
+       CAST(CASE WHEN n_chars < lo THEN -1
+                 WHEN n_chars > hi THEN 1 ELSE 0 END AS INT) AS trimmed
+FROM documents, p
+"""
+
+EXTRA_QUERIES["q90_winsorize_lengths"] = Query(
+    q90_winsorize_lengths,
+    Q90_SQL,
+    "winsorized length trimming (exact p05/p95 clamp, broadcast band)",
+)
+
+
+# --- q91: equi-depth binning via NTILE ------------------------------------
+
+def q91_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth length quartiles via the ntile window (the one
+    analytic window function the surface hadn't pinned): rank docs by
+    length, ntile(4), per-quartile count and length span. One global
+    sort window at quartile granularity — at 100 TB the same shape runs
+    per-shard or via approx percentiles; this pins the exact-window
+    semantics."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("q", F.ntile(4).over(w))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.min("n_chars").alias("len_min"),
+            F.max("n_chars").alias("len_max"),
+        )
+    )
+
+
+Q91_SQL = """
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS q
+  FROM documents)
+SELECT q, CAST(count(*) AS INT) AS n_docs,
+       min(n_chars) AS len_min, max(n_chars) AS len_max
+FROM ranked GROUP BY q
+"""
+
+EXTRA_QUERIES["q91_length_quartiles"] = Query(
+    q91_length_quartiles,
+    Q91_SQL,
+    "equi-depth length quartiles via ntile window + per-bin span",
+)
