@@ -779,3 +779,119 @@ EXTRA_QUERIES["q88_streaming_rate_anomaly"] = Query(
     "streaming rate monitor: event-time tumbling-window counts "
     "in-stream + batch z-scores, vs the batch q87 SQL",
 )
+
+
+# --- q92: hopping-window rates (batch form of the sliding monitor) --------
+
+def q92_hopping_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping (sliding) windows — the remaining core window primitive:
+    2-minute windows every 1 minute, so each event lands in exactly two
+    windows (the smoothing a rate monitor uses to avoid boundary
+    aliasing). Uses Spark's native F.window(slideDuration=...); the
+    oracle expands each event to its two window starts. One shuffle on
+    the window start."""
+    ev = t(spark, sf, "events").select("ts")
+    return (
+        ev.groupBy(F.window("ts", "2 minutes", "1 minute").alias("w"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_start_us"), "n")
+    )
+
+
+Q92_SQL = """
+WITH starts AS (
+  SELECT unnest([date_trunc('minute', ts),
+                 date_trunc('minute', ts) - INTERVAL 1 MINUTE]) AS ws
+  FROM events)
+SELECT epoch_us(ws) AS win_start_us, CAST(count(*) AS INT) AS n
+FROM starts GROUP BY ws
+"""
+
+EXTRA_QUERIES["q92_hopping_rates"] = Query(
+    q92_hopping_rates,
+    Q92_SQL,
+    "hopping-window rates (2 min windows sliding by 1 min; every event "
+    "in exactly two windows)",
+)
+
+
+# --- q93: stream-stream time-interval join --------------------------------
+
+def q93_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL stream-stream inner join — the last major Structured
+    Streaming feature on the surface: odd-event and even-event streams
+    of the same user joined within a ±60 s event-time interval, both
+    sides watermarked (the condition Spark requires to bound join
+    state). All data replays in one availableNow batch, so the emitted
+    pair set is deterministic and hash-checks against the batch
+    self-join SQL. At 100 TB the watermark bound IS the state story:
+    each side retains only rows inside the interval horizon."""
+    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q93_stream_")
+    a_src = os.path.join(tmp, "a")
+    b_src = os.path.join(tmp, "b")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(a_src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(b_src)
+
+    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    a = (
+        spark.readStream.schema(schema)
+        .parquet(a_src)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .parquet(b_src)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
+    ).select("a_id", "b_id", F.col("a_user").alias("user_id"))
+
+    name = f"q93_pairs_{run_id}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q93 stream-stream join did not finish its availableNow run in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+    return spark.table(name)
+
+
+Q93_SQL = """
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+FROM events a JOIN events b
+ON a.user_id = b.user_id AND a.event_id % 2 = 1 AND b.event_id % 2 = 0
+AND b.ts BETWEEN a.ts - INTERVAL 60 SECOND AND a.ts + INTERVAL 60 SECOND
+"""
+
+EXTRA_QUERIES["q93_stream_stream_join"] = Query(
+    q93_stream_stream_join,
+    Q93_SQL,
+    "stream-stream time-interval inner join (both sides watermarked; "
+    "REAL streaming run vs the batch self-join SQL)",
+)
