@@ -886,3 +886,34 @@ EXTRA_QUERIES["q87_rate_anomaly"] = Query(
     "per-minute rate z-score anomaly flags (exact integer sums -> "
     "identical float math in both engines)",
 )
+
+
+# --- q94: correlated scalar subquery (TPC-H Q17 shape) --------------------
+
+Q94_SQL = """
+SELECT CAST(floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100.0 AS DOUBLE)
+         AS avg_yearly,
+       CAST(count(*) AS INT) AS n_small_lots
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q94_small_lot_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery — the Catalyst decorrelation path the
+    surface hadn't exercised: lineitems below half their part's average
+    quantity (TPC-H Q17 shape). The optimizer rewrites the per-row
+    subquery into an aggregate + join (visible as one extra Exchange,
+    never a per-row re-scan); the identical query text runs on DuckDB."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(Q94_SQL)
+
+
+EXTRA_QUERIES["q94_small_lot_revenue"] = Query(
+    q94_small_lot_revenue,
+    Q94_SQL,
+    "correlated scalar subquery (TPC-H Q17 shape; decorrelated to "
+    "agg+join, one query text on both engines)",
+)
