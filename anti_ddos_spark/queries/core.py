@@ -917,3 +917,117 @@ EXTRA_QUERIES["q94_small_lot_revenue"] = Query(
     "correlated scalar subquery (TPC-H Q17 shape; decorrelated to "
     "agg+join, one query text on both engines)",
 )
+
+
+# --- q95: full rank-function family ---------------------------------------
+
+def q95_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The four ranking windows the surface hadn't pinned together —
+    rank / dense_rank / percent_rank / cume_dist — over an ordering
+    with REAL ties (price bucketed to 1000s), where rank≠dense_rank and
+    the distribution functions hit tied groups. Row set is made
+    deterministic by a fully tie-broken row_number filter."""
+    orders = t(spark, sf, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 1000).alias("price_k")
+    wt = W.partitionBy("o_orderpriority").orderBy(
+        F.col("price_k").desc()
+    )
+    wr = W.partitionBy("o_orderpriority").orderBy(
+        F.col("price_k").desc(), F.col("o_orderkey").asc()
+    )
+    # every rank metric is computed over the FULL partition first; the
+    # row_number filter only trims the emitted row set afterwards
+    ranked = orders.select("o_orderpriority", "o_orderkey", bucket).select(
+        "o_orderpriority",
+        "o_orderkey",
+        "price_k",
+        F.row_number().over(wr).alias("rn"),
+        F.rank().over(wt).cast("int").alias("rnk"),
+        F.dense_rank().over(wt).cast("int").alias("drnk"),
+        F.floor(F.percent_rank().over(wt) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("prank_x1e6"),
+        F.floor(F.cume_dist().over(wt) * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("cume_x1e6"),
+    )
+    return ranked.filter(F.col("rn") <= 5).drop("rn")
+
+
+Q95_SQL = """
+WITH b AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k
+  FROM orders),
+r AS (
+  SELECT o_orderpriority, o_orderkey, price_k,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY price_k DESC, o_orderkey ASC) AS rn,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+           AS prank_x1e6,
+         CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+           AS cume_x1e6
+  FROM b
+  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_k DESC))
+SELECT o_orderpriority, o_orderkey, price_k,
+       CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+       prank_x1e6, cume_x1e6
+FROM r WHERE rn <= 5
+"""
+
+EXTRA_QUERIES["q95_rank_family"] = Query(
+    q95_rank_family,
+    Q95_SQL,
+    "rank / dense_rank / percent_rank / cume_dist over a tied ordering",
+)
+
+
+# --- q96: time-spine gap fill ---------------------------------------------
+
+def q96_hourly_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling — generate the full hourly spine between
+    the corpus bounds and left-join sparse activity onto it so silent
+    hours surface as explicit zeros (a rate monitor that skips empty
+    buckets can't alarm on silence). Sparse side: a ~1% event sample.
+    The spine is sequence+explode of two scalar bounds — generated, not
+    scanned; one broadcast of the bounds row."""
+    ev = t(spark, sf, "events").filter(F.col("event_id") % 97 == 0)
+    hours = ev.select(F.date_trunc("hour", "ts").alias("hour"))
+    bounds = hours.agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    counts = hours.groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
+    return spine.join(counts, "hour", "left").select(
+        F.unix_micros("hour").alias("hour_us"),
+        F.coalesce("n", F.lit(0)).cast("int").alias("n"),
+        (F.col("n").isNull()).cast("int").alias("is_gap"),
+    )
+
+
+Q96_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour
+  FROM events WHERE event_id % 97 = 0),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM h),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM bounds),
+c AS (SELECT hour, count(*) AS n FROM h GROUP BY hour)
+SELECT epoch_us(spine.hour) AS hour_us,
+       CAST(coalesce(c.n, 0) AS INT) AS n,
+       CAST(c.n IS NULL AS INT) AS is_gap
+FROM spine LEFT JOIN c ON spine.hour = c.hour
+"""
+
+EXTRA_QUERIES["q96_hourly_gap_fill"] = Query(
+    q96_hourly_gap_fill,
+    Q96_SQL,
+    "hourly time-spine gap fill (generated calendar, silence as "
+    "explicit zeros)",
+)
