@@ -1031,3 +1031,91 @@ EXTRA_QUERIES["q96_hourly_gap_fill"] = Query(
     "hourly time-spine gap fill (generated calendar, silence as "
     "explicit zeros)",
 )
+
+
+# --- q97: unpivot (melt) --------------------------------------------------
+
+def q97_unpivot_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT — the inverse of q17's pivot, the remaining reshape
+    primitive: a wide per-segment stats row (n_customers, acctbal sum,
+    distinct nations) melted into (segment, metric, value) long form,
+    the shape metric stores and plotting layers ingest. Narrow
+    aggregate → constant-width melt; no extra shuffle beyond the agg."""
+    wide = (
+        t(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.floor(F.sum("c_acctbal") + F.lit(0.5))
+            .cast("long")
+            .alias("acctbal_sum"),
+            F.count_distinct("c_nationkey").cast("long").alias("n_nations"),
+        )
+    )
+    return wide.unpivot(
+        ["c_mktsegment"],
+        ["n_customers", "acctbal_sum", "n_nations"],
+        "metric",
+        "value",
+    )
+
+
+Q97_SQL = """
+WITH wide AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(floor(sum(c_acctbal) + 0.5) AS BIGINT) AS acctbal_sum,
+         CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+  FROM customer GROUP BY c_mktsegment)
+SELECT c_mktsegment, metric, value
+FROM wide
+UNPIVOT (value FOR metric IN (n_customers, acctbal_sum, n_nations))
+"""
+
+EXTRA_QUERIES["q97_unpivot_stats"] = Query(
+    q97_unpivot_stats,
+    Q97_SQL,
+    "unpivot/melt (inverse of q17's pivot): wide stats to long form",
+)
+
+
+# --- q98: value window functions (first/last/nth with explicit frames) ----
+
+def q98_value_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """first_value / last_value / nth_value with EXPLICIT frames — the
+    classic frame-semantics trap: last_value over the default frame
+    (unbounded preceding → current row) is just the current row, so the
+    full-partition frame must be spelled out. Per user: first and last
+    event type by time, and the 2nd event's type."""
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+    full = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first_value("event_type").over(full).alias("first_type"),
+            F.last_value("event_type").over(full).alias("last_type"),
+            F.nth_value("event_type", 2).over(full).alias("second_type"),
+        )
+        .distinct()
+    )
+
+
+Q98_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_type ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+EXTRA_QUERIES["q98_value_windows"] = Query(
+    q98_value_windows,
+    Q98_SQL,
+    "first/last/nth_value with explicit full-partition frames",
+)
