@@ -1,18 +1,32 @@
 """df.observe(): free metrics collected DURING execution — how a
 production pipeline watches row counts / null rates / value bounds
-without paying a second pass over 100 TB."""
+without paying a second pass over 100 TB.
+
+Runs in a FORKED session (spark.newSession()): Observation registers
+execution listeners whose leftovers break closure serialization for
+LATER RDD-based MLlib jobs in the same session state (reproduced:
+test_pipeline's evaluator dies with 'Task not serializable' iff these
+tests ran first on the shared session). Fork isolates the listener
+state; same JVM, so still cheap.
+"""
 
 from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import Observation, functions as F
 
 from conftest import SF_DIR
 
 
-def test_observe_collects_metrics_in_one_pass(spark):
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+@pytest.fixture()
+def ospark(spark):
+    return spark.newSession()
+
+
+def test_observe_collects_metrics_in_one_pass(ospark):
+    docs = ospark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     obs = Observation("corpus_health")
     observed = docs.observe(
         obs,
@@ -29,11 +43,11 @@ def test_observe_collects_metrics_in_one_pass(spark):
     assert got["max_chars"] == exact
 
 
-def test_observe_on_filtered_pipeline(spark):
+def test_observe_on_filtered_pipeline(ospark):
     """Metrics observe the frame WHERE the observe() sits — before later
     filters — so a pipeline can report pre-gate and post-gate counts
     from one run."""
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    docs = ospark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     pre = Observation("pre_gate")
     gated = (
         docs.observe(pre, F.count(F.lit(1)).alias("rows"))
