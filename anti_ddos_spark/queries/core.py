@@ -1119,3 +1119,86 @@ EXTRA_QUERIES["q98_value_windows"] = Query(
     Q98_SQL,
     "first/last/nth_value with explicit full-partition frames",
 )
+
+
+# --- q99: exact decimal arithmetic ----------------------------------------
+
+def q99_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact DECIMAL(18,2) money arithmetic — the type the rnd()
+    fixed-point convention works around everywhere else: cast once at
+    the scan, sum exactly, compare with NO rounding tricks. Pins that
+    the engine's decimal path (Spark's BigDecimal aggregation) agrees
+    digit-for-digit with DuckDB's fixed-point decimals."""
+    orders = t(spark, sf, "orders")
+    d = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    # decimals cross the oracle boundary as strings: the compare layer
+    # stringifies python Decimal and DuckDB floats differently, but the
+    # decimal->varchar cast is digit-exact (scale kept) in both engines
+    return d.groupBy("o_orderpriority").agg(
+        F.sum("price").cast("decimal(18,2)").cast("string").alias("total"),
+        F.min("price").cast("string").alias("min_price"),
+        F.max("price").cast("string").alias("max_price"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+
+
+Q99_SQL = """
+SELECT o_orderpriority,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS VARCHAR) AS total,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+       CAST(count(*) AS INT) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+EXTRA_QUERIES["q99_decimal_exact"] = Query(
+    q99_decimal_exact,
+    Q99_SQL,
+    "exact DECIMAL(18,2) aggregation (no rounding tricks; digit-exact "
+    "cross-engine)",
+)
+
+
+# --- q100: MapType end-to-end ---------------------------------------------
+
+def q100_props_map(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType through the whole pipeline — the one container type the
+    surface hadn't pushed through an oracle: props JSON parsed as
+    map<string,long> (not a fixed struct, so unknown keys survive),
+    exploded to (key, value) pairs, aggregated per key. The schema-free
+    escape hatch for ragged event properties."""
+    ev = t(spark, sf, "events").select(
+        F.from_json("props", "map<string,bigint>").alias("m")
+    )
+    kv = ev.select(F.explode("m").alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("value_sum"),
+        F.min("value").cast("long").alias("value_min"),
+        F.max("value").cast("long").alias("value_max"),
+    )
+
+
+Q100_SQL = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key,
+         CAST(json_extract(props, '$.' || unnest(json_keys(props)))
+              AS BIGINT) AS value
+  FROM events)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(value) AS BIGINT) AS value_sum,
+       CAST(min(value) AS BIGINT) AS value_min,
+       CAST(max(value) AS BIGINT) AS value_max
+FROM kv GROUP BY key
+"""
+
+EXTRA_QUERIES["q100_props_map"] = Query(
+    q100_props_map,
+    Q100_SQL,
+    "MapType end-to-end: schema-free JSON map parse, explode, per-key "
+    "aggregate",
+)
