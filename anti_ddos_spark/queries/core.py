@@ -890,8 +890,8 @@ EXTRA_QUERIES["q87_rate_anomaly"] = Query(
 
 # --- q94: correlated scalar subquery (TPC-H Q17 shape) --------------------
 
-Q94_SQL = """
-SELECT CAST(floor(sum(l_extendedprice) / 7.0 * 100 + 0.5) / 100.0 AS DOUBLE)
+Q94_SQL = f"""
+SELECT CAST({sql_rnd('sum(l_extendedprice) / 7.0', 2)} AS DOUBLE)
          AS avg_yearly,
        CAST(count(*) AS INT) AS n_small_lots
 FROM lineitem l1
@@ -995,7 +995,11 @@ def q96_hourly_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
     scanned; one broadcast of the bounds row."""
     ev = t(spark, sf, "events").filter(F.col("event_id") % 97 == 0)
     hours = ev.select(F.date_trunc("hour", "ts").alias("hour"))
-    bounds = hours.agg(
+    counts = hours.groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
+    # bounds from the GROUPED side keeps the second branch on the tiny
+    # histogram; Spark still plans two scans of the sampled input (no
+    # cross-branch exchange reuse here), which the plan pin bounds
+    bounds = counts.agg(
         F.min("hour").alias("lo"), F.max("hour").alias("hi")
     )
     spine = bounds.select(
@@ -1003,7 +1007,6 @@ def q96_hourly_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
             F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
         ).alias("hour")
     )
-    counts = hours.groupBy("hour").agg(F.count(F.lit(1)).alias("n"))
     return spine.join(counts, "hour", "left").select(
         F.unix_micros("hour").alias("hour_us"),
         F.coalesce("n", F.lit(0)).cast("int").alias("n"),
@@ -1046,15 +1049,17 @@ def q97_unpivot_stats(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_customers"),
-            F.floor(F.sum("c_acctbal") + F.lit(0.5))
+            # 2-dp fixed point (x100): a 0-dp floor(sum+0.5) would sit
+            # on the exact-.5 boundary for 2-dp money inputs
+            F.floor(F.sum("c_acctbal") * 100 + F.lit(0.5))
             .cast("long")
-            .alias("acctbal_sum"),
+            .alias("acctbal_x100"),
             F.count_distinct("c_nationkey").cast("long").alias("n_nations"),
         )
     )
     return wide.unpivot(
         ["c_mktsegment"],
-        ["n_customers", "acctbal_sum", "n_nations"],
+        ["n_customers", "acctbal_x100", "n_nations"],
         "metric",
         "value",
     )
@@ -1064,12 +1069,12 @@ Q97_SQL = """
 WITH wide AS (
   SELECT c_mktsegment,
          CAST(count(*) AS BIGINT) AS n_customers,
-         CAST(floor(sum(c_acctbal) + 0.5) AS BIGINT) AS acctbal_sum,
+         CAST(floor(sum(c_acctbal) * 100 + 0.5) AS BIGINT) AS acctbal_x100,
          CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
   FROM customer GROUP BY c_mktsegment)
 SELECT c_mktsegment, metric, value
 FROM wide
-UNPIVOT (value FOR metric IN (n_customers, acctbal_sum, n_nations))
+UNPIVOT (value FOR metric IN (n_customers, acctbal_x100, n_nations))
 """
 
 EXTRA_QUERIES["q97_unpivot_stats"] = Query(
@@ -1174,7 +1179,12 @@ def q100_props_map(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events").select(
         F.from_json("props", "map<string,bigint>").alias("m")
     )
-    kv = ev.select(F.explode("m").alias("key", "value"))
+    kv = ev.select(F.explode("m").alias("key", "value")).filter(
+        # keep the oracle honest: DuckDB's '$.'||key path only resolves
+        # simple keys, and Spark's bigint map nulls non-integer values
+        # where a CAST would coerce — align both sides explicitly
+        F.col("key").rlike("^[A-Za-z0-9_]+$") & F.col("value").isNotNull()
+    )
     return kv.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("value").cast("long").alias("value_sum"),
@@ -1187,13 +1197,17 @@ Q100_SQL = """
 WITH kv AS (
   SELECT unnest(json_keys(props)) AS key,
          CAST(json_extract(props, '$.' || unnest(json_keys(props)))
-              AS BIGINT) AS value
+              AS BIGINT) AS value,
+         json_type(props, '$.' || unnest(json_keys(props))) AS vtype
   FROM events)
 SELECT key, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(value) AS BIGINT) AS value_sum,
        CAST(min(value) AS BIGINT) AS value_min,
        CAST(max(value) AS BIGINT) AS value_max
-FROM kv GROUP BY key
+FROM kv
+WHERE regexp_matches(key, '^[A-Za-z0-9_]+$')
+  AND vtype IN ('BIGINT', 'UBIGINT')
+GROUP BY key
 """
 
 EXTRA_QUERIES["q100_props_map"] = Query(

@@ -183,3 +183,47 @@ def test_q80_pipeline_bounded_and_pure(spark):
     assert "Python" not in s["text"] and "ArrowEval" not in s["text"]
     assert "CartesianProduct" not in s["text"]
     assert s["n_shuffle_exchanges"] <= 12, s["text"][:1500]
+
+
+def test_analytics_family_bounded_and_pure(spark):
+    """The r5 analytics additions (rank family, gap fill, unpivot, value
+    windows, hopping windows, decimal agg, map explode) must stay
+    pure-Catalyst with bounded shuffles and no cartesian blowups."""
+    caps = {
+        "q95_rank_family": 2,
+        "q96_hourly_gap_fill": 4,
+        "q97_unpivot_stats": 2,
+        "q98_value_windows": 2,
+        "q92_hopping_rates": 1,
+        "q99_decimal_exact": 1,
+        "q100_props_map": 1,
+    }
+    for name, cap in caps.items():
+        s = _summary(spark, name)
+        assert s["n_shuffle_exchanges"] <= cap, (name, s["text"][:1200])
+        assert "CartesianProduct" not in s["text"], name
+        assert "Python" not in s["text"] and "ArrowEval" not in s["text"], name
+
+
+# formatted explain lists every node twice (tree + details section), so
+# N logical scans -> 2N "Scan parquet" occurrences.
+
+
+def test_q94_decorrelates_to_agg_join(spark):
+    """The correlated scalar subquery must be rewritten to an aggregate
+    + join — exactly two lineitem scans (probe side + avg side), never
+    a per-row re-scan."""
+    s = _summary(spark, "q94_small_lot_revenue")
+    assert s["n_shuffle_exchanges"] <= 3, s["text"][:1500]
+    assert "CartesianProduct" not in s["text"]
+    assert s["text"].count("Scan parquet") == 2 * 2, s["text"][:1500]
+
+
+def test_q96_bounded_scans(spark):
+    """Gap fill reads its (1%-sampled) input at most twice — once for
+    the histogram, once for the spine bounds. (Spark does not reuse the
+    hash(hour) exchange across the two branches even though bounds
+    derive from the grouped side, so two scans of the cheap sampled
+    input is the honest static shape.)"""
+    s = _summary(spark, "q96_hourly_gap_fill")
+    assert s["text"].count("Scan parquet") <= 2 * 2, s["text"][:1500]
