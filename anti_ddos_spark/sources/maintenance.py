@@ -25,13 +25,21 @@ def upsert_partitions(
     ``updates``; all other partitions keep their existing files (proved
     by inode in tests/test_maintenance.py). The conf is scoped
     save/restore — dynamic overwrite is surprising as a session-wide
-    default."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    default.
+
+    The conf is set on the session that OWNS ``updates``, not the
+    passed handle: inside foreachBatch the micro-batch DataFrame
+    belongs to a cloned session, and setting the conf on the outer
+    session would leave the write in static mode — wiping every
+    partition not present in the batch (caught by
+    tests/test_stream_upsert.py)."""
+    owner = updates.sparkSession
+    prev = owner.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    owner.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        owner.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def compact_partitions(
