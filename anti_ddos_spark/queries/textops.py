@@ -1830,3 +1830,150 @@ EXTRA_QUERIES["q91_length_quartiles"] = Query(
     Q91_SQL,
     "equi-depth length quartiles via ntile window + per-bin span",
 )
+
+
+# --- q101: T5-style span-corruption mask layout ---------------------------
+
+MASK_RATE_PCT = 15  # corrupt ~15% of tokens
+MASK_SPAN = 3       # in spans of 3 tokens
+
+
+def q101_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic T5-style denoising layout: every 20-token stride
+    hosts one 3-token corruption span whose offset is drawn from the
+    doc's content hash — ≈15% of tokens masked, reproducible in any
+    engine (no RNG; the q38/q89 derandomization trick applied to
+    pretraining data prep). Emits the per-doc mask accounting a data
+    loader consumes: span count, masked-token count, and the layout
+    digest. Zero shuffle."""
+    docs = t(spark, sf, "documents")
+    stride = (100 * MASK_SPAN) // MASK_RATE_PCT  # 20 tokens per span slot
+    ws = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: x != ""
+    )
+    d = docs.withColumn("_ws", ws).filter(F.size("_ws") > 0)
+    n = F.size("_ws")
+    n_slots = F.floor((n + F.lit(stride - 1)) / stride).cast("int")
+    seed = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    # slot i covers [i*stride, min(n, (i+1)*stride)); its span starts at
+    # slot_start + (seed + i) % max(1, slot_len - MASK_SPAN + 1)
+    starts = F.transform(
+        F.sequence(F.lit(0), n_slots - 1),
+        lambda i: i * stride
+        + F.pmod(
+            seed + i,
+            F.greatest(
+                F.lit(1),
+                F.least(n - i * stride, F.lit(stride)) - (MASK_SPAN - 1),
+            ),
+        ),
+    )
+    span_len = lambda s: F.least(F.lit(MASK_SPAN), n - s)  # noqa: E731
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        n_slots.alias("n_spans"),
+        F.aggregate(
+            starts, F.lit(0).cast("long"), lambda a, s: a + span_len(s)
+        )
+        .cast("int")
+        .alias("n_masked"),
+        F.md5(
+            F.concat_ws(",", F.transform(starts, lambda s: s.cast("string")))
+        ).alias("layout_md5"),
+    )
+
+
+def _q101_sql() -> str:
+    stride = (100 * MASK_SPAN) // MASK_RATE_PCT
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, list_filter({_W}, x -> x <> '') AS ws FROM documents),
+d AS (
+  SELECT doc_id, len(ws) AS n,
+         CAST(floor((len(ws) + {stride - 1}) / {stride}) AS INT) AS n_slots,
+         ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
+  FROM w WHERE len(ws) > 0),
+s AS (
+  SELECT doc_id, n, n_slots,
+         [i * {stride} + (seed + i) % greatest(1,
+            least(n - i * {stride}, {stride}) - {MASK_SPAN - 1})
+          FOR i IN generate_series(0, n_slots - 1)] AS starts
+  FROM d)
+SELECT doc_id, CAST(n AS INT) AS n_tokens, n_slots AS n_spans,
+       CAST(list_sum([least({MASK_SPAN}, n - st) FOR st IN starts])
+            AS INT) AS n_masked,
+       md5(array_to_string(list_transform(starts, x -> CAST(x AS VARCHAR)),
+                           ',')) AS layout_md5
+FROM s
+"""
+
+EXTRA_QUERIES["q101_span_corruption"] = Query(
+    q101_span_corruption,
+    _q101_sql(),
+    "T5-style span-corruption mask layout (content-hash derandomized, "
+    "~15% tokens in 3-token spans; zero shuffle)",
+)
+
+
+# --- q102: contrastive pair construction ----------------------------------
+
+NEG_PER_ANCHOR = 2
+
+
+def q102_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training-pair construction: each doc's POSITIVE is
+    the next doc of the same source (a lead window over the natural
+    order — adjacent docs share provenance), plus NEG_PER_ANCHOR hash-
+    pseudo-random negatives drawn deterministically from the whole
+    corpus id space (content-hash seeded, self/positive collisions
+    skipped by offset). One shuffle for the per-source window; negatives
+    are pure per-row arithmetic."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    n_docs = F.max("doc_id").over(Window.partitionBy()) + 1
+    w = Window.partitionBy("source").orderBy("doc_id")
+    # _n is attached BEFORE the positive filter: the id space is the
+    # whole corpus, not just anchors that have a positive
+    d = (
+        docs.withColumn("pos_id", F.lead("doc_id").over(w))
+        .withColumn("_n", n_docs)
+        .filter(F.col("pos_id").isNotNull())
+    )
+    seed = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    negs = F.transform(
+        F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR)),
+        lambda j: F.pmod(seed * j + j, F.col("_n")),
+    )
+    return d.select(
+        F.col("doc_id").alias("anchor_id"),
+        "pos_id",
+        F.concat_ws(
+            ",", F.transform(negs, lambda x: x.cast("string"))
+        ).alias("neg_ids"),
+    )
+
+
+Q102_SQL = f"""
+WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+p AS (
+  SELECT doc_id AS anchor_id, source,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id
+  FROM documents)
+SELECT anchor_id, pos_id,
+       array_to_string(
+         [CAST((('0x' || substr(md5(CAST(anchor_id AS VARCHAR)), 1, 8))::BIGINT
+                * j + j) % n_docs AS VARCHAR)
+          FOR j IN generate_series(1, {NEG_PER_ANCHOR})], ',') AS neg_ids
+FROM p, n WHERE pos_id IS NOT NULL
+"""
+
+EXTRA_QUERIES["q102_contrastive_pairs"] = Query(
+    q102_contrastive_pairs,
+    Q102_SQL,
+    "contrastive pair construction (same-source lead positive + "
+    "hash-deterministic negatives)",
+)
