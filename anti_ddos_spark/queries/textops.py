@@ -1977,3 +1977,126 @@ EXTRA_QUERIES["q102_contrastive_pairs"] = Query(
     "contrastive pair construction (same-source lead positive + "
     "hash-deterministic negatives)",
 )
+
+
+# --- q103: curriculum difficulty ordering ---------------------------------
+
+def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-learning prep: rank documents easy → hard by a
+    rarity-weighted difficulty proxy — mean negative-log-frequency of a
+    doc's tokens against the corpus unigram table (rare-word-heavy docs
+    are 'hard'). Frequencies are exact integer counts; the idf-style
+    score is fixed-point. Shape: one explode + tf aggregate, broadcast
+    of the (vocab-sized) frequency table back onto the token stream,
+    per-doc mean, global rank — the ordering a curriculum sampler
+    consumes."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus token mass stays lazy in the plan (no eager .count() at
+    # construction time — the q85-review rule); derived from tf so the
+    # broadcast side carries it for free
+    tot = tf.agg(F.sum("tf").cast("double").alias("tot"))
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.floor(
+                F.avg(-F.log(F.col("tf") / F.col("tot"))) * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("difficulty_x1e6"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "difficulty_x1e6",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.col("difficulty_x1e6").asc(), F.col("doc_id").asc()
+            )
+        )
+        .cast("int")
+        .alias("curriculum_pos"),
+    )
+
+
+Q103_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS term FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+tot AS (SELECT count(*) AS n FROM toks),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+         CAST(floor(avg(-ln(tf * 1.0 / n)) * 1000000 + 0.5) AS BIGINT)
+           AS difficulty_x1e6
+  FROM toks JOIN tf USING (term), tot
+  GROUP BY doc_id)
+SELECT doc_id, n_toks, difficulty_x1e6,
+       CAST(row_number() OVER (ORDER BY difficulty_x1e6 ASC, doc_id ASC)
+            AS INT) AS curriculum_pos
+FROM scored
+"""
+
+EXTRA_QUERIES["q103_curriculum_order"] = Query(
+    q103_curriculum_order,
+    Q103_SQL,
+    "curriculum ordering by rarity-weighted difficulty (exact unigram "
+    "frequencies, fixed-point idf score)",
+)
+
+
+# --- q104: deterministic per-epoch shuffling ------------------------------
+
+def q104_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-epoch training order without an RNG: each epoch's
+    permutation is the rank of md5(epoch:doc_id) — different every
+    epoch, identical on every replay/engine (how a distributed loader
+    gets resumable shuffling: position is a pure function of
+    (epoch, id)). Emits each doc's position in epochs 0 and 1; the
+    epoch-decorrelation check lives in the oracle comparison itself."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def pos(epoch: int):
+        key = F.md5(
+            F.concat_ws(":", F.lit(str(epoch)), F.col("doc_id").cast("string"))
+        )
+        return (
+            F.row_number()
+            .over(Window.orderBy(key, F.col("doc_id").asc()))
+            .cast("int")
+        )
+
+    return docs.select(
+        "doc_id", pos(0).alias("pos_e0"), pos(1).alias("pos_e1")
+    )
+
+
+Q104_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id ASC)
+         AS INT) AS pos_e0,
+       CAST(row_number() OVER (
+         ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id ASC)
+         AS INT) AS pos_e1
+FROM documents
+"""
+
+EXTRA_QUERIES["q104_epoch_shuffle"] = Query(
+    q104_epoch_shuffle,
+    Q104_SQL,
+    "deterministic per-epoch shuffle (position = rank of "
+    "md5(epoch:doc_id); resumable, engine-independent)",
+)
