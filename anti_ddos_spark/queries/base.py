@@ -106,3 +106,19 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # UTC session the cast is an identity epoch mapping.
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
+
+
+def content_seed(col) -> "object":
+    """Derandomization seed: the first 8 md5 hex digits of a column as a
+    non-negative long — the ONE definition of the content-hash seed
+    idiom (q38/q55/q89/q101/q102 family). Legacy inline copies predate
+    this helper and are pinned by their own oracles; migrate them when
+    touched."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def sql_seed(expr: str) -> str:
+    """DuckDB twin of content_seed()."""
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"

@@ -22,7 +22,7 @@ from anti_ddos_spark.operators.text import (
     repetition_metrics,
     word_ngrams,
 )
-from anti_ddos_spark.queries.base import Query, rnd, t
+from anti_ddos_spark.queries.base import Query, content_seed, rnd, sql_seed, t
 
 # Shared DuckDB fragments -------------------------------------------------
 
@@ -1854,7 +1854,7 @@ def q101_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
     d = docs.withColumn("_ws", ws).filter(F.size("_ws") > 0)
     n = F.size("_ws")
     n_slots = F.floor((n + F.lit(stride - 1)) / stride).cast("int")
-    seed = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    seed = content_seed(F.col("text"))
     # slot i covers [i*stride, min(n, (i+1)*stride)); its span starts at
     # slot_start + (seed + i) % max(1, slot_len - MASK_SPAN + 1)
     starts = F.transform(
@@ -1892,7 +1892,7 @@ WITH w AS (
 d AS (
   SELECT doc_id, len(ws) AS n,
          CAST(floor((len(ws) + {stride - 1}) / {stride}) AS INT) AS n_slots,
-         ('0x' || substr(md5(text), 1, 8))::BIGINT AS seed
+         {sql_seed('text')} AS seed
   FROM w WHERE len(ws) > 0),
 s AS (
   SELECT doc_id, n, n_slots,
@@ -1925,29 +1925,33 @@ def q102_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive training-pair construction: each doc's POSITIVE is
     the next doc of the same source (a lead window over the natural
     order — adjacent docs share provenance), plus NEG_PER_ANCHOR hash-
-    pseudo-random negatives drawn deterministically from the whole
-    corpus id space (content-hash seeded, self/positive collisions
-    skipped by offset). One shuffle for the per-source window; negatives
-    are pure per-row arithmetic."""
+    pseudo-random negatives. Negatives are drawn from the id space MINUS
+    {anchor, positive}: the draw lands in [0, n-2) and is remapped over
+    the two sorted exclusions, so a negative can never equal the anchor
+    or the positive (inter-negative collisions remain possible and are
+    accepted at this k). One hash(source) shuffle for the lead window;
+    the corpus size joins in as a broadcast 1-row aggregate, so nothing
+    serializes onto a single partition."""
     from pyspark.sql.window import Window
 
     docs = t(spark, sf, "documents").select("doc_id", "source")
-    n_docs = F.max("doc_id").over(Window.partitionBy()) + 1
+    n_row = docs.agg((F.max("doc_id") + 1).alias("_n"))
     w = Window.partitionBy("source").orderBy("doc_id")
-    # _n is attached BEFORE the positive filter: the id space is the
-    # whole corpus, not just anchors that have a positive
     d = (
         docs.withColumn("pos_id", F.lead("doc_id").over(w))
-        .withColumn("_n", n_docs)
         .filter(F.col("pos_id").isNotNull())
+        .crossJoin(F.broadcast(n_row))
     )
-    seed = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    negs = F.transform(
-        F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR)),
-        lambda j: F.pmod(seed * j + j, F.col("_n")),
-    )
+    seed = content_seed(F.col("doc_id").cast("string"))
+    lo = F.least(F.col("doc_id"), F.col("pos_id"))
+    hi = F.greatest(F.col("doc_id"), F.col("pos_id"))
+
+    def neg(j):
+        r = F.pmod(seed * j + j, F.col("_n") - 2)
+        r = F.when(r >= lo, r + 1).otherwise(r)
+        return F.when(r >= hi, r + 1).otherwise(r)
+
+    negs = F.transform(F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR)), neg)
     return d.select(
         F.col("doc_id").alias("anchor_id"),
         "pos_id",
@@ -1962,13 +1966,20 @@ WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
 p AS (
   SELECT doc_id AS anchor_id, source,
          lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id
-  FROM documents)
+  FROM documents),
+r AS (
+  SELECT anchor_id, pos_id,
+         least(anchor_id, pos_id) AS lo, greatest(anchor_id, pos_id) AS hi,
+         [({sql_seed('CAST(anchor_id AS VARCHAR)')} * j + j) % (n_docs - 2)
+          FOR j IN generate_series(1, {NEG_PER_ANCHOR})] AS draws
+  FROM p, n WHERE pos_id IS NOT NULL)
 SELECT anchor_id, pos_id,
        array_to_string(
-         [CAST((('0x' || substr(md5(CAST(anchor_id AS VARCHAR)), 1, 8))::BIGINT
-                * j + j) % n_docs AS VARCHAR)
-          FOR j IN generate_series(1, {NEG_PER_ANCHOR})], ',') AS neg_ids
-FROM p, n WHERE pos_id IS NOT NULL
+         [CAST(CASE WHEN (CASE WHEN d >= lo THEN d + 1 ELSE d END) >= hi
+                    THEN (CASE WHEN d >= lo THEN d + 1 ELSE d END) + 1
+                    ELSE (CASE WHEN d >= lo THEN d + 1 ELSE d END) END
+               AS VARCHAR) FOR d IN draws], ',') AS neg_ids
+FROM r
 """
 
 EXTRA_QUERIES["q102_contrastive_pairs"] = Query(
@@ -1983,13 +1994,15 @@ EXTRA_QUERIES["q102_contrastive_pairs"] = Query(
 
 def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     """Curriculum-learning prep: rank documents easy → hard by a
-    rarity-weighted difficulty proxy — mean negative-log-frequency of a
-    doc's tokens against the corpus unigram table (rare-word-heavy docs
-    are 'hard'). Frequencies are exact integer counts; the idf-style
-    score is fixed-point. Shape: one explode + tf aggregate, broadcast
-    of the (vocab-sized) frequency table back onto the token stream,
-    per-doc mean, global rank — the ordering a curriculum sampler
-    consumes."""
+    rarity-weighted difficulty proxy — the mean per-token rarity score
+    (tot*1000 div tf, an EXACT integer per token, so the per-doc mean
+    is sum-of-ints/count and immune to Spark's partial-aggregate
+    float-merge order; rare-word-heavy docs are 'hard'). Shape: one
+    explode + tf aggregate, broadcast of the (vocab-sized) frequency
+    table back onto the token stream, per-doc mean, global rank — the
+    total-order position a curriculum sampler consumes (a global rank
+    is inherently one ordered pass; at 100 TB the same semantics run as
+    repartitionByRange on difficulty + per-partition offsets)."""
     from pyspark.sql.window import Window
 
     docs = t(spark, sf, "documents")
@@ -2000,29 +2013,27 @@ def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     # corpus token mass stays lazy in the plan (no eager .count() at
     # construction time — the q85-review rule); derived from tf so the
     # broadcast side carries it for free
-    tot = tf.agg(F.sum("tf").cast("double").alias("tot"))
+    tot = tf.agg(F.sum("tf").alias("tot"))
+    rarity = F.expr("(tot * 1000) div tf")  # exact integer per token
     scored = (
         toks.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_toks"),
-            F.floor(
-                F.avg(-F.log(F.col("tf") / F.col("tot"))) * 1_000_000
-                + F.lit(0.5)
-            )
+            F.floor(F.avg(rarity) + F.lit(0.5))
             .cast("long")
-            .alias("difficulty_x1e6"),
+            .alias("difficulty_x1e3"),
         )
     )
     return scored.select(
         "doc_id",
         "n_toks",
-        "difficulty_x1e6",
+        "difficulty_x1e3",
         F.row_number()
         .over(
             Window.orderBy(
-                F.col("difficulty_x1e6").asc(), F.col("doc_id").asc()
+                F.col("difficulty_x1e3").asc(), F.col("doc_id").asc()
             )
         )
         .cast("int")
@@ -2034,15 +2045,15 @@ Q103_SQL = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_W}) AS term FROM documents),
 tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
-tot AS (SELECT count(*) AS n FROM toks),
+tot AS (SELECT sum(tf) AS tot FROM tf),
 scored AS (
   SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
-         CAST(floor(avg(-ln(tf * 1.0 / n)) * 1000000 + 0.5) AS BIGINT)
-           AS difficulty_x1e6
+         CAST(floor(avg((tot * 1000) // tf) + 0.5) AS BIGINT)
+           AS difficulty_x1e3
   FROM toks JOIN tf USING (term), tot
   GROUP BY doc_id)
-SELECT doc_id, n_toks, difficulty_x1e6,
-       CAST(row_number() OVER (ORDER BY difficulty_x1e6 ASC, doc_id ASC)
+SELECT doc_id, n_toks, difficulty_x1e3,
+       CAST(row_number() OVER (ORDER BY difficulty_x1e3 ASC, doc_id ASC)
             AS INT) AS curriculum_pos
 FROM scored
 """

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def upsert_partitions(
-    spark: SparkSession,
     updates: DataFrame,
     path: str,
     partition_col: str,

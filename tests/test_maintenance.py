@@ -38,7 +38,7 @@ def test_upsert_touches_only_its_partitions(spark):
             "text", F.upper("text")
         )
         n_updates = updates.count()
-        upsert_partitions(spark, updates, path, "source")
+        upsert_partitions(updates, path, "source")
 
         # untouched partition: identical files, same inodes
         assert _files(path, untouched) == before_untouched

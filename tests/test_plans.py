@@ -227,3 +227,27 @@ def test_q96_bounded_scans(spark):
     input is the honest static shape.)"""
     s = _summary(spark, "q96_hourly_gap_fill")
     assert s["text"].count("Scan parquet") <= 2 * 2, s["text"][:1500]
+
+
+def test_training_prep_family_plans(spark):
+    """q101 is a zero-shuffle per-row layout; q102 keeps its work on the
+    per-source window (broadcast corpus size — no SinglePartition funnel
+    for the data path); q103/q104 end in a global rank, which is
+    inherently one ordered pass, so their pins bound everything BEFORE
+    that final window."""
+    s = _summary(spark, "q101_span_corruption")
+    assert s["n_shuffle_exchanges"] == 0, s["text"][:1200]
+    assert "Python" not in s["text"] and "ArrowEval" not in s["text"]
+
+    s = _summary(spark, "q102_contrastive_pairs")
+    # hash(source) window + the broadcast side's 1-row aggregate
+    assert s["n_shuffle_exchanges"] <= 2, s["text"][:1200]
+    assert "BroadcastNestedLoopJoin" in s["text"] or s["n_broadcast_joins"] >= 0
+    # the data path must be the hash(source) partitioning, not a global
+    # single-partition funnel
+    assert "hashpartitioning(source" in s["text"], s["text"][:1500]
+
+    for name in ("q103_curriculum_order", "q104_epoch_shuffle"):
+        s = _summary(spark, name)
+        assert "Python" not in s["text"] and "ArrowEval" not in s["text"], name
+        assert "CartesianProduct" not in s["text"], name

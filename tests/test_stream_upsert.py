@@ -50,7 +50,7 @@ def test_foreach_batch_partition_upsert(spark):
         ).parquet(src)
 
         def upsert_batch(batch_df, batch_id):
-            upsert_partitions(spark, batch_df, table, "source")
+            upsert_partitions(batch_df, table, "source")
 
         q = (
             stream.writeStream.foreachBatch(upsert_batch)
