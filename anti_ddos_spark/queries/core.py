@@ -1216,3 +1216,49 @@ EXTRA_QUERIES["q100_props_map"] = Query(
     "MapType end-to-end: schema-free JSON map parse, explode, per-key "
     "aggregate",
 )
+
+
+# --- q105: value-range window frame (RANGE BETWEEN) -----------------------
+
+def q105_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frames — the by-VALUE window frame the surface hadn't
+    pinned (ROWS frames count rows; RANGE bounds the ordering value):
+    per user, how many events fell in the trailing 5-minute window at
+    each event, plus the value sum over that window. Ordering key is
+    epoch seconds so both engines share exact integer range bounds."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_seconds(F.col("ts")).alias("ts_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v100"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-300, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.count(F.lit(1)).over(w).cast("int").alias("n_5min"),
+        F.sum("v100").over(w).cast("long").alias("v100_5min"),
+    )
+
+
+Q105_SQL = """
+SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+       CAST(count(*) OVER w AS INT) AS n_5min,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS v100_5min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+"""
+
+EXTRA_QUERIES["q105_range_frame"] = Query(
+    q105_range_frame,
+    Q105_SQL,
+    "RANGE window frame (trailing 5-minute by-value bounds, exact "
+    "integer ordering key)",
+)

@@ -2111,3 +2111,56 @@ EXTRA_QUERIES["q104_epoch_shuffle"] = Query(
     "deterministic per-epoch shuffle (position = rank of "
     "md5(epoch:doc_id); resumable, engine-independent)",
 )
+
+
+# --- q106: per-stratum weighted sampling ----------------------------------
+
+STRAT_SAMPLE_K = 5
+
+
+def q106_stratified_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-domain form of q89: within each source, keep the top-K
+    docs by the derandomized Efraimidis-Spirakis key (content-hash
+    uniform, length weight) — a fixed per-domain budget, the sampling
+    layout a balanced training mix uses. One shuffle on the stratum
+    key; the rank is per-stratum, never global."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents")
+    u = (content_seed(F.col("text")) % 1_000_000 + F.lit(0.5)) / 1_000_000.0
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.floor(key * 1_000_000_000 + F.lit(0.5)).cast("long").alias("key_x1e9"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("key_x1e9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= STRAT_SAMPLE_K)
+    )
+
+
+Q106_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(floor(ln(({sql_seed('text')} % 1000000 + 0.5) / 1000000.0)
+                    / greatest(n_chars, 1) * 1000000000 + 0.5) AS BIGINT)
+           AS key_x1e9
+  FROM documents)
+SELECT doc_id, source, key_x1e9,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY key_x1e9 DESC, doc_id ASC) AS rk
+      FROM keyed)
+WHERE rk <= {STRAT_SAMPLE_K}
+"""
+
+EXTRA_QUERIES["q106_stratified_weighted_sample"] = Query(
+    q106_stratified_weighted_sample,
+    Q106_SQL,
+    "per-stratum weighted sampling (Efraimidis-Spirakis keys, fixed "
+    "per-source budget)",
+)
