@@ -1262,3 +1262,58 @@ EXTRA_QUERIES["q105_range_frame"] = Query(
     "RANGE window frame (trailing 5-minute by-value bounds, exact "
     "integer ordering key)",
 )
+
+
+# --- q107: schema-evolution union (unionByName allowMissingColumns) -------
+
+def q107_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union — combining two generations of a feed
+    whose schemas drifted: the old extract lacks the new column, the
+    new extract lacks the legacy one; unionByName(allowMissingColumns)
+    aligns by NAME and null-fills the gaps (positional union would
+    silently misalign). The everyday reality of multi-vintage 100 TB
+    feeds."""
+    orders = t(spark, sf, "orders")
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("legacy_priority"),
+    )
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderstatus").alias("status_v2"),
+    )
+    u = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return u.groupBy(
+        F.col("legacy_priority").isNotNull().cast("int").alias("is_legacy")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.count("legacy_priority").cast("int").alias("n_legacy_vals"),
+        F.count("status_v2").cast("int").alias("n_v2_vals"),
+        rnd(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+Q107_SQL = f"""
+WITH u AS (
+  SELECT o_orderkey, o_totalprice,
+         o_orderpriority AS legacy_priority FROM orders
+  WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice,
+         o_orderstatus AS status_v2 FROM orders
+  WHERE o_orderkey % 2 = 1)
+SELECT CAST(legacy_priority IS NOT NULL AS INT) AS is_legacy,
+       CAST(count(*) AS INT) AS n,
+       CAST(count(legacy_priority) AS INT) AS n_legacy_vals,
+       CAST(count(status_v2) AS INT) AS n_v2_vals,
+       {sql_rnd('sum(o_totalprice)', 2)} AS total
+FROM u GROUP BY 1
+"""
+
+EXTRA_QUERIES["q107_union_by_name"] = Query(
+    q107_union_by_name,
+    Q107_SQL,
+    "schema-evolution union (align by name, null-fill missing columns)",
+)
