@@ -1317,3 +1317,135 @@ EXTRA_QUERIES["q107_union_by_name"] = Query(
     Q107_SQL,
     "schema-evolution union (align by name, null-fill missing columns)",
 )
+
+
+# --- q108: time-weighted average (TWAP shape) -----------------------------
+
+def q108_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-weighted mean — the TWAP/sensor-fusion aggregate plain
+    avg gets wrong on irregular samples: each event's value holds until
+    the user's next event, so the mean weights by holding duration.
+    Exact integer arithmetic end-to-end (seconds × value_x100), one
+    window + one aggregate on the same user key."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_seconds("ts").alias("ts_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v100"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    d = ev.withColumn("next_s", F.lead("ts_s").over(w)).filter(
+        F.col("next_s").isNotNull()
+    )
+    dur = F.col("next_s") - F.col("ts_s")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_intervals"),
+        F.sum(dur).cast("long").alias("total_s"),
+        F.floor(
+            F.sum(dur * F.col("v100")) * 1.0
+            / F.greatest(F.sum(dur), F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("twap_x100"),
+    )
+
+
+Q108_SQL = """
+WITH d AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS next_s
+  FROM events)
+SELECT user_id, CAST(count(*) AS INT) AS n_intervals,
+       CAST(sum(next_s - ts_s) AS BIGINT) AS total_s,
+       CAST(floor(sum((next_s - ts_s) * v100) * 1.0
+                  / greatest(sum(next_s - ts_s), 1) + 0.5) AS BIGINT)
+         AS twap_x100
+FROM d WHERE next_s IS NOT NULL
+GROUP BY user_id
+"""
+
+EXTRA_QUERIES["q108_time_weighted_avg"] = Query(
+    q108_time_weighted_avg,
+    Q108_SQL,
+    "time-weighted average (holding-duration weights, exact integer "
+    "arithmetic)",
+)
+
+
+# --- q109: OHLC bars ------------------------------------------------------
+
+def q109_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Open/high/low/close bars per (user, hour) — the canonical
+    irregular-events → regular-bars downsample. Open/close are
+    first/last by a fully tie-broken (ts, event_id) order (window
+    first_value over the full frame, the q98 lesson), high/low plain
+    min/max; everything fixed-point."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.unix_seconds("ts").alias("ts_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v100"),
+    )
+    full = (
+        W.partitionBy("user_id", "hour")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    d = ev.select(
+        "user_id",
+        "hour",
+        "v100",
+        F.first_value("v100").over(full).alias("open_x100"),
+        F.last_value("v100").over(full).alias("close_x100"),
+    )
+    return d.groupBy("user_id", "hour").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ticks"),
+        F.first("open_x100").alias("open_x100"),
+        F.max("v100").alias("high_x100"),
+        F.min("v100").alias("low_x100"),
+        F.first("close_x100").alias("close_x100"),
+    ).select(
+        "user_id",
+        F.unix_micros("hour").alias("hour_us"),
+        "n_ticks",
+        "open_x100",
+        "high_x100",
+        "low_x100",
+        "close_x100",
+    )
+
+
+Q109_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, date_trunc('hour', ts) AS hour,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+  FROM events),
+d AS (
+  SELECT user_id, hour, v100,
+         first_value(v100) OVER w AS open_x100,
+         last_value(v100) OVER w AS close_x100
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, hour ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT user_id, epoch_us(hour) AS hour_us,
+       CAST(count(*) AS INT) AS n_ticks,
+       CAST(min(open_x100) AS BIGINT) AS open_x100,
+       CAST(max(v100) AS BIGINT) AS high_x100,
+       CAST(min(v100) AS BIGINT) AS low_x100,
+       CAST(min(close_x100) AS BIGINT) AS close_x100
+FROM d GROUP BY user_id, hour
+"""
+
+EXTRA_QUERIES["q109_ohlc_bars"] = Query(
+    q109_ohlc_bars,
+    Q109_SQL,
+    "OHLC bars per (user, hour): tie-broken open/close via full-frame "
+    "value windows, fixed-point",
+)
