@@ -1449,3 +1449,67 @@ EXTRA_QUERIES["q109_ohlc_bars"] = Query(
     "OHLC bars per (user, hour): tie-broken open/close via full-frame "
     "value windows, fixed-point",
 )
+
+
+# --- q110: share-of-total + FILTER-clause aggregates ----------------------
+
+def q110_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Two last vocabulary pins in one: conditional aggregates in SQL's
+    FILTER-clause form (count_if / conditional sums), and
+    share-of-total computed by AGGREGATING FIRST and windowing over the
+    tiny result — the pattern that keeps a global-total window frame at
+    group cardinality (5 rows here) instead of serializing the fact
+    table through one partition."""
+    orders = t(spark, sf, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.count_if(F.col("o_totalprice") > 200_000).cast("int").alias("n_big"),
+        F.floor(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("filled_x100"),
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_x100"),
+    )
+    total = W.partitionBy()  # 5-row frame: safe AFTER aggregation
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "n_big",
+        "filled_x100",
+        "rev_x100",
+        F.floor(
+            F.col("rev_x100") * 10000.0 / F.sum("rev_x100").over(total)
+            + F.lit(0.5)
+        )
+        .cast("int")
+        .alias("share_bps"),
+    )
+
+
+Q110_SQL = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS INT) AS n,
+         CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS INT) AS n_big,
+         CAST(floor(coalesce(sum(o_totalprice)
+                             FILTER (WHERE o_orderstatus = 'F'), 0.0) * 100
+                    + 0.5) AS BIGINT) AS filled_x100,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_x100
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, n_big, filled_x100, rev_x100,
+       CAST(floor(rev_x100 * 10000.0 / sum(rev_x100) OVER () + 0.5) AS INT)
+         AS share_bps
+FROM agg
+"""
+
+EXTRA_QUERIES["q110_revenue_share"] = Query(
+    q110_revenue_share,
+    Q110_SQL,
+    "FILTER-clause conditional aggregates + share-of-total over the "
+    "aggregated (tiny) frame",
+)
