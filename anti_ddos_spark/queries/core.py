@@ -1513,3 +1513,71 @@ EXTRA_QUERIES["q110_revenue_share"] = Query(
     "FILTER-clause conditional aggregates + share-of-total over the "
     "aggregated (tiny) frame",
 )
+
+
+# --- q111: dynamic-gap session windows ------------------------------------
+
+def q111_dynamic_gap_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """session_window with a PER-ROW gap — the generalized form of the
+    flow timeout (q20/q24 use a fixed gap): interactive event types
+    keep sessions alive briefly (60 s), transactional ones longer
+    (300 s). Uses Spark's native dynamic-gap session_window; the oracle
+    replicates the merge rule exactly (a row joins the session while
+    its start is before the running max of previous [ts+gap) ends —
+    a running-max window + break-flag cumsum). Per user: session count
+    and size distribution."""
+    gap_s = F.when(F.col("event_type").isin("purchase", "signup"), 300).otherwise(60)
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "ts",
+        F.concat(gap_s.cast("string"), F.lit(" seconds")).alias("gap"),
+    )
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", F.col("gap")).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sessions"),
+        F.max("n_events").cast("int").alias("max_session_events"),
+        F.sum("n_events").cast("int").alias("total_events"),
+    )
+
+
+Q111_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 300000000 ELSE 60000000 END AS gap_us
+  FROM events),
+m AS (
+  SELECT user_id, ts_us,
+         max(ts_us + gap_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM e),
+b AS (
+  SELECT user_id, ts_us,
+         CASE WHEN prev_end IS NULL OR ts_us >= prev_end THEN 1 ELSE 0 END
+           AS brk
+  FROM m),
+s AS (
+  SELECT user_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM b),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events
+  FROM s GROUP BY user_id, session_id)
+SELECT user_id, CAST(count(*) AS INT) AS n_sessions,
+       CAST(max(n_events) AS INT) AS max_session_events,
+       CAST(sum(n_events) AS INT) AS total_events
+FROM per_session GROUP BY user_id
+"""
+
+EXTRA_QUERIES["q111_dynamic_gap_sessions"] = Query(
+    q111_dynamic_gap_sessions,
+    Q111_SQL,
+    "dynamic-gap session windows (per-row gap; running-max merge-rule "
+    "oracle)",
+)
