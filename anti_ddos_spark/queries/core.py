@@ -1581,3 +1581,52 @@ EXTRA_QUERIES["q111_dynamic_gap_sessions"] = Query(
     "dynamic-gap session windows (per-row gap; running-max merge-rule "
     "oracle)",
 )
+
+
+# --- q112: null-preserving explode (posexplode_outer) ---------------------
+
+def q112_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """explode vs explode_outer — the null-semantics trap that silently
+    drops rows: extracting digit runs from document text (most docs
+    have none), a plain explode LOSES every matchless doc while
+    posexplode_outer keeps it as one (null, null) row. The summary pins
+    the row-preservation contract; the oracle replicates with a lateral
+    LEFT JOIN over unnest."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\bspark\w*"), 0).alias("hits"),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode_outer("hits").alias("pos", "hit")
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.sum(F.col("hit").isNull().cast("int")).cast("int").alias("n_null_rows"),
+        F.count_distinct("doc_id").cast("int").alias("n_docs_preserved"),
+        F.sum(F.coalesce(F.length("hit"), F.lit(0)))
+        .cast("long")
+        .alias("hit_chars"),
+    )
+
+
+Q112_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\bspark\w*') AS hits
+  FROM documents),
+ex AS (
+  SELECT d.doc_id, u.hit
+  FROM d LEFT JOIN LATERAL (SELECT unnest(hits) AS hit) u ON true)
+SELECT CAST(count(*) AS INT) AS n_rows,
+       CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_null_rows,
+       CAST(count(DISTINCT doc_id) AS INT) AS n_docs_preserved,
+       CAST(sum(coalesce(length(hit), 0)) AS BIGINT) AS hit_chars
+FROM ex
+"""
+
+EXTRA_QUERIES["q112_explode_outer"] = Query(
+    q112_explode_outer,
+    Q112_SQL,
+    "null-preserving explode (posexplode_outer vs lateral LEFT JOIN "
+    "unnest; matchless rows survive)",
+)
