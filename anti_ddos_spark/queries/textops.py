@@ -2164,3 +2164,77 @@ EXTRA_QUERIES["q106_stratified_weighted_sample"] = Query(
     "per-stratum weighted sampling (Efraimidis-Spirakis keys, fixed "
     "per-source budget)",
 )
+
+
+# --- q113: corpus release gate (the monitoring family composed) -----------
+
+RELEASE_MAX_DUP_BPS = 2000
+RELEASE_MAX_PSI_X1E6 = 250_000
+RELEASE_MAX_OOV_BPS = 100
+
+
+def q113_release_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The one-row go/no-go a corpus release pipeline publishes: exact
+    dup rate (q30's digest summary), total length-drift PSI (q81),
+    OOV mass (q82), and benchmark-contamination count (q57) — each
+    recomputed through the SAME shared definitions, thresholded into
+    one release verdict. Everything after the component aggregates is
+    row-count ≤ bins, so the gate itself is free."""
+    from anti_ddos_spark.operators.dedup import exact_dedup_summary
+
+    dup = exact_dedup_summary(t(spark, sf, "documents")).select(
+        F.floor(
+            F.col("n_redundant") * 10000.0 / F.col("n_docs") + F.lit(0.5)
+        )
+        .cast("int")
+        .alias("dup_bps")
+    )
+    psi = (
+        q81_corpus_drift(spark, sf)
+        .agg(F.sum("psi_x1e6").cast("long").alias("psi_x1e6"))
+    )
+    oov = q82_oov_drift(spark, sf).select("oov_bps")
+    contam = q57_decontaminate(spark, sf).agg(
+        F.count(F.lit(1)).cast("int").alias("n_contaminated")
+    )
+    g = dup.crossJoin(psi).crossJoin(oov).crossJoin(contam)
+    ok = (
+        (F.col("dup_bps") <= RELEASE_MAX_DUP_BPS)
+        & (F.col("psi_x1e6") <= RELEASE_MAX_PSI_X1E6)
+        & (F.col("oov_bps") <= RELEASE_MAX_OOV_BPS)
+    )
+    return g.select(
+        "dup_bps",
+        "psi_x1e6",
+        "oov_bps",
+        "n_contaminated",
+        ok.cast("int").alias("release_ok"),
+    )
+
+
+def _q113_sql() -> str:
+    return f"""
+WITH dup AS (
+  SELECT CAST(floor(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) * 10000.0
+                    / sum(n) + 0.5) AS INT) AS dup_bps
+  FROM (SELECT md5(text) AS digest, count(*) AS n
+        FROM documents GROUP BY 1)),
+psi AS (SELECT CAST(sum(psi_x1e6) AS BIGINT) AS psi_x1e6
+        FROM ({Q81_SQL})),
+oov AS (SELECT oov_bps FROM ({Q82_SQL})),
+contam AS (SELECT CAST(count(*) AS INT) AS n_contaminated
+           FROM ({Q57_SQL}))
+SELECT dup_bps, psi_x1e6, oov_bps, n_contaminated,
+       CAST(dup_bps <= {RELEASE_MAX_DUP_BPS}
+            AND psi_x1e6 <= {RELEASE_MAX_PSI_X1E6}
+            AND oov_bps <= {RELEASE_MAX_OOV_BPS} AS INT) AS release_ok
+FROM dup, psi, oov, contam
+"""
+
+
+EXTRA_QUERIES["q113_release_gate"] = Query(
+    q113_release_gate,
+    _q113_sql(),
+    "corpus release gate: dup rate + drift PSI + OOV + contamination "
+    "composed into one go/no-go row",
+)
