@@ -969,6 +969,7 @@ def random_projection(
     dim: int,
     vec_col: str = "embedding",
     quant: int = 1000,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Project each vector to k signed-sum components over a
     fixed-point-quantized copy (floor(x*quant+0.5) — exact integer
@@ -1003,6 +1004,8 @@ def random_projection(
 
     # k*dim literal Columns ≈ 500+ py4j round-trips per build — memoized
     # per (params, JVM) like dedup._EXPR_MEMO / features._AGG_MEMO.
+    # id_col is not part of the built Column trees, so it stays out of
+    # the memo key (same exprs serve any id column name)
     cols = _memoized_exprs(("rand_proj", k, dim, quant, vec_col), build)
     q, projs = cols[0], cols[1:]
-    return emb.withColumn("_q", q).select("vec_id", *projs)
+    return emb.withColumn("_q", q).select(id_col, *projs)

@@ -1175,16 +1175,24 @@ def q100_props_map(spark: SparkSession, sf: str) -> DataFrame:
     surface hadn't pushed through an oracle: props JSON parsed as
     map<string,long> (not a fixed struct, so unknown keys survive),
     exploded to (key, value) pairs, aggregated per key. The schema-free
-    escape hatch for ragged event properties."""
+    escape hatch for ragged event properties.
+
+    Values parse as map<string,string> and cast per-entry: a
+    map<string,bigint> parse would null the ENTIRE map in PERMISSIVE
+    mode when any one value fails to coerce, silently dropping the
+    good keys of a mixed-type document. Per-value casting keeps every
+    integral entry; both engines filter on the same integer-literal
+    regex so parity holds for mixed-type data, not just the uniformly
+    integral fixture."""
     ev = t(spark, sf, "events").select(
-        F.from_json("props", "map<string,bigint>").alias("m")
+        F.from_json("props", "map<string,string>").alias("m")
     )
-    kv = ev.select(F.explode("m").alias("key", "value")).filter(
-        # keep the oracle honest: DuckDB's '$.'||key path only resolves
-        # simple keys, and Spark's bigint map nulls non-integer values
-        # where a CAST would coerce — align both sides explicitly
-        F.col("key").rlike("^[A-Za-z0-9_]+$") & F.col("value").isNotNull()
-    )
+    kv = ev.select(F.explode("m").alias("key", "vstr")).filter(
+        # DuckDB's '$.'||key path only resolves simple keys; the value
+        # regex is the shared cross-engine definition of "integral"
+        F.col("key").rlike("^[A-Za-z0-9_]+$")
+        & F.col("vstr").rlike("^-?[0-9]+$")
+    ).select("key", F.col("vstr").cast("bigint").alias("value"))
     return kv.groupBy("key").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("value").cast("long").alias("value_sum"),
@@ -1196,17 +1204,16 @@ def q100_props_map(spark: SparkSession, sf: str) -> DataFrame:
 Q100_SQL = """
 WITH kv AS (
   SELECT unnest(json_keys(props)) AS key,
-         CAST(json_extract(props, '$.' || unnest(json_keys(props)))
-              AS BIGINT) AS value,
-         json_type(props, '$.' || unnest(json_keys(props))) AS vtype
+         json_extract_string(props, '$.' || unnest(json_keys(props)))
+           AS vstr
   FROM events)
 SELECT key, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(value) AS BIGINT) AS value_sum,
-       CAST(min(value) AS BIGINT) AS value_min,
-       CAST(max(value) AS BIGINT) AS value_max
+       CAST(sum(CAST(vstr AS BIGINT)) AS BIGINT) AS value_sum,
+       CAST(min(CAST(vstr AS BIGINT)) AS BIGINT) AS value_min,
+       CAST(max(CAST(vstr AS BIGINT)) AS BIGINT) AS value_max
 FROM kv
 WHERE regexp_matches(key, '^[A-Za-z0-9_]+$')
-  AND vtype IN ('BIGINT', 'UBIGINT')
+  AND regexp_matches(vstr, '^-?[0-9]+$')
 GROUP BY key
 """
 

@@ -2171,6 +2171,9 @@ EXTRA_QUERIES["q106_stratified_weighted_sample"] = Query(
 RELEASE_MAX_DUP_BPS = 2000
 RELEASE_MAX_PSI_X1E6 = 250_000
 RELEASE_MAX_OOV_BPS = 100
+# Any benchmark contamination blocks a release: a single leaked eval
+# document invalidates downstream benchmark numbers, so the budget is 0.
+RELEASE_MAX_CONTAMINATED = 0
 
 
 def q113_release_gate(spark: SparkSession, sf: str) -> DataFrame:
@@ -2202,6 +2205,7 @@ def q113_release_gate(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("dup_bps") <= RELEASE_MAX_DUP_BPS)
         & (F.col("psi_x1e6") <= RELEASE_MAX_PSI_X1E6)
         & (F.col("oov_bps") <= RELEASE_MAX_OOV_BPS)
+        & (F.col("n_contaminated") <= RELEASE_MAX_CONTAMINATED)
     )
     return g.select(
         "dup_bps",
@@ -2227,7 +2231,9 @@ contam AS (SELECT CAST(count(*) AS INT) AS n_contaminated
 SELECT dup_bps, psi_x1e6, oov_bps, n_contaminated,
        CAST(dup_bps <= {RELEASE_MAX_DUP_BPS}
             AND psi_x1e6 <= {RELEASE_MAX_PSI_X1E6}
-            AND oov_bps <= {RELEASE_MAX_OOV_BPS} AS INT) AS release_ok
+            AND oov_bps <= {RELEASE_MAX_OOV_BPS}
+            AND n_contaminated <= {RELEASE_MAX_CONTAMINATED} AS INT)
+         AS release_ok
 FROM dup, psi, oov, contam
 """
 

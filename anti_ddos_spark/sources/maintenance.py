@@ -53,7 +53,10 @@ def compact_partitions(
     tiny files from streaming or incremental writes. Writes to a new
     location (compact-and-swap): overwriting a path while scanning it is
     undefined in Spark, so the atomic rename/swap is the caller's final
-    step. Returns the per-partition manifest (rows, files planned).
+    step. Returns the per-partition manifest (rows, files planned),
+    MATERIALIZED before return — a lazy manifest would re-scan ``path``
+    at first action, and the docstring's rename/swap may have moved it
+    by then (driver-sized: one row per partition).
 
     Scale shape: ONE count aggregate (driver gets one row per
     partition), then one shuffle keyed by (partition, salt) where the
@@ -110,4 +113,5 @@ def compact_partitions(
         .option("maxRecordsPerFile", str(target_rows_per_file))
         .parquet(dest)
     )
-    return counts
+    # sever the manifest from the source path before the caller swaps it
+    return spark.createDataFrame(counts.collect(), counts.schema)

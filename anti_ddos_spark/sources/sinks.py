@@ -122,7 +122,12 @@ def write_training_shards(
     pruned columns), not a third pass over the source plan.
     ``maxRecordsPerFile`` bounds file size without any extra pass. The
     returned manifest (shard -> rows, key span) is a driver-sized
-    aggregate a release pins alongside the data.
+    aggregate a release pins alongside the data. With
+    ``mode='overwrite'`` it is read back from the written table (the
+    cheapest honest source); with any other mode it is computed from
+    THIS write's input frame instead — the written table would fold
+    pre-existing rows into the counts and misreport what this call
+    appended.
     """
     sharded = df.withColumn(
         "shard", F.pmod(F.hash(F.col(key_col)), F.lit(n_shards)).cast("int")
@@ -135,8 +140,11 @@ def write_training_shards(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
+    manifest_src = (
+        df.sparkSession.read.parquet(path) if mode == "overwrite" else sharded
+    )
     return (
-        df.sparkSession.read.parquet(path)
+        manifest_src
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

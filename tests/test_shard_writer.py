@@ -48,3 +48,21 @@ def test_shard_assignment_deterministic(spark):
             docs, os.path.join(tmp, "b"), n_shards=4, key_col="doc_id"
         ).collect()
         assert m1 == m2
+
+
+def test_append_manifest_counts_only_this_write(spark):
+    """mode='append': the manifest must describe THIS write's rows, not
+    the accumulated table (the round-5 advice finding)."""
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "shards")
+        write_training_shards(half_a, out, n_shards=4, key_col="doc_id")
+        m2 = write_training_shards(
+            half_b, out, n_shards=4, key_col="doc_id", mode="append"
+        ).collect()
+        # manifest of the append covers exactly half_b, not the union
+        assert sum(r["n_rows"] for r in m2) == half_b.count()
+        # the table itself does hold the union
+        assert spark.read.parquet(out).count() == docs.count()

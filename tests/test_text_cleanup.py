@@ -128,3 +128,23 @@ def test_random_projection_basis_vector(spark):
     for j in range(k):
         assert rows[0][f"p{j}"] == signs[j][0] * 1000
         assert rows[1][f"p{j}"] == signs[j][1] * -2000
+
+
+def test_release_gate_blocks_contaminated_corpus(spark):
+    """q113: n_contaminated participates in the release verdict — a
+    corpus passing dup/PSI/OOV but containing benchmark-contaminated
+    docs must NOT get release_ok=1 (round-5 advice, medium)."""
+    from anti_ddos_spark.queries.textops import (
+        RELEASE_MAX_CONTAMINATED,
+        q113_release_gate,
+    )
+
+    row = q113_release_gate(spark, "/root/testdata/sf0.001").collect()[0]
+    expected = (
+        row["dup_bps"] <= 2000
+        and row["psi_x1e6"] <= 250_000
+        and row["oov_bps"] <= 100
+        and row["n_contaminated"] <= RELEASE_MAX_CONTAMINATED
+    )
+    assert row["release_ok"] == int(expected)
+    assert RELEASE_MAX_CONTAMINATED == 0
