@@ -583,13 +583,8 @@ QUERIES: dict[str, Query] = {
     "q08_window_rank": Query(q08_window_rank, Q08_SQL, "per-group top-k via row_number"),
     "q09_running_sum": Query(q09_running_sum, Q09_SQL, "running frame aggregate"),
     "q10_rollup": Query(q10_rollup, Q10_SQL, "rollup grouping sets"),
-    "q11_set_ops": Query(q11_set_ops, Q11_SQL, "intersect/except/union combo"),
     "q12_distinct_counts": Query(q12_distinct_counts, Q12_SQL, "grouped exact distinct"),
-    "q13_conditional_scrub": Query(q13_conditional_scrub, Q13_SQL, "when/isin-scrub/fill/conditional agg"),
-    "q14_string_ops": Query(q14_string_ops, Q14_SQL, "trim/upper/concat/substr scalar fns"),
-    "q15_datetime_agg": Query(q15_datetime_agg, Q15_SQL, "timestamp bucketing"),
     "q16_json_extract": Query(q16_json_extract, Q16_SQL, "regex/JSON scalar extraction"),
-    "q17_pivot": Query(q17_pivot, Q17_SQL, "pivot to conditional-agg matrix"),
     "q19_percentiles": Query(q19_percentiles, Q19_SQL, "exact percentile_cont per group"),
     "q27_cube": Query(q27_cube, Q27_SQL, "full cube grouping sets"),
     "q28_salted_agg": Query(
@@ -606,8 +601,21 @@ QUERIES: dict[str, Query] = {
 # hash signal in the driver sweep. It yields its driver slot to q49
 # (repetition) which has a full hash-checked oracle; the HLL bound check
 # still runs locally via full_registry().
+#
+# Demoted in round 6 (judge brief task #1): q11/q13/q14/q15/q17 — stable
+# since round 1 and exercised transitively by other driver rows (scalar
+# string fns by q24's flow_id, conditional aggs by q37/q80, pivot by
+# q17's local oracle) — yield their driver slots to the heavyweight
+# end-to-end queries the north star names (q80 curation pipeline, q68
+# span dedup, q88/q93 streaming, q113 release gate). All five keep full
+# DuckDB hash oracles here via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
     "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
+    "q11_set_ops": Query(q11_set_ops, Q11_SQL, "intersect/except/union combo"),
+    "q13_conditional_scrub": Query(q13_conditional_scrub, Q13_SQL, "when/isin-scrub/fill/conditional agg"),
+    "q14_string_ops": Query(q14_string_ops, Q14_SQL, "trim/upper/concat/substr scalar fns"),
+    "q15_datetime_agg": Query(q15_datetime_agg, Q15_SQL, "timestamp bucketing"),
+    "q17_pivot": Query(q17_pivot, Q17_SQL, "pivot to conditional-agg matrix"),
 }
 
 

@@ -1346,7 +1346,8 @@ WITH {_span_doc_sql()}
 SELECT doc_id, n_spans, n_dup_spans, dup_bps FROM span_doc
 """
 
-EXTRA_QUERIES["q68_window_dedup"] = Query(
+# Promoted to the driver registry in round 6 (judge brief task #1).
+QUERIES["q68_window_dedup"] = Query(
     q68_window_dedup,
     Q68_SQL,
     "sub-document span dedup (C4-style 16-token spans; span-hash window "
@@ -1500,7 +1501,8 @@ FROM flags GROUP BY source
 """
 
 
-EXTRA_QUERIES["q80_curation_pipeline"] = Query(
+# Promoted to the driver registry in round 6 (judge brief task #1).
+QUERIES["q80_curation_pipeline"] = Query(
     q80_curation_pipeline,
     _q80_sql(),
     "end-to-end curation pipeline v2: dedup -> span gate -> repetition "
@@ -2238,7 +2240,8 @@ FROM dup, psi, oov, contam
 """
 
 
-EXTRA_QUERIES["q113_release_gate"] = Query(
+# Promoted to the driver registry in round 6 (judge brief task #1).
+QUERIES["q113_release_gate"] = Query(
     q113_release_gate,
     _q113_sql(),
     "corpus release gate: dup rate + drift PSI + OOV + contamination "
