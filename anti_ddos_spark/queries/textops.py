@@ -1794,20 +1794,21 @@ EXTRA_QUERIES["q90_winsorize_lengths"] = Query(
 # --- q91: equi-depth binning via NTILE ------------------------------------
 
 def q91_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Equi-depth length quartiles via the ntile window (the one
-    analytic window function the surface hadn't pinned): rank docs by
-    length, ntile(4), per-quartile count and length span. One global
-    sort window at quartile granularity — at 100 TB the same shape runs
-    per-shard or via approx percentiles; this pins the exact-window
-    semantics."""
-    from pyspark.sql.window import Window
+    """Equi-depth length quartiles with exact ntile semantics, in the
+    scale-safe form: ``operators.rank.global_ntile`` (range exchange +
+    partition-local index + broadcast offsets) instead of an
+    unpartitioned ntile window, so no single task ever sorts the whole
+    table. Bucket assignment is parity-proved equal to ``ntile(4)``
+    (tests/test_global_rank.py), which is exactly what the DuckDB
+    oracle runs — the hash is unchanged from the round-5 window form."""
+    from anti_ddos_spark.operators.rank import global_ntile
 
     docs = t(spark, sf, "documents").select(
         "doc_id", F.col("n_chars").cast("long").alias("n_chars")
     )
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    order = [F.col("n_chars").asc(), F.col("doc_id").asc()]
     return (
-        docs.withColumn("q", F.ntile(4).over(w))
+        global_ntile(docs, order, 4, bucket_col="q")
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_docs"),
@@ -2001,11 +2002,12 @@ def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     is sum-of-ints/count and immune to Spark's partial-aggregate
     float-merge order; rare-word-heavy docs are 'hard'). Shape: one
     explode + tf aggregate, broadcast of the (vocab-sized) frequency
-    table back onto the token stream, per-doc mean, global rank — the
-    total-order position a curriculum sampler consumes (a global rank
-    is inherently one ordered pass; at 100 TB the same semantics run as
-    repartitionByRange on difficulty + per-partition offsets)."""
-    from pyspark.sql.window import Window
+    table back onto the token stream, per-doc mean, then the
+    scale-safe global rank (``operators.rank.global_row_number``:
+    repartitionByRange on difficulty + per-partition offsets — the
+    form the round-5 docstring promised, now implemented and
+    parity-proved equal to the single-window rank)."""
+    from anti_ddos_spark.operators.rank import global_row_number
 
     docs = t(spark, sf, "documents")
     toks = docs.select(
@@ -2028,18 +2030,12 @@ def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
             .alias("difficulty_x1e3"),
         )
     )
-    return scored.select(
+    order = [F.col("difficulty_x1e3").asc(), F.col("doc_id").asc()]
+    return global_row_number(scored, order, rn_col="_rn").select(
         "doc_id",
         "n_toks",
         "difficulty_x1e3",
-        F.row_number()
-        .over(
-            Window.orderBy(
-                F.col("difficulty_x1e3").asc(), F.col("doc_id").asc()
-            )
-        )
-        .cast("int")
-        .alias("curriculum_pos"),
+        F.col("_rn").cast("int").alias("curriculum_pos"),
     )
 
 
@@ -2076,24 +2072,28 @@ def q104_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
     epoch, identical on every replay/engine (how a distributed loader
     gets resumable shuffling: position is a pure function of
     (epoch, id)). Emits each doc's position in epochs 0 and 1; the
-    epoch-decorrelation check lives in the oracle comparison itself."""
-    from pyspark.sql.window import Window
+    epoch-decorrelation check lives in the oracle comparison itself.
+
+    Each epoch is its own total order, so each runs its own scale-safe
+    global rank (``operators.rank.global_row_number`` — range exchange
+    per epoch key, no single-partition sort) and the per-epoch results
+    rejoin on doc_id: 2 range shuffles + 1 equi-join instead of two
+    windows over one all-rows partition."""
+    from anti_ddos_spark.operators.rank import global_row_number
 
     docs = t(spark, sf, "documents").select("doc_id")
 
-    def pos(epoch: int):
+    def epoch_pos(epoch: int, out: str) -> DataFrame:
         key = F.md5(
             F.concat_ws(":", F.lit(str(epoch)), F.col("doc_id").cast("string"))
         )
-        return (
-            F.row_number()
-            .over(Window.orderBy(key, F.col("doc_id").asc()))
-            .cast("int")
+        ranked = global_row_number(
+            docs.withColumn("_k", key), ["_k", F.col("doc_id").asc()],
+            rn_col="_rn",
         )
+        return ranked.select("doc_id", F.col("_rn").cast("int").alias(out))
 
-    return docs.select(
-        "doc_id", pos(0).alias("pos_e0"), pos(1).alias("pos_e1")
-    )
+    return epoch_pos(0, "pos_e0").join(epoch_pos(1, "pos_e1"), "doc_id")
 
 
 Q104_SQL = """
