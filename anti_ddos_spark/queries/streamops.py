@@ -24,7 +24,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from anti_ddos_spark.queries.base import Query, t
+from anti_ddos_spark.queries.base import Query, content_seed, sql_seed, t
 from anti_ddos_spark.queries.flow import (
     FLOW_GAP_S,
     Q24_SQL,
@@ -896,4 +896,146 @@ QUERIES["q93_stream_stream_join"] = Query(
     Q93_SQL,
     "stream-stream time-interval inner join (both sides watermarked; "
     "REAL streaming run vs the batch self-join SQL)",
+)
+
+
+# --- q114: bounded-state dedup TTL semantics, hash-checked ----------------
+#
+# Round-5 verdict task #3: streaming/dedup_stream.py's watermark-TTL
+# wrappers were unit-proved (state eviction metrics) but their documented
+# RE-ADMISSION contract — a duplicate arriving after its key's state was
+# evicted is emitted again — was a docstring promise, not a hash-checked
+# behavior. This replay pins it against a DuckDB oracle.
+
+BOUNDED_DEDUP_DELAY_S = 120
+_Q114_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+_Q114_REPLAY_GAP_S = 3000            # far beyond the 120 s horizon
+_Q114_DUP_LAG_S = 10                 # well inside the horizon
+
+
+def q114_bounded_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming run of ``bounded_dedup`` (withWatermark +
+    dropDuplicatesWithinWatermark) over a deterministic 6-micro-batch
+    replay built from the documents table, pinning the full
+    bounded-state contract in one hash:
+
+    - batch 0: every doc's digest at ``T0 + (seed % 60) s`` (copies of
+      a duplicated text share one identical row, so within-horizon
+      dedup emits a deterministic first copy);
+    - batches 1-2: single "clock" rows at T0+1000 s / T0+2000 s that
+      advance the watermark far past batch 0's ``event_time + delay``,
+      evicting its state (the eviction itself is metric-proved in
+      tests/test_bounded_dedup.py);
+    - batch 3: every digest again at ``T0+3000 s + (seed % 60) s`` —
+      state is gone, so ALL are re-admitted (the documented
+      bounded-memory trade);
+    - batch 4: every digest 10 s after its batch-3 copy — inside the
+      horizon, state is live, so ALL are suppressed.
+
+    Emitted set = batch-0 first copies + 2 clocks + batch-3
+    re-admissions; the oracle recomputes exactly that schedule in SQL.
+    Batch order is pinned by per-file mtimes + maxFilesPerTrigger=1
+    (FileStreamSource processes files in mtime order). The replay
+    writer materializes the tiny (distinct-digest-sized) schedule via
+    pandas — fixture plumbing, not the operator's scale path; the
+    dedup operator state stays O(horizon), which is the point."""
+    from anti_ddos_spark.streaming.dedup_stream import bounded_dedup
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q114_stream_")
+    src = os.path.join(tmp, "src")
+    os.makedirs(src)
+
+    docs = t(spark, sf, "documents")
+    seed = content_seed(F.col("digest"))
+    off_us = (seed % 60) * 1_000_000
+    base = docs.select(F.md5("text").alias("digest"))
+    b0 = base.select(
+        "digest", F.timestamp_micros(F.lit(_Q114_T0_US) + off_us).alias("ts")
+    )
+    dd = base.distinct()
+    b3 = dd.select(
+        "digest",
+        F.timestamp_micros(
+            F.lit(_Q114_T0_US + _Q114_REPLAY_GAP_S * 1_000_000) + off_us
+        ).alias("ts"),
+    )
+    b4 = dd.select(
+        "digest",
+        F.timestamp_micros(
+            F.lit(
+                _Q114_T0_US
+                + (_Q114_REPLAY_GAP_S + _Q114_DUP_LAG_S) * 1_000_000
+            )
+            + off_us
+        ).alias("ts"),
+    )
+
+    def clock(i: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(f"CLOCK-{i}").alias("digest"),
+            F.timestamp_micros(
+                F.lit(_Q114_T0_US + i * 1000 * 1_000_000)
+            ).alias("ts"),
+        )
+
+    import pandas as pd  # replay-writer only (schedule is digest-sized)
+
+    for i, frame in enumerate((b0, clock(1), clock(2), b3, b4)):
+        pdf = frame.toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = os.path.join(src, f"b{i}.parquet")
+        pdf.to_parquet(path, index=False)
+        mtime = 1_000_000_000 + i * 100
+        os.utime(path, (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema("digest STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = bounded_dedup(
+        stream, ["digest"], event_time="ts",
+        delay=f"{BOUNDED_DEDUP_DELAY_S} seconds",
+    )
+    name = f"q114_bounded_{run_id}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q114 replay did not finish in 300 s")
+    _finish_stream_run(spark, tmp, name)
+    return spark.table(name).select(
+        "digest", F.unix_micros("ts").alias("emit_us")
+    )
+
+
+_Q114_SEED = sql_seed("digest")
+
+Q114_SQL = f"""
+WITH d AS (SELECT DISTINCT md5(text) AS digest FROM documents),
+sched AS (SELECT digest, ({_Q114_SEED} % 60) * 1000000 AS off_us FROM d)
+SELECT digest, {_Q114_T0_US} + off_us AS emit_us FROM sched
+UNION ALL
+SELECT digest,
+       {_Q114_T0_US + _Q114_REPLAY_GAP_S * 1_000_000} + off_us AS emit_us
+FROM sched
+UNION ALL
+SELECT 'CLOCK-1' AS digest, {_Q114_T0_US + 1000 * 1_000_000} AS emit_us
+UNION ALL
+SELECT 'CLOCK-2' AS digest, {_Q114_T0_US + 2000 * 1_000_000} AS emit_us
+"""
+
+EXTRA_QUERIES["q114_bounded_dedup_replay"] = Query(
+    q114_bounded_dedup_replay,
+    Q114_SQL,
+    "bounded-state streaming dedup TTL contract: within-horizon "
+    "suppression + post-eviction re-admission, REAL replay vs schedule "
+    "oracle",
 )
