@@ -132,6 +132,33 @@ def train(
     return model, metrics, scored
 
 
+class ThresholdRuleModel:
+    """Deterministic rule 'model' with the PipelineModel ``.transform``
+    contract: prediction=1.0 when the flow looks volumetric (total
+    packets ≥ ``min_packets`` OR total payload ≥ ``min_bytes``), else
+    0.0. An RF's prediction column has no SQL oracle, so the
+    hash-checked streaming-scoring query (q115) swaps in this rule to
+    pin the SCORING STAGE itself — model broadcast-free transform on an
+    unbounded DataFrame, label post-processing, append-mode emission —
+    while q50/bench_stream keep covering the RF path (metrics +
+    throughput). Mirrors the reference's predict stage shape
+    (spark_app/main.py:1087-1090: transform → prediction → label)."""
+
+    def __init__(self, min_packets: int = 3, min_bytes: int = 1024):
+        self.min_packets = min_packets
+        self.min_bytes = min_bytes
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        n_pkts = F.col("total_fwd_packets") + F.col("total_backward_packets")
+        n_bytes = F.col("total_length_of_fwd_packets") + F.col(
+            "total_length_of_bwd_packets"
+        )
+        rule = (n_pkts >= self.min_packets) | (n_bytes >= self.min_bytes)
+        return df.withColumn(
+            "prediction", F.when(rule, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+
+
 def score(model, df: DataFrame) -> DataFrame:
     """Distributed scoring with the reference's label post-processing
     (prediction==1.0 → 'DDoS' else 'Normal', main.py:1090)."""

@@ -1039,3 +1039,87 @@ EXTRA_QUERIES["q114_bounded_dedup_replay"] = Query(
     "suppression + post-eviction re-admission, REAL replay vs schedule "
     "oracle",
 )
+
+
+# --- q115: in-stream scoring, hash-checked --------------------------------
+
+RULE_MIN_PACKETS = 3
+RULE_MIN_BYTES = 1024
+
+
+def q115_streaming_scored_flows(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's full detection pipeline (§3.1: packets →
+    sessionize → score → label, spark_app/main.py:1087-1090) as a REAL
+    streaming run with a hash-checked output — the one stage q70-q74
+    left unchecked. The scorer is ml.ThresholdRuleModel (deterministic,
+    SQL-expressible) plugged into the SAME scored_flow_stream path the
+    RF model uses, so the scoring plumbing — transform over an
+    unbounded DataFrame, prediction → 'DDoS'/'Normal' post-processing,
+    finalized-flow filter, append emission — is oracle-covered; the RF
+    itself stays covered by q50 (metrics) and bench_stream (in-stream
+    throughput), where no SQL oracle can exist."""
+    from anti_ddos_spark.ml import ThresholdRuleModel
+    from anti_ddos_spark.streaming.pipeline import scored_flow_stream
+
+    packets = events_as_packets(t(spark, sf, "events"))
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q115_stream_")
+    src = os.path.join(tmp, "packets")
+    packets.write.parquet(src)
+
+    stream = spark.readStream.schema(packets.schema).parquet(src)
+    scored = scored_flow_stream(
+        stream,
+        ThresholdRuleModel(RULE_MIN_PACKETS, RULE_MIN_BYTES),
+        mode="session_window",
+        gap_s=FLOW_GAP_S,
+        watermark="0 seconds",
+    )
+    name = f"q115_scored_{run_id}"
+    q = (
+        scored.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("q115 scored stream did not finish in 300 s")
+    _finish_stream_run(spark, tmp, name)
+    out = spark.table(name)
+    n_pkts = F.col("total_fwd_packets") + F.col("total_backward_packets")
+    n_bytes = F.col("total_length_of_fwd_packets") + F.col(
+        "total_length_of_bwd_packets"
+    )
+    return out.select(
+        "flow_id",
+        F.unix_micros("timestamp").alias("last_ts_us"),
+        n_pkts.cast("long").alias("n_pkts"),
+        n_bytes.cast("long").alias("n_bytes"),
+        F.col("Label").alias("label"),
+    )
+
+
+Q115_SQL = f"""
+SELECT flow_id, last_ts_us,
+       CAST(total_fwd_packets + total_backward_packets AS BIGINT) AS n_pkts,
+       CAST(total_length_of_fwd_packets + total_length_of_bwd_packets
+            AS BIGINT) AS n_bytes,
+       CASE WHEN total_fwd_packets + total_backward_packets
+                 >= {RULE_MIN_PACKETS}
+              OR total_length_of_fwd_packets + total_length_of_bwd_packets
+                 >= {RULE_MIN_BYTES}
+            THEN 'DDoS' ELSE 'Normal' END AS label
+FROM ({{Q24}}) flows
+WHERE last_ts_us + {FLOW_GAP_S * 1_000_000}
+      < (SELECT max(epoch_us(ts)) FROM events)
+""".replace("{Q24}", Q24_SQL)
+
+EXTRA_QUERIES["q115_streaming_scored_flows"] = Query(
+    q115_streaming_scored_flows,
+    Q115_SQL,
+    "in-stream scoring stage hash-checked: sessionize -> rule-model "
+    "transform -> DDoS/Normal label, REAL streaming run vs batch SQL",
+)
