@@ -119,6 +119,12 @@ def content_seed(col) -> "object":
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# DuckDB whitespace-tokenizer fragment shared by the text-query modules
+# (textops + its round-6 split modules); the ONE definition of "token" on
+# the oracle side of the q31/q47/q52/q103... family.
+_W = "string_split_regex(trim(text), '\\s+')"
+
+
 def sql_seed(expr: str) -> str:
     """DuckDB twin of content_seed()."""
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"

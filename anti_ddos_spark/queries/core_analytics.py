@@ -1,0 +1,726 @@
+"""Analytics queries over the relational tables: reconciliation, SQL-API
+grouping sets, funnel/cohort/rate analytics, correlated subqueries,
+decimal/map/time-weighted/OHLC/share-of-total shapes, schema-evolution
+union, null-preserving explode.
+
+Split out of queries/core.py in round 6 (verdict task #5 - module
+split). Entries register into this module's ``EXTRA_QUERIES`` and are
+merged into core's dict by the façade at the bottom of
+queries/core.py, so the registry surface is unchanged and historical
+import paths (e.g. streamops' rate_zscores / Q87_SQL) keep working.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from anti_ddos_spark.queries.base import Query, rnd, sql_rnd, t
+
+EXTRA_QUERIES: dict[str, Query] = {}
+
+
+# --- q69: full outer join reconciliation ----------------------------------
+
+def q69_full_outer_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Roster reconciliation — the one join type the surface didn't yet
+    pin: per-customer 1995 order totals FULL OUTER JOIN the AUTOMOBILE
+    segment roster. Produces all three row classes (matched, order-only,
+    roster-only); null sides are made explicit as flags + zero-defaults.
+    The small roster side broadcasts; Spark runs a broadcast full-outer
+    only when the stream side preserves all rows, so the plan pins to a
+    single shuffle pair (SMJ FullOuter) — the honest 100 TB shape for
+    two big sides."""
+    orders = t(spark, sf, "orders")
+    spend = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_orders"),
+            rnd(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    roster = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select("c_custkey", rnd(F.col("c_acctbal"), 2).alias("acctbal"))
+    )
+    j = spend.join(roster, spend.o_custkey == roster.c_custkey, "full_outer")
+    return j.select(
+        F.coalesce(F.col("o_custkey"), F.col("c_custkey")).alias("custkey"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).cast("int").alias("n_orders"),
+        F.coalesce(F.col("spend"), F.lit(0.0)).alias("spend"),
+        F.col("o_custkey").isNotNull().cast("int").alias("has_orders"),
+        F.col("c_custkey").isNotNull().cast("int").alias("in_segment"),
+        F.col("acctbal"),
+    )
+
+
+Q69_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey, CAST(count(*) AS INT) AS n_orders,
+         {sql_rnd('sum(o_totalprice)', 2)} AS spend
+  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+roster AS (
+  SELECT c_custkey, {sql_rnd('c_acctbal', 2)} AS acctbal
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+SELECT coalesce(o_custkey, c_custkey) AS custkey,
+       CAST(coalesce(n_orders, 0) AS INT) AS n_orders,
+       coalesce(spend, 0.0) AS spend,
+       CAST(o_custkey IS NOT NULL AS INT) AS has_orders,
+       CAST(c_custkey IS NOT NULL AS INT) AS in_segment,
+       acctbal
+FROM spend FULL OUTER JOIN roster ON o_custkey = c_custkey
+"""
+
+EXTRA_QUERIES["q69_full_outer_reconcile"] = Query(
+    q69_full_outer_reconcile,
+    Q69_SQL,
+    "full outer join reconciliation (matched / left-only / right-only)",
+)
+
+
+# --- q77: SQL API surface (CTE + GROUPING SETS via spark.sql) -------------
+
+Q77_SQL = f"""
+WITH r AS (
+  SELECT o_orderpriority AS priority, year(o_orderdate) AS yr, o_totalprice
+  FROM orders)
+SELECT priority, yr,
+       CAST(count(*) AS INT) AS n_orders,
+       CAST({sql_rnd('sum(o_totalprice)', 2)} AS DOUBLE) AS total_price,
+       CAST(grouping(priority) AS INT) AS g_priority,
+       CAST(grouping(yr) AS INT) AS g_yr
+FROM r
+GROUP BY GROUPING SETS ((priority, yr), (priority), ())
+"""
+
+
+def q77_sql_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL entry point: the exact oracle text runs through
+    spark.sql() over a registered temp view — CTE + GROUPING SETS +
+    grouping() flags, the dialect surface a DataFrame API can't show.
+    The one dialect trap: Spark SQL types fractional literals as
+    DECIMAL (the DataFrame API's F.lit makes doubles), so the rounded
+    sum carries an explicit CAST AS DOUBLE — with that, the string is
+    shared verbatim with DuckDB."""
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(Q77_SQL)
+
+
+EXTRA_QUERIES["q77_sql_grouping_sets"] = Query(
+    q77_sql_grouping_sets,
+    Q77_SQL,
+    "SQL API surface: CTE + GROUPING SETS, one query text on both engines",
+)
+
+
+# --- q85: ordered funnel conversion ---------------------------------------
+
+def q85_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Classic ordered funnel over the event stream: per user, first
+    'view', then the first 'click' AFTER that view, then the first
+    'purchase' after that click — strictly ordered, so late clicks
+    without a prior view don't count. Three user_id-co-partitioned
+    conditional aggregates (AQE coalesces them onto one partitioning),
+    one global count row out."""
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        ev.agg(F.count_distinct("user_id").cast("int").alias("n_users"))
+        .crossJoin(v.agg(F.count(F.lit(1)).cast("int").alias("n_view")))
+        .crossJoin(c.agg(F.count(F.lit(1)).cast("int").alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).cast("int").alias("n_purchase")))
+        .select("n_users", "n_view", "n_click", "n_purchase")
+    )
+
+
+Q85_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS INT) AS n_users,
+       CAST((SELECT count(*) FROM v) AS INT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS INT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS INT) AS n_purchase
+"""
+
+EXTRA_QUERIES["q85_funnel_conversion"] = Query(
+    q85_funnel_conversion,
+    Q85_SQL,
+    "ordered funnel conversion (view -> click -> purchase, strictly "
+    "time-ordered per user)",
+)
+
+
+# --- q86: cohort retention ------------------------------------------------
+
+RETENTION_DAYS = 7
+
+
+def q86_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, count
+    of distinct users active at each day offset 0..7. One aggregate for
+    the cohort map (user-count rows), a user_id-co-partitioned join
+    back, one (cohort, offset) aggregate."""
+    ev = t(spark, sf, "events").select("user_id", F.to_date("ts").alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .withColumn("offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("offset") <= RETENTION_DAYS)
+        .groupBy("cohort_day", "offset")
+        .agg(F.count_distinct("user_id").cast("int").alias("n_active"))
+        .select(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.col("offset").cast("int"),
+            "n_active",
+        )
+    )
+
+
+Q86_SQL = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', f.cohort_day, e.day) AS INT) AS "offset",
+       CAST(count(DISTINCT e.user_id) AS INT) AS n_active
+FROM ev e JOIN first f ON e.user_id = f.user_id
+WHERE date_diff('day', f.cohort_day, e.day) <= {RETENTION_DAYS}
+GROUP BY f.cohort_day, date_diff('day', f.cohort_day, e.day)
+"""
+
+EXTRA_QUERIES["q86_cohort_retention"] = Query(
+    q86_cohort_retention,
+    Q86_SQL,
+    "cohort retention triangle (first-seen day x day offset, distinct "
+    "active users)",
+)
+
+
+# --- q87: event-rate anomaly detection (the DDoS-shaped analytic) ---------
+
+ANOMALY_Z_X1E4 = 20_000  # |z| >= 2.0 flags a spike
+
+
+def rate_zscores(per_min: DataFrame) -> DataFrame:
+    """(minute, n) → (minute_us, n, z_x1e4, is_spike) — the ONE
+    definition of the z-score pass, shared by q87 (batch) and the
+    streaming q88. Variance is computed from (m, Σn, Σn²) integer sums,
+    so both engines do the identical float arithmetic; var = 0 (a
+    perfectly uniform rate) is guarded to z = 0 per the base.py
+    guarded-division policy — Spark would otherwise make NaN where
+    DuckDB makes NULL."""
+    stats = per_min.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("m")
+    var = F.col("s2") / F.col("m") - mean * mean
+    z = F.when(var > 0, (F.col("n") - mean) / F.sqrt(var)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        per_min.crossJoin(F.broadcast(stats))
+        .select(
+            F.unix_micros("minute").alias("minute_us"),
+            F.col("n").cast("int").alias("n"),
+            F.floor(z * 10_000 + F.lit(0.5)).cast("long").alias("z_x1e4"),
+        )
+        .withColumn(
+            "is_spike", (F.abs(F.col("z_x1e4")) >= ANOMALY_Z_X1E4).cast("int")
+        )
+    )
+
+
+def q87_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Rate-spike detection — the analytic the reference's whole
+    pipeline exists to feed: events bucketed per minute, global
+    mean/std of the per-minute rate, z-score per bucket, spike flag at
+    |z| ≥ 2. One narrow scan → minute aggregate → broadcast of the
+    2-value stats row back over the buckets (rate_zscores)."""
+    ev = t(spark, sf, "events").select(
+        F.date_trunc("minute", "ts").alias("minute")
+    )
+    return rate_zscores(ev.groupBy("minute").agg(F.count(F.lit(1)).alias("n")))
+
+
+Q87_SQL = f"""
+WITH per_min AS (
+  SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1),
+s AS (SELECT count(*) AS m, sum(n) AS s1, sum(n * n) AS s2 FROM per_min),
+z AS (
+  SELECT minute, n,
+         CASE WHEN s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m) > 0
+              THEN CAST(floor((n - s1 * 1.0 / m)
+                   / sqrt(s2 * 1.0 / m - (s1 * 1.0 / m) * (s1 * 1.0 / m))
+                   * 10000 + 0.5) AS BIGINT)
+              ELSE 0 END AS z_x1e4
+  FROM per_min, s)
+SELECT epoch_us(minute) AS minute_us, CAST(n AS INT) AS n, z_x1e4,
+       CAST(abs(z_x1e4) >= {ANOMALY_Z_X1E4} AS INT) AS is_spike
+FROM z
+"""
+
+EXTRA_QUERIES["q87_rate_anomaly"] = Query(
+    q87_rate_anomaly,
+    Q87_SQL,
+    "per-minute rate z-score anomaly flags (exact integer sums -> "
+    "identical float math in both engines)",
+)
+
+
+# --- q94: correlated scalar subquery (TPC-H Q17 shape) --------------------
+
+Q94_SQL = f"""
+SELECT CAST({sql_rnd('sum(l_extendedprice) / 7.0', 2)} AS DOUBLE)
+         AS avg_yearly,
+       CAST(count(*) AS INT) AS n_small_lots
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q94_small_lot_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery — the Catalyst decorrelation path the
+    surface hadn't exercised: lineitems below half their part's average
+    quantity (TPC-H Q17 shape). The optimizer rewrites the per-row
+    subquery into an aggregate + join (visible as one extra Exchange,
+    never a per-row re-scan); the identical query text runs on DuckDB."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(Q94_SQL)
+
+
+EXTRA_QUERIES["q94_small_lot_revenue"] = Query(
+    q94_small_lot_revenue,
+    Q94_SQL,
+    "correlated scalar subquery (TPC-H Q17 shape; decorrelated to "
+    "agg+join, one query text on both engines)",
+)
+
+
+# --- q99: exact decimal arithmetic ----------------------------------------
+
+def q99_decimal_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact DECIMAL(18,2) money arithmetic — the type the rnd()
+    fixed-point convention works around everywhere else: cast once at
+    the scan, sum exactly, compare with NO rounding tricks. Pins that
+    the engine's decimal path (Spark's BigDecimal aggregation) agrees
+    digit-for-digit with DuckDB's fixed-point decimals."""
+    orders = t(spark, sf, "orders")
+    d = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    # decimals cross the oracle boundary as strings: the compare layer
+    # stringifies python Decimal and DuckDB floats differently, but the
+    # decimal->varchar cast is digit-exact (scale kept) in both engines
+    return d.groupBy("o_orderpriority").agg(
+        F.sum("price").cast("decimal(18,2)").cast("string").alias("total"),
+        F.min("price").cast("string").alias("min_price"),
+        F.max("price").cast("string").alias("max_price"),
+        F.count(F.lit(1)).cast("int").alias("n"),
+    )
+
+
+Q99_SQL = """
+SELECT o_orderpriority,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS VARCHAR) AS total,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS max_price,
+       CAST(count(*) AS INT) AS n
+FROM orders GROUP BY o_orderpriority
+"""
+
+EXTRA_QUERIES["q99_decimal_exact"] = Query(
+    q99_decimal_exact,
+    Q99_SQL,
+    "exact DECIMAL(18,2) aggregation (no rounding tricks; digit-exact "
+    "cross-engine)",
+)
+
+
+# --- q100: MapType end-to-end ---------------------------------------------
+
+def q100_props_map(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType through the whole pipeline — the one container type the
+    surface hadn't pushed through an oracle: props JSON parsed as
+    map<string,long> (not a fixed struct, so unknown keys survive),
+    exploded to (key, value) pairs, aggregated per key. The schema-free
+    escape hatch for ragged event properties.
+
+    Values parse as map<string,string> and cast per-entry: a
+    map<string,bigint> parse would null the ENTIRE map in PERMISSIVE
+    mode when any one value fails to coerce, silently dropping the
+    good keys of a mixed-type document. Per-value casting keeps every
+    integral entry; both engines filter on the same integer-literal
+    regex so parity holds for mixed-type data, not just the uniformly
+    integral fixture."""
+    ev = t(spark, sf, "events").select(
+        F.from_json("props", "map<string,string>").alias("m")
+    )
+    kv = ev.select(F.explode("m").alias("key", "vstr")).filter(
+        # DuckDB's '$.'||key path only resolves simple keys; the value
+        # regex is the shared cross-engine definition of "integral"
+        F.col("key").rlike("^[A-Za-z0-9_]+$")
+        & F.col("vstr").rlike("^-?[0-9]+$")
+    ).select("key", F.col("vstr").cast("bigint").alias("value"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("value_sum"),
+        F.min("value").cast("long").alias("value_min"),
+        F.max("value").cast("long").alias("value_max"),
+    )
+
+
+Q100_SQL = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key,
+         json_extract_string(props, '$.' || unnest(json_keys(props)))
+           AS vstr
+  FROM events)
+SELECT key, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(vstr AS BIGINT)) AS BIGINT) AS value_sum,
+       CAST(min(CAST(vstr AS BIGINT)) AS BIGINT) AS value_min,
+       CAST(max(CAST(vstr AS BIGINT)) AS BIGINT) AS value_max
+FROM kv
+WHERE regexp_matches(key, '^[A-Za-z0-9_]+$')
+  AND regexp_matches(vstr, '^-?[0-9]+$')
+GROUP BY key
+"""
+
+EXTRA_QUERIES["q100_props_map"] = Query(
+    q100_props_map,
+    Q100_SQL,
+    "MapType end-to-end: schema-free JSON map parse, explode, per-key "
+    "aggregate",
+)
+
+
+# --- q107: schema-evolution union (unionByName allowMissingColumns) -------
+
+def q107_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-evolution union — combining two generations of a feed
+    whose schemas drifted: the old extract lacks the new column, the
+    new extract lacks the legacy one; unionByName(allowMissingColumns)
+    aligns by NAME and null-fills the gaps (positional union would
+    silently misalign). The everyday reality of multi-vintage 100 TB
+    feeds."""
+    orders = t(spark, sf, "orders")
+    old_gen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("legacy_priority"),
+    )
+    new_gen = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderstatus").alias("status_v2"),
+    )
+    u = old_gen.unionByName(new_gen, allowMissingColumns=True)
+    return u.groupBy(
+        F.col("legacy_priority").isNotNull().cast("int").alias("is_legacy")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.count("legacy_priority").cast("int").alias("n_legacy_vals"),
+        F.count("status_v2").cast("int").alias("n_v2_vals"),
+        rnd(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+Q107_SQL = f"""
+WITH u AS (
+  SELECT o_orderkey, o_totalprice,
+         o_orderpriority AS legacy_priority FROM orders
+  WHERE o_orderkey % 2 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice,
+         o_orderstatus AS status_v2 FROM orders
+  WHERE o_orderkey % 2 = 1)
+SELECT CAST(legacy_priority IS NOT NULL AS INT) AS is_legacy,
+       CAST(count(*) AS INT) AS n,
+       CAST(count(legacy_priority) AS INT) AS n_legacy_vals,
+       CAST(count(status_v2) AS INT) AS n_v2_vals,
+       {sql_rnd('sum(o_totalprice)', 2)} AS total
+FROM u GROUP BY 1
+"""
+
+EXTRA_QUERIES["q107_union_by_name"] = Query(
+    q107_union_by_name,
+    Q107_SQL,
+    "schema-evolution union (align by name, null-fill missing columns)",
+)
+
+
+# --- q108: time-weighted average (TWAP shape) -----------------------------
+
+def q108_time_weighted_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-weighted mean — the TWAP/sensor-fusion aggregate plain
+    avg gets wrong on irregular samples: each event's value holds until
+    the user's next event, so the mean weights by holding duration.
+    Exact integer arithmetic end-to-end (seconds × value_x100), one
+    window + one aggregate on the same user key."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_seconds("ts").alias("ts_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v100"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_s", "event_id")
+    d = ev.withColumn("next_s", F.lead("ts_s").over(w)).filter(
+        F.col("next_s").isNotNull()
+    )
+    dur = F.col("next_s") - F.col("ts_s")
+    return d.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_intervals"),
+        F.sum(dur).cast("long").alias("total_s"),
+        F.floor(
+            F.sum(dur * F.col("v100")) * 1.0
+            / F.greatest(F.sum(dur), F.lit(1))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("twap_x100"),
+    )
+
+
+Q108_SQL = """
+WITH d AS (
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS next_s
+  FROM events)
+SELECT user_id, CAST(count(*) AS INT) AS n_intervals,
+       CAST(sum(next_s - ts_s) AS BIGINT) AS total_s,
+       CAST(floor(sum((next_s - ts_s) * v100) * 1.0
+                  / greatest(sum(next_s - ts_s), 1) + 0.5) AS BIGINT)
+         AS twap_x100
+FROM d WHERE next_s IS NOT NULL
+GROUP BY user_id
+"""
+
+EXTRA_QUERIES["q108_time_weighted_avg"] = Query(
+    q108_time_weighted_avg,
+    Q108_SQL,
+    "time-weighted average (holding-duration weights, exact integer "
+    "arithmetic)",
+)
+
+
+# --- q109: OHLC bars ------------------------------------------------------
+
+def q109_ohlc_bars(spark: SparkSession, sf: str) -> DataFrame:
+    """Open/high/low/close bars per (user, hour) — the canonical
+    irregular-events → regular-bars downsample. Open/close are
+    first/last by a fully tie-broken (ts, event_id) order (window
+    first_value over the full frame, the q98 lesson), high/low plain
+    min/max; everything fixed-point."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.unix_seconds("ts").alias("ts_s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v100"),
+    )
+    full = (
+        W.partitionBy("user_id", "hour")
+        .orderBy("ts_s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    d = ev.select(
+        "user_id",
+        "hour",
+        "v100",
+        F.first_value("v100").over(full).alias("open_x100"),
+        F.last_value("v100").over(full).alias("close_x100"),
+    )
+    return d.groupBy("user_id", "hour").agg(
+        F.count(F.lit(1)).cast("int").alias("n_ticks"),
+        F.first("open_x100").alias("open_x100"),
+        F.max("v100").alias("high_x100"),
+        F.min("v100").alias("low_x100"),
+        F.first("close_x100").alias("close_x100"),
+    ).select(
+        "user_id",
+        F.unix_micros("hour").alias("hour_us"),
+        "n_ticks",
+        "open_x100",
+        "high_x100",
+        "low_x100",
+        "close_x100",
+    )
+
+
+Q109_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, date_trunc('hour', ts) AS hour,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+  FROM events),
+d AS (
+  SELECT user_id, hour, v100,
+         first_value(v100) OVER w AS open_x100,
+         last_value(v100) OVER w AS close_x100
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, hour ORDER BY ts_s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT user_id, epoch_us(hour) AS hour_us,
+       CAST(count(*) AS INT) AS n_ticks,
+       CAST(min(open_x100) AS BIGINT) AS open_x100,
+       CAST(max(v100) AS BIGINT) AS high_x100,
+       CAST(min(v100) AS BIGINT) AS low_x100,
+       CAST(min(close_x100) AS BIGINT) AS close_x100
+FROM d GROUP BY user_id, hour
+"""
+
+EXTRA_QUERIES["q109_ohlc_bars"] = Query(
+    q109_ohlc_bars,
+    Q109_SQL,
+    "OHLC bars per (user, hour): tie-broken open/close via full-frame "
+    "value windows, fixed-point",
+)
+
+
+# --- q110: share-of-total + FILTER-clause aggregates ----------------------
+
+def q110_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """Two last vocabulary pins in one: conditional aggregates in SQL's
+    FILTER-clause form (count_if / conditional sums), and
+    share-of-total computed by AGGREGATING FIRST and windowing over the
+    tiny result — the pattern that keeps a global-total window frame at
+    group cardinality (5 rows here) instead of serializing the fact
+    table through one partition."""
+    orders = t(spark, sf, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("int").alias("n"),
+        F.count_if(F.col("o_totalprice") > 200_000).cast("int").alias("n_big"),
+        F.floor(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0))
+            * 100
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("filled_x100"),
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("rev_x100"),
+    )
+    total = W.partitionBy()  # 5-row frame: safe AFTER aggregation
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "n_big",
+        "filled_x100",
+        "rev_x100",
+        F.floor(
+            F.col("rev_x100") * 10000.0 / F.sum("rev_x100").over(total)
+            + F.lit(0.5)
+        )
+        .cast("int")
+        .alias("share_bps"),
+    )
+
+
+Q110_SQL = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS INT) AS n,
+         CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS INT) AS n_big,
+         CAST(floor(coalesce(sum(o_totalprice)
+                             FILTER (WHERE o_orderstatus = 'F'), 0.0) * 100
+                    + 0.5) AS BIGINT) AS filled_x100,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev_x100
+  FROM orders GROUP BY o_orderpriority)
+SELECT o_orderpriority, n, n_big, filled_x100, rev_x100,
+       CAST(floor(rev_x100 * 10000.0 / sum(rev_x100) OVER () + 0.5) AS INT)
+         AS share_bps
+FROM agg
+"""
+
+EXTRA_QUERIES["q110_revenue_share"] = Query(
+    q110_revenue_share,
+    Q110_SQL,
+    "FILTER-clause conditional aggregates + share-of-total over the "
+    "aggregated (tiny) frame",
+)
+
+
+# --- q112: null-preserving explode (posexplode_outer) ---------------------
+
+def q112_explode_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """explode vs explode_outer — the null-semantics trap that silently
+    drops rows: extracting digit runs from document text (most docs
+    have none), a plain explode LOSES every matchless doc while
+    posexplode_outer keeps it as one (null, null) row. The summary pins
+    the row-preservation contract; the oracle replicates with a lateral
+    LEFT JOIN over unnest."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(r"\bspark\w*"), 0).alias("hits"),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode_outer("hits").alias("pos", "hit")
+    )
+    return ex.agg(
+        F.count(F.lit(1)).cast("int").alias("n_rows"),
+        F.sum(F.col("hit").isNull().cast("int")).cast("int").alias("n_null_rows"),
+        F.count_distinct("doc_id").cast("int").alias("n_docs_preserved"),
+        F.sum(F.coalesce(F.length("hit"), F.lit(0)))
+        .cast("long")
+        .alias("hit_chars"),
+    )
+
+
+Q112_SQL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(text, '\bspark\w*') AS hits
+  FROM documents),
+ex AS (
+  SELECT d.doc_id, u.hit
+  FROM d LEFT JOIN LATERAL (SELECT unnest(hits) AS hit) u ON true)
+SELECT CAST(count(*) AS INT) AS n_rows,
+       CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_null_rows,
+       CAST(count(DISTINCT doc_id) AS INT) AS n_docs_preserved,
+       CAST(sum(coalesce(length(hit), 0)) AS BIGINT) AS hit_chars
+FROM ex
+"""
+
+EXTRA_QUERIES["q112_explode_outer"] = Query(
+    q112_explode_outer,
+    Q112_SQL,
+    "null-preserving explode (posexplode_outer vs lateral LEFT JOIN "
+    "unnest; matchless rows survive)",
+)

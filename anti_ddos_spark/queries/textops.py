@@ -22,11 +22,19 @@ from anti_ddos_spark.operators.text import (
     repetition_metrics,
     word_ngrams,
 )
-from anti_ddos_spark.queries.base import Query, content_seed, rnd, sql_seed, t
+from anti_ddos_spark.queries.base import Query, _W, content_seed, rnd, sql_seed, t
+from anti_ddos_spark.queries.textops_cleanup import (
+    EXTRA_QUERIES as _CLEANUP_EXTRA,
+    _chunk_grid_sql,
+)
+from anti_ddos_spark.queries.textops_prep import (
+    EXTRA_QUERIES as _PREP_EXTRA,
+    PACK_BUDGET,
+)
 
 # Shared DuckDB fragments -------------------------------------------------
 
-_W = "string_split_regex(trim(text), '\\s+')"
+# _W (the DuckDB whitespace tokenizer fragment) now lives in queries/base.py
 
 
 def _shingle_sig(seed: int) -> str:
@@ -499,7 +507,24 @@ def q34_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(t(spark, sf, "documents"))
 
 
-def ngram_jaccard_pairs(docs: DataFrame, max_prefix_df: int | None = None) -> DataFrame:
+def char_ngrams(w: int) -> "F.Column":
+    """Distinct character n-grams of width ``w`` over the text column —
+    the shared tokenizer of the q34 family (w=3 is the oracle-pinned
+    trigram form; larger w grows the token space ~|Σ|^w, the
+    de-saturation lever PERF.md's 100x probe motivates)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - {w - 1}, 1)), "
+            f"i -> substring(text, i, {w}))"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    max_prefix_df: int | None = None,
+    ngram_w: int = 3,
+) -> DataFrame:
     """q34's operator form. ``max_prefix_df`` (None = exact, recall 1 —
     the oracle-pinned default) enables the SCALABLE POSTURE for
     token-space-saturated corpora: prefix tokens whose global document
@@ -514,26 +539,20 @@ def ngram_jaccard_pairs(docs: DataFrame, max_prefix_df: int | None = None) -> Da
     vocabulary, PERF.md "token-space saturation"). Capped recall on
     real Zipfian text stays high because true near-dup pairs share RARE
     tokens by construction of the rare-first prefix; recall under the
-    cap is measured in tests/test_jaccard_cap.py."""
-    tri = F.array_distinct(
-        F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
-    )
+    cap is measured in tests/test_jaccard_cap.py.
+
+    ``ngram_w`` (round-6 verdict task #7) is the OTHER saturation fix:
+    widening the n-gram grows the token space multiplicatively, pushing
+    the n²/V candidate floor back out WITHOUT trading recall — the
+    similarity metric simply becomes w-gram Jaccard (still recall 1 for
+    that metric by the same prefix-filter bound). Measured at 10x/100x
+    in PERF.md ("larger token space" row; scripts/q34_w5_probe.py)."""
     d = docs.select(
         "doc_id",
         F.col("source"),
         F.col("lang"),
         F.floor(F.col("n_chars") / 100).alias("band"),
-        tri.alias("tri"),
-    )
-    tri = F.array_distinct(
-        F.expr("transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")
-    )
-    d = docs.select(
-        "doc_id",
-        F.col("source"),
-        F.col("lang"),
-        F.floor(F.col("n_chars") / 100).alias("band"),
-        tri.alias("tri"),
+        char_ngrams(ngram_w).alias("tri"),
     )
     # one row per (doc, distinct trigram), carrying the doc's set size
     tok = d.select(
@@ -713,574 +732,6 @@ EXTRA_QUERIES: dict[str, Query] = {
     "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
     "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
 }
-
-
-# --- q52: sequence packing (token-budget concat-and-chunk) ----------------
-
-PACK_BUDGET = 512  # tokens per training sequence
-
-
-def q52_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
-    """GPT-style training-sequence packing: per shard (`source`), docs
-    are concatenated in doc_id order and the BPE-pretoken stream is cut
-    every PACK_BUDGET tokens; each doc reports the sequence span it
-    lands in. One shuffle on the shard key; the cumsum window runs
-    per-shard, so the packing layout parallelizes by shard at 100 TB
-    (operators/text.py::pack_sequences)."""
-    from anti_ddos_spark.operators.text import BPE_PRETOKEN_RE, pack_sequences
-
-    docs = t(spark, sf, "documents").select(
-        "doc_id",
-        "source",
-        F.regexp_count(F.col("text"), F.lit(BPE_PRETOKEN_RE))
-        .cast("int")
-        .alias("n_tokens"),
-    )
-    return pack_sequences(docs, budget=PACK_BUDGET).select(
-        "doc_id", "source", "n_tokens", "tok_start",
-        "seq_first", "seq_last", "n_seqs",
-    )
-
-
-_BPE_SQL = (
-    "len(regexp_extract_all(text, "
-    "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))"
-)
-
-Q52_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, source, CAST({_BPE_SQL} AS INT) AS n_tokens
-  FROM documents),
-c AS (
-  SELECT doc_id, source, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (
-             PARTITION BY source ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS tok_start
-  FROM toks)
-SELECT doc_id, source, n_tokens, tok_start,
-  CAST(floor(tok_start / {PACK_BUDGET}) AS INT) AS seq_first,
-  CAST(greatest(floor(tok_start / {PACK_BUDGET}),
-                floor((tok_start + n_tokens - 1) / {PACK_BUDGET})) AS INT)
-    AS seq_last,
-  CAST(greatest(floor(tok_start / {PACK_BUDGET}),
-                floor((tok_start + n_tokens - 1) / {PACK_BUDGET}))
-       - floor(tok_start / {PACK_BUDGET}) + 1 AS INT) AS n_seqs
-FROM c
-"""
-
-EXTRA_QUERIES["q52_sequence_packing"] = Query(
-    q52_sequence_packing,
-    Q52_SQL,
-    "token-budget training-sequence packing (per-shard cumsum window)",
-)
-
-
-# --- q55: temperature-weighted mixture sampling ---------------------------
-
-SAMPLE_TEMPERATURE = 0.5  # tau: q_s ∝ n_s^tau (tau<1 flattens the mixture)
-SAMPLE_TARGET_FRAC = 0.5  # sampled corpus size as a fraction of the input
-
-
-def q55_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Temperature-flattened mixture sampling over `source` strata — the
-    standard rebalancing move for multi-source training corpora (as in
-    multilingual LM sampling): stratum s gets probability mass
-    q_s ∝ n_s^tau, so with tau<1 overrepresented sources are
-    downsampled harder. Selection is content-hash thresholded (q38's
-    trick), so the decision is reproducible, retry-stable, and a pure
-    narrow projection after a broadcast join of 10 per-source
-    thresholds — the only shuffle is the tiny count aggregate.
-
-    Cross-engine determinism: weights are integerized
-    (floor(sqrt(n_s)*1000+0.5); sqrt is IEEE-correctly-rounded, unlike
-    pow, which is why tau is pinned at 0.5 in the oracle form), so the
-    threshold is one multiply + one divide of exact integers in both
-    engines."""
-    docs = t(spark, sf, "documents")
-    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    weights = counts.withColumn(
-        "w_s",
-        F.floor(F.sqrt(F.col("n_s").cast("double")) * 1000 + F.lit(0.5)).cast(
-            "long"
-        ),
-    )
-    tot = weights.agg(
-        F.sum("n_s").alias("n_tot"), F.sum("w_s").alias("w_tot")
-    )
-    rates = (
-        weights.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "target",
-            F.floor(F.col("n_tot") * F.lit(SAMPLE_TARGET_FRAC)).cast("long"),
-        )
-        .withColumn(
-            "thresh",
-            F.least(
-                F.lit(1_000_000).cast("long"),
-                F.floor(
-                    F.lit(1_000_000.0)
-                    * (F.col("w_s") * F.col("target"))
-                    / (F.col("w_tot") * F.col("n_s"))
-                    + F.lit(0.5)
-                ).cast("long"),
-            ),
-        )
-        .select("source", "thresh")
-    )
-    bucket = (
-        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-        % 1_000_000
-    )
-    return (
-        docs.join(F.broadcast(rates), "source")
-        .withColumn("bucket", bucket)
-        .filter(F.col("bucket") < F.col("thresh"))
-        .select("doc_id", "source", F.col("bucket").cast("int").alias("bucket"))
-    )
-
-
-Q55_SQL = f"""
-WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
-w AS (SELECT source, n_s,
-             CAST(floor(sqrt(n_s) * 1000 + 0.5) AS BIGINT) AS w_s FROM c),
-t AS (SELECT sum(n_s) AS n_tot, sum(w_s) AS w_tot FROM w),
-r AS (SELECT source,
-             least(1000000, CAST(floor(
-               1000000.0 * (w_s * CAST(floor(n_tot * {SAMPLE_TARGET_FRAC}) AS BIGINT))
-               / (w_tot * n_s) + 0.5) AS BIGINT)) AS thresh
-      FROM w, t)
-SELECT d.doc_id, d.source,
-       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS INT) AS bucket
-FROM documents d JOIN r USING (source)
-WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 < r.thresh
-"""
-
-EXTRA_QUERIES["q55_temperature_sample"] = Query(
-    q55_temperature_sample,
-    Q55_SQL,
-    "temperature-flattened mixture sampling (hash-thresholded, "
-    "broadcast per-stratum rates)",
-)
-
-
-# --- q56: winnowing fingerprints (Schleimer et al., SIGMOD 2003) ----------
-
-WINNOW_K = 8  # char k-gram length
-WINNOW_W = 4  # window of consecutive k-gram hashes
-
-
-def q56_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Winnowing document fingerprints: hash every char k-gram, slide a
-    w-window over the hash sequence, keep each window's minimum — the
-    MOSS scheme, guaranteeing any shared substring of length ≥ k+w-1
-    contributes a shared fingerprint. Entirely per-row higher-order
-    expressions (zero shuffle, like q49); the fingerprint SET crosses
-    the oracle boundary as count/min/max/sum so row width stays flat.
-    At 100 TB the follow-on is an explode + groupBy(fp) candidate join —
-    the same shape as q35's banded MinHash."""
-    text = F.col("text")
-    k, w = WINNOW_K, WINNOW_W
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(text) - (k - 1)),
-        lambda i: text.substr(i, F.lit(k)),
-    )
-    d = (
-        t(spark, sf, "documents")
-        .select("doc_id", "text")
-        .withColumn(
-            "_h",
-            F.transform(
-                grams,
-                lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
-                    "long"
-                ),
-            ),
-        )
-        .withColumn(
-            "_mins",
-            F.transform(
-                F.sequence(F.lit(1), F.size("_h") - (w - 1)),
-                lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
-            ),
-        )
-        .withColumn("_fps", F.array_sort(F.array_distinct(F.col("_mins"))))
-    )
-    return d.select(
-        "doc_id",
-        F.size("_fps").alias("n_fps"),
-        F.element_at("_fps", 1).alias("fp_min"),
-        F.element_at("_fps", -1).alias("fp_max"),
-        F.aggregate(
-            "_fps", F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("fp_sum"),
-    )
-
-
-Q56_SQL = f"""
-WITH g AS (
-  SELECT doc_id,
-         [('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 8))::BIGINT
-          FOR i IN generate_series(1, length(text) - {WINNOW_K - 1})] AS h
-  FROM documents),
-m AS (
-  SELECT doc_id,
-         list_sort(list_distinct(
-           [list_min(list_slice(h, j, j + {WINNOW_W - 1}))
-            FOR j IN generate_series(1, len(h) - {WINNOW_W - 1})])) AS fps
-  FROM g)
-SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
-       fps[1] AS fp_min, fps[-1] AS fp_max,
-       CAST(list_sum(fps) AS BIGINT) AS fp_sum
-FROM m
-"""
-
-EXTRA_QUERIES["q56_winnow_fingerprints"] = Query(
-    q56_winnow_fingerprints,
-    Q56_SQL,
-    "winnowing k-gram fingerprints (MOSS; zero-shuffle per-row folds)",
-)
-
-
-# --- q57: benchmark decontamination (eval n-gram overlap) -----------------
-
-DECONTAM_N = 3  # word n-gram length; production decontamination uses 8-13,
-#                 the demo corpus' ~30-word vocabulary needs 3 for density
-
-
-def q57_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Training-set decontamination: flag training documents sharing any
-    word n-gram with a held-out benchmark set (here: doc_id % 100 == 0
-    plays the benchmark), reporting how many distinct eval n-grams each
-    contaminated doc matches. The standard pre-training hygiene pass
-    (n-gram overlap decontamination as in GPT-3 App. C / Dodge et al.
-    2021).
-
-    Scale shape: the eval gram set is benchmark-sized (thousands of
-    docs), so it BROADCASTS; the train side streams through an
-    explode → broadcast-hash semi-ish join → per-doc count. No
-    all-pairs, no big-side shuffle except the final per-doc aggregate
-    on the (rare) contaminated subset."""
-    docs = t(spark, sf, "documents").select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")
-    )
-    grams = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col("ws"), DECONTAM_N)).alias("g")
-    )
-    is_eval = F.col("doc_id") % 100 == 0
-    eval_grams = (
-        grams.filter(is_eval).select(F.col("g").alias("eg")).distinct()
-    )
-    return (
-        grams.filter(~is_eval)
-        .join(F.broadcast(eval_grams), F.col("g") == F.col("eg"))
-        .groupBy("doc_id")
-        .agg(F.count_distinct("g").cast("int").alias("n_hits"))
-    )
-
-
-Q57_SQL = f"""
-WITH w AS (SELECT doc_id, {{_W}} AS ws FROM documents),
-g AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(ws) >= {DECONTAM_N}
-         THEN [{{gram}} FOR i IN generate_series(1, len(ws) - {DECONTAM_N - 1})]
-         ELSE CAST([] AS VARCHAR[]) END) AS g
-  FROM w),
-e AS (SELECT DISTINCT g FROM g WHERE doc_id % 100 = 0)
-SELECT t.doc_id, CAST(count(DISTINCT t.g) AS INT) AS n_hits
-FROM g t JOIN e USING (g)
-WHERE t.doc_id % 100 <> 0
-GROUP BY t.doc_id
-""".format(
-    _W=_W,
-    gram=" || ' ' || ".join(f"ws[i+{k}]" for k in range(DECONTAM_N)),
-)
-
-EXTRA_QUERIES["q57_decontaminate"] = Query(
-    q57_decontaminate,
-    Q57_SQL,
-    "benchmark decontamination: eval n-gram overlap flags "
-    "(broadcast eval grams, no all-pairs)",
-)
-
-
-# --- q58: per-source corpus data card -------------------------------------
-
-def q58_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
-    """The per-source datasheet a curation pipeline publishes with a
-    release: volume, token mass, exact-dup rate, language spread, and
-    length shape, in one bounded-shuffle aggregate (one groupBy on
-    source; every per-doc column is a narrow projection). The shape a
-    100 TB corpus report runs nightly."""
-    from anti_ddos_spark.operators.text import BPE_PRETOKEN_RE
-
-    per_doc = t(spark, sf, "documents").select(
-        "source",
-        "lang",
-        F.md5("text").alias("digest"),
-        F.regexp_count(F.col("text"), F.lit(BPE_PRETOKEN_RE))
-        .cast("long")
-        .alias("n_tokens"),
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
-    )
-    return per_doc.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("total_tokens"),
-        F.count_distinct("digest").alias("n_unique_docs"),
-        F.floor(
-            (F.count(F.lit(1)) - F.count_distinct("digest"))
-            * 10_000.0
-            / F.count(F.lit(1))
-            + F.lit(0.5)
-        )
-        .cast("int")
-        .alias("dup_bps"),
-        F.count_distinct("lang").alias("n_langs"),
-        F.floor(F.sum("n_words") * 1.0 / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("int")
-        .alias("mean_words"),
-        F.max("n_tokens").alias("max_doc_tokens"),
-    )
-
-
-Q58_SQL = f"""
-WITH per_doc AS (
-  SELECT source, lang, md5(text) AS digest,
-         CAST({_BPE_SQL} AS BIGINT) AS n_tokens,
-         CAST(len({_W}) AS BIGINT) AS n_words
-  FROM documents)
-SELECT source,
-       count(*) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       count(DISTINCT digest) AS n_unique_docs,
-       CAST(floor((count(*) - count(DISTINCT digest)) * 10000.0 / count(*)
-                  + 0.5) AS INT) AS dup_bps,
-       count(DISTINCT lang) AS n_langs,
-       CAST(floor(sum(n_words) * 1.0 / count(*) + 0.5) AS INT) AS mean_words,
-       CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
-FROM per_doc GROUP BY source
-"""
-
-EXTRA_QUERIES["q58_corpus_datacard"] = Query(
-    q58_corpus_datacard,
-    Q58_SQL,
-    "per-source corpus datasheet (volume, tokens, dup rate, lang "
-    "spread, length shape) in one bounded-shuffle aggregate",
-)
-
-
-# --- q59: PII redaction profile (pre-release privacy pass) ----------------
-
-def pii_enriched_text() -> "F.Column":
-    """The synthetic documents contain no PII, so each doc is suffixed
-    with an email, a NANP phone, and an IPv4 derived purely from its own
-    columns — Q59_SQL builds the identical string, and the streaming
-    twin (streamops q78) reuses this exact expression."""
-    return F.concat_ws(
-        "",
-        F.col("text"),
-        F.lit(" contact user"),
-        F.col("doc_id").cast("string"),
-        F.lit("@mail.example.com call "),
-        (F.col("doc_id") % 800 + 100).cast("string"),
-        F.lit("-555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
-        F.lit(" from "),
-        (F.col("doc_id") % 223 + 1).cast("string"),
-        F.lit(".0."),
-        (F.col("doc_id") % 256).cast("string"),
-        F.lit("."),
-        (F.col("doc_id") % 254 + 1).cast("string"),
-    )
-
-
-def pii_profile(d: DataFrame) -> DataFrame:
-    """doc_id + per-class counts + redacted length/hash for a frame that
-    already carries the enriched `_dirty` column."""
-    from anti_ddos_spark.operators.text import pii_counts, redact_pii
-
-    c = pii_counts(F.col("_dirty"))
-    red = redact_pii(F.col("_dirty"))
-    return d.select(
-        "doc_id",
-        c["n_emails"].alias("n_emails"),
-        c["n_phones"].alias("n_phones"),
-        c["n_ipv4"].alias("n_ipv4"),
-        F.length(red).cast("int").alias("red_len"),
-        F.md5(red).alias("red_md5"),
-    )
-
-
-def q59_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
-    """PII scrub over a deterministically-enriched corpus (see
-    pii_enriched_text): the engine counts and redacts each class
-    (operators/text.py::redact_pii). The whole op is a regexp
-    projection — zero shuffle, whole-stage codegen, a free rider on any
-    100 TB scan."""
-    return pii_profile(
-        t(spark, sf, "documents").withColumn("_dirty", pii_enriched_text())
-    )
-
-
-Q59_SQL = r"""
-WITH d AS (
-  SELECT doc_id,
-         text || ' contact user' || doc_id || '@mail.example.com call '
-              || (doc_id % 800 + 100) || '-555-'
-              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-              || ' from ' || (doc_id % 223 + 1) || '.0.'
-              || (doc_id % 256) || '.' || (doc_id % 254 + 1) AS dirty
-  FROM documents),
-r AS (
-  SELECT doc_id, dirty,
-         regexp_replace(regexp_replace(regexp_replace(dirty,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
-  FROM d)
-SELECT doc_id,
-  CAST(len(regexp_extract_all(dirty,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-  CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{3}-\d{4}\b')) AS INT)
-    AS n_phones,
-  CAST(len(regexp_extract_all(dirty,
-    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
-  CAST(length(red) AS INT) AS red_len,
-  md5(red) AS red_md5
-FROM r
-"""
-
-EXTRA_QUERIES["q59_pii_redaction"] = Query(
-    q59_pii_redaction,
-    Q59_SQL,
-    "PII redaction (email/phone/IPv4 regex scrub; zero-shuffle "
-    "regexp projection)",
-)
-
-
-# --- q65: HTML boilerplate strip ------------------------------------------
-
-def q65_html_strip(spark: SparkSession, sf: str) -> DataFrame:
-    """Markup removal over deterministically HTML-wrapped documents
-    (tags + a sprinkling of entities built from the doc's own columns in
-    both engines): strip tags, unescape entities, collapse whitespace
-    (operators/text.py::strip_html). Zero-shuffle regexp projection —
-    the standard first stage of a web-corpus curation funnel."""
-    from anti_ddos_spark.operators.text import HTML_TAG_RE, strip_html
-
-    html = F.concat_ws(
-        "",
-        F.lit("<html><head><title>"),
-        F.col("source"),
-        F.lit(" #"),
-        F.col("doc_id").cast("string"),
-        F.lit("</title></head><body><h1>"),
-        F.upper(F.col("source")),
-        F.lit("</h1><p>"),
-        F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
-        F.lit("</p><br/></body></html>"),
-    )
-    d = t(spark, sf, "documents").withColumn("_html", html)
-    clean = strip_html(F.col("_html"))
-    return d.select(
-        "doc_id",
-        F.regexp_count(F.col("_html"), F.lit(HTML_TAG_RE))
-        .cast("int")
-        .alias("n_tags"),
-        F.length("_html").cast("int").alias("raw_len"),
-        F.length(clean).cast("int").alias("clean_len"),
-        F.md5(clean).alias("clean_md5"),
-    )
-
-
-Q65_SQL = r"""
-WITH d AS (
-  SELECT doc_id,
-         '<html><head><title>' || source || ' #' || doc_id
-         || '</title></head><body><h1>' || upper(source) || '</h1><p>'
-         || replace(text, ' the ', ' &amp; ')
-         || '</p><br/></body></html>' AS html
-  FROM documents),
-s AS (
-  SELECT doc_id, html,
-         trim(regexp_replace(
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace(html, '<[^>]*>', ' ', 'g'),
-             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-             '&#39;', ''''), '&amp;', '&'),
-           '\s+', ' ', 'g')) AS clean
-  FROM d)
-SELECT doc_id,
-  CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
-  CAST(length(html) AS INT) AS raw_len,
-  CAST(length(clean) AS INT) AS clean_len,
-  md5(clean) AS clean_md5
-FROM s
-"""
-
-EXTRA_QUERIES["q65_html_strip"] = Query(
-    q65_html_strip,
-    Q65_SQL,
-    "HTML boilerplate strip (tag removal + entity unescape + "
-    "whitespace collapse)",
-)
-
-
-# --- q66: overlapping-window document chunking ----------------------------
-
-CHUNK_WINDOW = 64
-CHUNK_STRIDE = 48
-
-
-def q66_doc_chunks(spark: SparkSession, sf: str) -> DataFrame:
-    """Context-window chunking for retrieval/embedding indexing: each
-    doc's token stream is cut into 64-token windows every 48 tokens
-    (operators/text.py::chunk_documents). Per-row sequence + explode —
-    chunks never cross partitions, so the op scales linearly with no
-    shuffle at 100 TB."""
-    from anti_ddos_spark.operators.text import chunk_documents
-
-    return chunk_documents(
-        t(spark, sf, "documents"), window=CHUNK_WINDOW, stride=CHUNK_STRIDE
-    )
-
-
-def _chunk_grid_sql(window: int, stride: int) -> str:
-    """Shared DuckDB CTE chain (w → c → e): filtered words + chunk grid,
-    mirroring operators/text.py::chunk_documents exactly — including
-    the empty-token filter and blank-doc drop. Q66 and Q68 both build
-    on this so the grid arithmetic has ONE SQL-side definition."""
-    return f"""
-w AS (SELECT doc_id, list_filter({_W}, x -> x <> '') AS ws FROM documents),
-c AS (
-  SELECT doc_id, ws,
-         CASE WHEN len(ws) <= {window} THEN 1
-              ELSE 1 + (len(ws) - {window} + {stride - 1})
-                       // {stride} END AS n_chunks
-  FROM w WHERE len(ws) > 0),
-e AS (SELECT doc_id, ws, unnest(range(n_chunks)) AS i FROM c)"""
-
-
-Q66_SQL = f"""
-WITH {_chunk_grid_sql(CHUNK_WINDOW, CHUNK_STRIDE)}
-SELECT doc_id, CAST(i AS INT) AS chunk_id,
-       CAST(i * {CHUNK_STRIDE} + 1 AS INT) AS tok_start,
-       CAST(len(list_slice(ws, i * {CHUNK_STRIDE} + 1,
-                           i * {CHUNK_STRIDE} + {CHUNK_WINDOW})) AS INT)
-         AS n_toks,
-       md5(array_to_string(list_slice(ws, i * {CHUNK_STRIDE} + 1,
-                                      i * {CHUNK_STRIDE} + {CHUNK_WINDOW}),
-                           ' ')) AS chunk_md5
-FROM e
-"""
-
-EXTRA_QUERIES["q66_doc_chunks"] = Query(
-    q66_doc_chunks,
-    Q66_SQL,
-    "overlapping context-window chunking (per-row sequence+explode, "
-    "no shuffle)",
-)
 
 
 # --- q68: sub-document (window-granular) exact dedup ----------------------
@@ -1510,740 +961,93 @@ QUERIES["q80_curation_pipeline"] = Query(
 )
 
 
-# --- q81: corpus drift monitor (PSI between snapshots) --------------------
-
-DRIFT_BINS = 8
-DRIFT_BIN_W = 25  # words per length bin
 
 
-def drift_bin() -> "F.Column":
-    """The ONE definition of the drift length-bin expression (over a
-    `text` column), shared by q81 and the streaming q83."""
-    return (
-        F.least(
-            F.lit(DRIFT_BINS - 1),
-            F.floor(F.size(F.split(F.trim("text"), r"\s+")) / DRIFT_BIN_W),
-        )
-        .cast("int")
-        .alias("bin")
-    )
-
-
-def psi_frame(
-    spark: SparkSession, base: DataFrame, cand: DataFrame
-) -> DataFrame:
-    """Laplace-smoothed per-bin PSI contributions from two (bin, n_base)
-    / (bin, n_cand) count frames — the ONE definition of the PSI math,
-    shared by q81 (batch counts) and q83 (streaming counts). Everything
-    here is broadcast-sized (DRIFT_BINS rows)."""
-    bins = spark.range(DRIFT_BINS).select(F.col("id").cast("int").alias("bin"))
-    j = (
-        bins.join(F.broadcast(base), "bin", "left")
-        .join(F.broadcast(cand), "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("n_base", F.lit(0)).cast("int").alias("n_base"),
-            F.coalesce("n_cand", F.lit(0)).cast("int").alias("n_cand"),
-        )
-    )
-    tots = j.agg(
-        F.sum("n_base").alias("tot_base"), F.sum("n_cand").alias("tot_cand")
-    )
-    p = (F.col("n_base") + 1) / (F.col("tot_base") + DRIFT_BINS)
-    q = (F.col("n_cand") + 1) / (F.col("tot_cand") + DRIFT_BINS)
-    return (
-        j.crossJoin(F.broadcast(tots))
-        .select(
-            "bin",
-            "n_base",
-            "n_cand",
-            F.floor((p - q) * F.log(p / q) * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("psi_x1e6"),
-        )
-    )
-
-
-def q81_corpus_drift(spark: SparkSession, sf: str) -> DataFrame:
-    """Population-stability-index drift between two corpus snapshots
-    (doc_id parity plays baseline vs candidate): doc length binned into
-    8 fixed buckets, Laplace-smoothed shares, per-bin PSI contribution
-    (p−q)·ln(p/q). The nightly distribution-health check a corpus
-    release gates on, next to the q58 data card. Scale: two narrow
-    scans + one 8-row aggregate each — the joins touch only bin-count
-    rows, so the whole monitor is broadcast-sized after the first
-    aggregate."""
-    docs = t(spark, sf, "documents").select("doc_id", drift_bin())
-
-    def side(parity: int, name: str) -> DataFrame:
-        return (
-            docs.filter(F.col("doc_id") % 2 == parity)
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-
-    return psi_frame(spark, side(0, "n_base"), side(1, "n_cand"))
-
-
-Q81_SQL = f"""
-WITH d AS (
-  SELECT doc_id,
-         CAST(least({DRIFT_BINS - 1},
-                    floor(len({_W}) / {DRIFT_BIN_W})) AS INT) AS bin
-  FROM documents),
-base AS (SELECT bin, count(*) AS n_base FROM d WHERE doc_id % 2 = 0 GROUP BY bin),
-cand AS (SELECT bin, count(*) AS n_cand FROM d WHERE doc_id % 2 = 1 GROUP BY bin),
-bins AS (SELECT unnest(range({DRIFT_BINS})) AS bin),
-j AS (
-  SELECT bins.bin,
-         CAST(coalesce(n_base, 0) AS INT) AS n_base,
-         CAST(coalesce(n_cand, 0) AS INT) AS n_cand
-  FROM bins LEFT JOIN base ON bins.bin = base.bin
-            LEFT JOIN cand ON bins.bin = cand.bin),
-t AS (SELECT sum(n_base) AS tot_base, sum(n_cand) AS tot_cand FROM j)
-SELECT bin, n_base, n_cand,
-  CAST(floor(((n_base + 1) * 1.0 / (tot_base + {DRIFT_BINS})
-              - (n_cand + 1) * 1.0 / (tot_cand + {DRIFT_BINS}))
-             * ln(((n_base + 1) * 1.0 / (tot_base + {DRIFT_BINS}))
-                  / ((n_cand + 1) * 1.0 / (tot_cand + {DRIFT_BINS})))
-             * 1000000 + 0.5) AS BIGINT) AS psi_x1e6
-FROM j, t
-"""
-
-EXTRA_QUERIES["q81_corpus_drift"] = Query(
-    q81_corpus_drift,
-    Q81_SQL,
-    "corpus drift monitor: Laplace-smoothed PSI over length bins "
-    "between two snapshots",
+# ---------------------------------------------------------------------------
+# Round-6 module split (verdict task #5): the training-data-prep, cleanup
+# and governance families live in textops_prep / textops_cleanup /
+# textops_governance. This façade (a) appends the governance DRIVER row
+# (q113) after q80 - preserving the driver registry order byte-for-byte,
+# pinned by tests/test_registry_pin.py - (b) merges the split modules'
+# EXTRA_QUERIES into this module's (full_registry reads only textops), and
+# (c) re-exports every moved public name so historical import paths
+# (streamops lazy imports, tests) keep working.
+from anti_ddos_spark.queries.textops_governance import (  # noqa: E402
+    EXTRA_QUERIES as _GOV_EXTRA,
+    QUERIES as _GOV_QUERIES,
 )
-
-
-# --- q82: vocabulary drift / OOV rate between snapshots -------------------
-
-OOV_VOCAB_K = 30
-
-
-def q82_oov_drift(spark: SparkSession, sf: str) -> DataFrame:
-    """Tokenizer-coverage drift: build the top-K term vocabulary from
-    the baseline snapshot (even doc_ids), then measure what fraction of
-    candidate-snapshot (odd doc_ids) token OCCURRENCES fall outside it
-    — the out-of-vocabulary mass a frozen tokenizer would meet on the
-    new data. The vocab is K rows → broadcast anti-join; the only real
-    shuffle is the term count. Complements q81 (length-shape drift)
-    with content drift."""
-    docs = t(spark, sf, "documents").select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
-    )
-    vocab = (
-        docs.filter(F.col("doc_id") % 2 == 0)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .orderBy(F.col("tf").desc(), F.col("term").asc())
-        .limit(OOV_VOCAB_K)
-        .select("term")
-    )
-    cand = docs.filter(F.col("doc_id") % 2 == 1)
-    tot = cand.agg(F.count(F.lit(1)).alias("cand_tokens"))
-    oov = cand.join(F.broadcast(vocab), "term", "left_anti").agg(
-        F.count(F.lit(1)).alias("oov_tokens")
-    )
-    return (
-        tot.crossJoin(oov)
-        .select(
-            F.lit(OOV_VOCAB_K).alias("vocab_k"),
-            F.col("cand_tokens").cast("long"),
-            F.col("oov_tokens").cast("long"),
-            F.floor(F.col("oov_tokens") * 10000.0 / F.col("cand_tokens") + F.lit(0.5))
-            .cast("int")
-            .alias("oov_bps"),
-        )
-    )
-
-
-Q82_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_W}) AS term FROM documents),
-vocab AS (
-  SELECT term FROM tok WHERE doc_id % 2 = 0
-  GROUP BY term ORDER BY count(*) DESC, term ASC LIMIT {OOV_VOCAB_K}),
-cand AS (SELECT term FROM tok WHERE doc_id % 2 = 1)
-SELECT {OOV_VOCAB_K} AS vocab_k,
-       CAST((SELECT count(*) FROM cand) AS BIGINT) AS cand_tokens,
-       CAST(count(*) AS BIGINT) AS oov_tokens,
-       CAST(floor(count(*) * 10000.0 / (SELECT count(*) FROM cand) + 0.5)
-            AS INT) AS oov_bps
-FROM cand WHERE term NOT IN (SELECT term FROM vocab)
-"""
-
-EXTRA_QUERIES["q82_oov_drift"] = Query(
-    q82_oov_drift,
-    Q82_SQL,
-    "vocabulary drift: OOV token mass of the candidate snapshot "
-    "against the baseline top-K vocab",
-)
-
-
-# --- q89: deterministic weighted sampling (Efraimidis-Spirakis) -----------
-
-WSAMPLE_K = 25
-
-
-def q89_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """Weighted sampling without replacement, derandomized: the
-    Efraimidis-Spirakis key ln(u)/w with u drawn from the document's
-    OWN content hash instead of an RNG — so the sample is reproducible,
-    retry-stable, and identical in any engine (the q38/q55 trick
-    applied to weighted selection). Weight = doc length in chars, so
-    token-heavy docs are proportionally favored — the standard move
-    when sampling a fixed-size training subset by value. Plan: narrow
-    projection + TakeOrdered top-k; no shuffle beyond the k-row
-    ordering."""
-    docs = t(spark, sf, "documents")
-    u = (
-        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-        % 1_000_000
-        + F.lit(0.5)
-    ) / 1_000_000.0
-    # weight guarded at 1: an empty doc (n_chars=0) would divide to
-    # -Infinity, where Spark and DuckDB disagree on the long cast
-    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
-    return (
-        docs.select(
-            "doc_id",
-            F.col("n_chars").cast("long").alias("w"),
-            F.floor(key * 1_000_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("key_x1e9"),
-        )
-        .orderBy(F.col("key_x1e9").desc(), F.col("doc_id").asc())
-        .limit(WSAMPLE_K)
-    )
-
-
-Q89_SQL = f"""
-WITH keyed AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
-         CAST(floor(ln((('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
-                        + 0.5) / 1000000.0)
-                    / greatest(n_chars, 1) * 1000000000 + 0.5) AS BIGINT)
-           AS key_x1e9
-  FROM documents)
-SELECT doc_id, w, key_x1e9 FROM keyed
-ORDER BY key_x1e9 DESC, doc_id ASC LIMIT {WSAMPLE_K}
-"""
-
-EXTRA_QUERIES["q89_weighted_sample"] = Query(
+from anti_ddos_spark.queries.textops_prep import (  # noqa: E402,F401
+    q52_sequence_packing,
+    _BPE_SQL,
+    Q52_SQL,
+    SAMPLE_TEMPERATURE,
+    SAMPLE_TARGET_FRAC,
+    q55_temperature_sample,
+    Q55_SQL,
+    WSAMPLE_K,
     q89_weighted_sample,
     Q89_SQL,
-    "derandomized Efraimidis-Spirakis weighted sampling (content-hash "
-    "uniform, length weights, top-k keys)",
-)
-
-
-# --- q90: winsorized length trimming --------------------------------------
-
-def q90_winsorize_lengths(spark: SparkSession, sf: str) -> DataFrame:
-    """Outlier trimming for a length-sensitive training mix: clamp each
-    doc's char length into its corpus [p05, p95] band (exact
-    percentile_cont over the length distribution — two scalar values,
-    broadcast back), reporting the clamped value and which side was
-    trimmed. The standard winsorization pass before length-weighted
-    sampling. One narrow scan + one 2-value aggregate."""
-    docs = t(spark, sf, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    pcts = docs.agg(
-        F.expr("percentile(n_chars, 0.05)").alias("p05"),
-        F.expr("percentile(n_chars, 0.95)").alias("p95"),
-    )
-    lo = F.floor(F.col("p05") + F.lit(0.5)).cast("long")
-    hi = F.floor(F.col("p95") + F.lit(0.5)).cast("long")
-    return docs.crossJoin(F.broadcast(pcts)).select(
-        "doc_id",
-        "n_chars",
-        F.greatest(lo, F.least(hi, F.col("n_chars"))).alias("clamped"),
-        F.when(F.col("n_chars") < lo, -1)
-        .when(F.col("n_chars") > hi, 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("trimmed"),
-    )
-
-
-Q90_SQL = """
-WITH p AS (
-  SELECT CAST(floor(percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars)
-              + 0.5) AS BIGINT) AS lo,
-         CAST(floor(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars)
-              + 0.5) AS BIGINT) AS hi
-  FROM documents)
-SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-       greatest(lo, least(hi, n_chars)) AS clamped,
-       CAST(CASE WHEN n_chars < lo THEN -1
-                 WHEN n_chars > hi THEN 1 ELSE 0 END AS INT) AS trimmed
-FROM documents, p
-"""
-
-EXTRA_QUERIES["q90_winsorize_lengths"] = Query(
     q90_winsorize_lengths,
     Q90_SQL,
-    "winsorized length trimming (exact p05/p95 clamp, broadcast band)",
-)
-
-
-# --- q91: equi-depth binning via NTILE ------------------------------------
-
-def q91_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Equi-depth length quartiles with exact ntile semantics, in the
-    scale-safe form: ``operators.rank.global_ntile`` (range exchange +
-    partition-local index + broadcast offsets) instead of an
-    unpartitioned ntile window, so no single task ever sorts the whole
-    table. Bucket assignment is parity-proved equal to ``ntile(4)``
-    (tests/test_global_rank.py), which is exactly what the DuckDB
-    oracle runs — the hash is unchanged from the round-5 window form."""
-    from anti_ddos_spark.operators.rank import global_ntile
-
-    docs = t(spark, sf, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
-    )
-    order = [F.col("n_chars").asc(), F.col("doc_id").asc()]
-    return (
-        global_ntile(docs, order, 4, bucket_col="q")
-        .groupBy("q")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_docs"),
-            F.min("n_chars").alias("len_min"),
-            F.max("n_chars").alias("len_max"),
-        )
-    )
-
-
-Q91_SQL = """
-WITH ranked AS (
-  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
-         ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS q
-  FROM documents)
-SELECT q, CAST(count(*) AS INT) AS n_docs,
-       min(n_chars) AS len_min, max(n_chars) AS len_max
-FROM ranked GROUP BY q
-"""
-
-EXTRA_QUERIES["q91_length_quartiles"] = Query(
     q91_length_quartiles,
     Q91_SQL,
-    "equi-depth length quartiles via ntile window + per-bin span",
-)
-
-
-# --- q101: T5-style span-corruption mask layout ---------------------------
-
-MASK_RATE_PCT = 15  # corrupt ~15% of tokens
-MASK_SPAN = 3       # in spans of 3 tokens
-
-
-def q101_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
-    """Deterministic T5-style denoising layout: every 20-token stride
-    hosts one 3-token corruption span whose offset is drawn from the
-    doc's content hash — ≈15% of tokens masked, reproducible in any
-    engine (no RNG; the q38/q89 derandomization trick applied to
-    pretraining data prep). Emits the per-doc mask accounting a data
-    loader consumes: span count, masked-token count, and the layout
-    digest. Zero shuffle."""
-    docs = t(spark, sf, "documents")
-    stride = (100 * MASK_SPAN) // MASK_RATE_PCT  # 20 tokens per span slot
-    ws = F.filter(
-        F.split(F.trim("text"), r"\s+"), lambda x: x != ""
-    )
-    d = docs.withColumn("_ws", ws).filter(F.size("_ws") > 0)
-    n = F.size("_ws")
-    n_slots = F.floor((n + F.lit(stride - 1)) / stride).cast("int")
-    seed = content_seed(F.col("text"))
-    # slot i covers [i*stride, min(n, (i+1)*stride)); its span starts at
-    # slot_start + (seed + i) % max(1, slot_len - MASK_SPAN + 1)
-    starts = F.transform(
-        F.sequence(F.lit(0), n_slots - 1),
-        lambda i: i * stride
-        + F.pmod(
-            seed + i,
-            F.greatest(
-                F.lit(1),
-                F.least(n - i * stride, F.lit(stride)) - (MASK_SPAN - 1),
-            ),
-        ),
-    )
-    span_len = lambda s: F.least(F.lit(MASK_SPAN), n - s)  # noqa: E731
-    return d.select(
-        "doc_id",
-        n.cast("int").alias("n_tokens"),
-        n_slots.alias("n_spans"),
-        F.aggregate(
-            starts, F.lit(0).cast("long"), lambda a, s: a + span_len(s)
-        )
-        .cast("int")
-        .alias("n_masked"),
-        F.md5(
-            F.concat_ws(",", F.transform(starts, lambda s: s.cast("string")))
-        ).alias("layout_md5"),
-    )
-
-
-def _q101_sql() -> str:
-    stride = (100 * MASK_SPAN) // MASK_RATE_PCT
-    return f"""
-WITH w AS (
-  SELECT doc_id, text, list_filter({_W}, x -> x <> '') AS ws FROM documents),
-d AS (
-  SELECT doc_id, len(ws) AS n,
-         CAST(floor((len(ws) + {stride - 1}) / {stride}) AS INT) AS n_slots,
-         {sql_seed('text')} AS seed
-  FROM w WHERE len(ws) > 0),
-s AS (
-  SELECT doc_id, n, n_slots,
-         [i * {stride} + (seed + i) % greatest(1,
-            least(n - i * {stride}, {stride}) - {MASK_SPAN - 1})
-          FOR i IN generate_series(0, n_slots - 1)] AS starts
-  FROM d)
-SELECT doc_id, CAST(n AS INT) AS n_tokens, n_slots AS n_spans,
-       CAST(list_sum([least({MASK_SPAN}, n - st) FOR st IN starts])
-            AS INT) AS n_masked,
-       md5(array_to_string(list_transform(starts, x -> CAST(x AS VARCHAR)),
-                           ',')) AS layout_md5
-FROM s
-"""
-
-EXTRA_QUERIES["q101_span_corruption"] = Query(
+    MASK_RATE_PCT,
+    MASK_SPAN,
     q101_span_corruption,
-    _q101_sql(),
-    "T5-style span-corruption mask layout (content-hash derandomized, "
-    "~15% tokens in 3-token spans; zero shuffle)",
-)
-
-
-# --- q102: contrastive pair construction ----------------------------------
-
-NEG_PER_ANCHOR = 2
-
-
-def q102_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Contrastive training-pair construction: each doc's POSITIVE is
-    the next doc of the same source (a lead window over the natural
-    order — adjacent docs share provenance), plus NEG_PER_ANCHOR hash-
-    pseudo-random negatives. Negatives are drawn from the id space MINUS
-    {anchor, positive}: the draw lands in [0, n-2) and is remapped over
-    the two sorted exclusions, so a negative can never equal the anchor
-    or the positive (inter-negative collisions remain possible and are
-    accepted at this k). One hash(source) shuffle for the lead window;
-    the corpus size joins in as a broadcast 1-row aggregate, so nothing
-    serializes onto a single partition."""
-    from pyspark.sql.window import Window
-
-    docs = t(spark, sf, "documents").select("doc_id", "source")
-    n_row = docs.agg((F.max("doc_id") + 1).alias("_n"))
-    w = Window.partitionBy("source").orderBy("doc_id")
-    d = (
-        docs.withColumn("pos_id", F.lead("doc_id").over(w))
-        .filter(F.col("pos_id").isNotNull())
-        .crossJoin(F.broadcast(n_row))
-    )
-    seed = content_seed(F.col("doc_id").cast("string"))
-    lo = F.least(F.col("doc_id"), F.col("pos_id"))
-    hi = F.greatest(F.col("doc_id"), F.col("pos_id"))
-
-    def neg(j):
-        r = F.pmod(seed * j + j, F.col("_n") - 2)
-        r = F.when(r >= lo, r + 1).otherwise(r)
-        return F.when(r >= hi, r + 1).otherwise(r)
-
-    negs = F.transform(F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR)), neg)
-    return d.select(
-        F.col("doc_id").alias("anchor_id"),
-        "pos_id",
-        F.concat_ws(
-            ",", F.transform(negs, lambda x: x.cast("string"))
-        ).alias("neg_ids"),
-    )
-
-
-Q102_SQL = f"""
-WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
-p AS (
-  SELECT doc_id AS anchor_id, source,
-         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id
-  FROM documents),
-r AS (
-  SELECT anchor_id, pos_id,
-         least(anchor_id, pos_id) AS lo, greatest(anchor_id, pos_id) AS hi,
-         [({sql_seed('CAST(anchor_id AS VARCHAR)')} * j + j) % (n_docs - 2)
-          FOR j IN generate_series(1, {NEG_PER_ANCHOR})] AS draws
-  FROM p, n WHERE pos_id IS NOT NULL)
-SELECT anchor_id, pos_id,
-       array_to_string(
-         [CAST(CASE WHEN (CASE WHEN d >= lo THEN d + 1 ELSE d END) >= hi
-                    THEN (CASE WHEN d >= lo THEN d + 1 ELSE d END) + 1
-                    ELSE (CASE WHEN d >= lo THEN d + 1 ELSE d END) END
-               AS VARCHAR) FOR d IN draws], ',') AS neg_ids
-FROM r
-"""
-
-EXTRA_QUERIES["q102_contrastive_pairs"] = Query(
+    _q101_sql,
+    NEG_PER_ANCHOR,
     q102_contrastive_pairs,
     Q102_SQL,
-    "contrastive pair construction (same-source lead positive + "
-    "hash-deterministic negatives)",
-)
-
-
-# --- q103: curriculum difficulty ordering ---------------------------------
-
-def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
-    """Curriculum-learning prep: rank documents easy → hard by a
-    rarity-weighted difficulty proxy — the mean per-token rarity score
-    (tot*1000 div tf, an EXACT integer per token, so the per-doc mean
-    is sum-of-ints/count and immune to Spark's partial-aggregate
-    float-merge order; rare-word-heavy docs are 'hard'). Shape: one
-    explode + tf aggregate, broadcast of the (vocab-sized) frequency
-    table back onto the token stream, per-doc mean, then the
-    scale-safe global rank (``operators.rank.global_row_number``:
-    repartitionByRange on difficulty + per-partition offsets — the
-    form the round-5 docstring promised, now implemented and
-    parity-proved equal to the single-window rank)."""
-    from anti_ddos_spark.operators.rank import global_row_number
-
-    docs = t(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
-    )
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
-    # corpus token mass stays lazy in the plan (no eager .count() at
-    # construction time — the q85-review rule); derived from tf so the
-    # broadcast side carries it for free
-    tot = tf.agg(F.sum("tf").alias("tot"))
-    rarity = F.expr("(tot * 1000) div tf")  # exact integer per token
-    scored = (
-        toks.join(F.broadcast(tf), "term")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_toks"),
-            F.floor(F.avg(rarity) + F.lit(0.5))
-            .cast("long")
-            .alias("difficulty_x1e3"),
-        )
-    )
-    order = [F.col("difficulty_x1e3").asc(), F.col("doc_id").asc()]
-    return global_row_number(scored, order, rn_col="_rn").select(
-        "doc_id",
-        "n_toks",
-        "difficulty_x1e3",
-        F.col("_rn").cast("int").alias("curriculum_pos"),
-    )
-
-
-Q103_SQL = f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_W}) AS term FROM documents),
-tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
-tot AS (SELECT sum(tf) AS tot FROM tf),
-scored AS (
-  SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
-         CAST(floor(avg((tot * 1000) // tf) + 0.5) AS BIGINT)
-           AS difficulty_x1e3
-  FROM toks JOIN tf USING (term), tot
-  GROUP BY doc_id)
-SELECT doc_id, n_toks, difficulty_x1e3,
-       CAST(row_number() OVER (ORDER BY difficulty_x1e3 ASC, doc_id ASC)
-            AS INT) AS curriculum_pos
-FROM scored
-"""
-
-EXTRA_QUERIES["q103_curriculum_order"] = Query(
     q103_curriculum_order,
     Q103_SQL,
-    "curriculum ordering by rarity-weighted difficulty (exact unigram "
-    "frequencies, fixed-point idf score)",
-)
-
-
-# --- q104: deterministic per-epoch shuffling ------------------------------
-
-def q104_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-epoch training order without an RNG: each epoch's
-    permutation is the rank of md5(epoch:doc_id) — different every
-    epoch, identical on every replay/engine (how a distributed loader
-    gets resumable shuffling: position is a pure function of
-    (epoch, id)). Emits each doc's position in epochs 0 and 1; the
-    epoch-decorrelation check lives in the oracle comparison itself.
-
-    Each epoch is its own total order, so each runs its own scale-safe
-    global rank (``operators.rank.global_row_number`` — range exchange
-    per epoch key, no single-partition sort) and the per-epoch results
-    rejoin on doc_id: 2 range shuffles + 1 equi-join instead of two
-    windows over one all-rows partition."""
-    from anti_ddos_spark.operators.rank import global_row_number
-
-    docs = t(spark, sf, "documents").select("doc_id")
-
-    def epoch_pos(epoch: int, out: str) -> DataFrame:
-        key = F.md5(
-            F.concat_ws(":", F.lit(str(epoch)), F.col("doc_id").cast("string"))
-        )
-        ranked = global_row_number(
-            docs.withColumn("_k", key), ["_k", F.col("doc_id").asc()],
-            rn_col="_rn",
-        )
-        return ranked.select("doc_id", F.col("_rn").cast("int").alias(out))
-
-    return epoch_pos(0, "pos_e0").join(epoch_pos(1, "pos_e1"), "doc_id")
-
-
-Q104_SQL = """
-SELECT doc_id,
-       CAST(row_number() OVER (
-         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id ASC)
-         AS INT) AS pos_e0,
-       CAST(row_number() OVER (
-         ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id ASC)
-         AS INT) AS pos_e1
-FROM documents
-"""
-
-EXTRA_QUERIES["q104_epoch_shuffle"] = Query(
     q104_epoch_shuffle,
     Q104_SQL,
-    "deterministic per-epoch shuffle (position = rank of "
-    "md5(epoch:doc_id); resumable, engine-independent)",
-)
-
-
-# --- q106: per-stratum weighted sampling ----------------------------------
-
-STRAT_SAMPLE_K = 5
-
-
-def q106_stratified_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
-    """The per-domain form of q89: within each source, keep the top-K
-    docs by the derandomized Efraimidis-Spirakis key (content-hash
-    uniform, length weight) — a fixed per-domain budget, the sampling
-    layout a balanced training mix uses. One shuffle on the stratum
-    key; the rank is per-stratum, never global."""
-    from pyspark.sql.window import Window
-
-    docs = t(spark, sf, "documents")
-    u = (content_seed(F.col("text")) % 1_000_000 + F.lit(0.5)) / 1_000_000.0
-    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
-    keyed = docs.select(
-        "doc_id",
-        "source",
-        F.floor(key * 1_000_000_000 + F.lit(0.5)).cast("long").alias("key_x1e9"),
-    )
-    w = Window.partitionBy("source").orderBy(
-        F.col("key_x1e9").desc(), F.col("doc_id").asc()
-    )
-    return (
-        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= STRAT_SAMPLE_K)
-    )
-
-
-Q106_SQL = f"""
-WITH keyed AS (
-  SELECT doc_id, source,
-         CAST(floor(ln(({sql_seed('text')} % 1000000 + 0.5) / 1000000.0)
-                    / greatest(n_chars, 1) * 1000000000 + 0.5) AS BIGINT)
-           AS key_x1e9
-  FROM documents)
-SELECT doc_id, source, key_x1e9,
-       CAST(rk AS INT) AS rk
-FROM (SELECT *, row_number() OVER (PARTITION BY source
-                                   ORDER BY key_x1e9 DESC, doc_id ASC) AS rk
-      FROM keyed)
-WHERE rk <= {STRAT_SAMPLE_K}
-"""
-
-EXTRA_QUERIES["q106_stratified_weighted_sample"] = Query(
+    STRAT_SAMPLE_K,
     q106_stratified_weighted_sample,
     Q106_SQL,
-    "per-stratum weighted sampling (Efraimidis-Spirakis keys, fixed "
-    "per-source budget)",
 )
-
-
-# --- q113: corpus release gate (the monitoring family composed) -----------
-
-RELEASE_MAX_DUP_BPS = 2000
-RELEASE_MAX_PSI_X1E6 = 250_000
-RELEASE_MAX_OOV_BPS = 100
-# Any benchmark contamination blocks a release: a single leaked eval
-# document invalidates downstream benchmark numbers, so the budget is 0.
-RELEASE_MAX_CONTAMINATED = 0
-
-
-def q113_release_gate(spark: SparkSession, sf: str) -> DataFrame:
-    """The one-row go/no-go a corpus release pipeline publishes: exact
-    dup rate (q30's digest summary), total length-drift PSI (q81),
-    OOV mass (q82), and benchmark-contamination count (q57) — each
-    recomputed through the SAME shared definitions, thresholded into
-    one release verdict. Everything after the component aggregates is
-    row-count ≤ bins, so the gate itself is free."""
-    from anti_ddos_spark.operators.dedup import exact_dedup_summary
-
-    dup = exact_dedup_summary(t(spark, sf, "documents")).select(
-        F.floor(
-            F.col("n_redundant") * 10000.0 / F.col("n_docs") + F.lit(0.5)
-        )
-        .cast("int")
-        .alias("dup_bps")
-    )
-    psi = (
-        q81_corpus_drift(spark, sf)
-        .agg(F.sum("psi_x1e6").cast("long").alias("psi_x1e6"))
-    )
-    oov = q82_oov_drift(spark, sf).select("oov_bps")
-    contam = q57_decontaminate(spark, sf).agg(
-        F.count(F.lit(1)).cast("int").alias("n_contaminated")
-    )
-    g = dup.crossJoin(psi).crossJoin(oov).crossJoin(contam)
-    ok = (
-        (F.col("dup_bps") <= RELEASE_MAX_DUP_BPS)
-        & (F.col("psi_x1e6") <= RELEASE_MAX_PSI_X1E6)
-        & (F.col("oov_bps") <= RELEASE_MAX_OOV_BPS)
-        & (F.col("n_contaminated") <= RELEASE_MAX_CONTAMINATED)
-    )
-    return g.select(
-        "dup_bps",
-        "psi_x1e6",
-        "oov_bps",
-        "n_contaminated",
-        ok.cast("int").alias("release_ok"),
-    )
-
-
-def _q113_sql() -> str:
-    return f"""
-WITH dup AS (
-  SELECT CAST(floor(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) * 10000.0
-                    / sum(n) + 0.5) AS INT) AS dup_bps
-  FROM (SELECT md5(text) AS digest, count(*) AS n
-        FROM documents GROUP BY 1)),
-psi AS (SELECT CAST(sum(psi_x1e6) AS BIGINT) AS psi_x1e6
-        FROM ({Q81_SQL})),
-oov AS (SELECT oov_bps FROM ({Q82_SQL})),
-contam AS (SELECT CAST(count(*) AS INT) AS n_contaminated
-           FROM ({Q57_SQL}))
-SELECT dup_bps, psi_x1e6, oov_bps, n_contaminated,
-       CAST(dup_bps <= {RELEASE_MAX_DUP_BPS}
-            AND psi_x1e6 <= {RELEASE_MAX_PSI_X1E6}
-            AND oov_bps <= {RELEASE_MAX_OOV_BPS}
-            AND n_contaminated <= {RELEASE_MAX_CONTAMINATED} AS INT)
-         AS release_ok
-FROM dup, psi, oov, contam
-"""
-
-
-# Promoted to the driver registry in round 6 (judge brief task #1).
-QUERIES["q113_release_gate"] = Query(
+from anti_ddos_spark.queries.textops_cleanup import (  # noqa: E402,F401
+    WINNOW_K,
+    WINNOW_W,
+    q56_winnow_fingerprints,
+    Q56_SQL,
+    DECONTAM_N,
+    q57_decontaminate,
+    Q57_SQL,
+    pii_enriched_text,
+    pii_profile,
+    q59_pii_redaction,
+    Q59_SQL,
+    q65_html_strip,
+    Q65_SQL,
+    CHUNK_WINDOW,
+    CHUNK_STRIDE,
+    q66_doc_chunks,
+    Q66_SQL,
+)
+from anti_ddos_spark.queries.textops_governance import (  # noqa: E402,F401
+    q58_corpus_datacard,
+    Q58_SQL,
+    DRIFT_BINS,
+    DRIFT_BIN_W,
+    drift_bin,
+    psi_frame,
+    q81_corpus_drift,
+    Q81_SQL,
+    OOV_VOCAB_K,
+    q82_oov_drift,
+    Q82_SQL,
+    RELEASE_MAX_DUP_BPS,
+    RELEASE_MAX_PSI_X1E6,
+    RELEASE_MAX_OOV_BPS,
+    RELEASE_MAX_CONTAMINATED,
     q113_release_gate,
-    _q113_sql(),
-    "corpus release gate: dup rate + drift PSI + OOV + contamination "
-    "composed into one go/no-go row",
+    _q113_sql,
 )
+
+QUERIES.update(_GOV_QUERIES)
+for _extra in (_PREP_EXTRA, _CLEANUP_EXTRA, _GOV_EXTRA):
+    _dup = EXTRA_QUERIES.keys() & _extra.keys()
+    if _dup:
+        raise ValueError(f"duplicate split-module query names: {_dup}")
+    EXTRA_QUERIES.update(_extra)

@@ -1,0 +1,654 @@
+"""Training-data preparation queries: sequence packing, temperature /
+weighted / stratified sampling, winsorizing, equi-depth binning, span
+corruption, contrastive pairs, curriculum ordering, epoch shuffling.
+
+Split out of queries/textops.py in round 6 (verdict task #5 - module
+split, code health). Entries register into this module's
+``EXTRA_QUERIES`` and are merged into textops' dicts by the façade at
+the bottom of queries/textops.py, so the driver registry order is
+unchanged and every historical import path keeps working.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from anti_ddos_spark.queries.base import Query, _W, content_seed, sql_seed, t
+
+EXTRA_QUERIES: dict[str, Query] = {}
+
+
+# --- q52: sequence packing (token-budget concat-and-chunk) ----------------
+
+PACK_BUDGET = 512  # tokens per training sequence
+
+
+def q52_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style training-sequence packing: per shard (`source`), docs
+    are concatenated in doc_id order and the BPE-pretoken stream is cut
+    every PACK_BUDGET tokens; each doc reports the sequence span it
+    lands in. One shuffle on the shard key; the cumsum window runs
+    per-shard, so the packing layout parallelizes by shard at 100 TB
+    (operators/text.py::pack_sequences)."""
+    from anti_ddos_spark.operators.text import BPE_PRETOKEN_RE, pack_sequences
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.col("text"), F.lit(BPE_PRETOKEN_RE))
+        .cast("int")
+        .alias("n_tokens"),
+    )
+    return pack_sequences(docs, budget=PACK_BUDGET).select(
+        "doc_id", "source", "n_tokens", "tok_start",
+        "seq_first", "seq_last", "n_seqs",
+    )
+
+
+_BPE_SQL = (
+    "len(regexp_extract_all(text, "
+    "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))"
+)
+
+Q52_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, CAST({_BPE_SQL} AS INT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM toks)
+SELECT doc_id, source, n_tokens, tok_start,
+  CAST(floor(tok_start / {PACK_BUDGET}) AS INT) AS seq_first,
+  CAST(greatest(floor(tok_start / {PACK_BUDGET}),
+                floor((tok_start + n_tokens - 1) / {PACK_BUDGET})) AS INT)
+    AS seq_last,
+  CAST(greatest(floor(tok_start / {PACK_BUDGET}),
+                floor((tok_start + n_tokens - 1) / {PACK_BUDGET}))
+       - floor(tok_start / {PACK_BUDGET}) + 1 AS INT) AS n_seqs
+FROM c
+"""
+
+EXTRA_QUERIES["q52_sequence_packing"] = Query(
+    q52_sequence_packing,
+    Q52_SQL,
+    "token-budget training-sequence packing (per-shard cumsum window)",
+)
+
+
+# --- q55: temperature-weighted mixture sampling ---------------------------
+
+SAMPLE_TEMPERATURE = 0.5  # tau: q_s ∝ n_s^tau (tau<1 flattens the mixture)
+SAMPLE_TARGET_FRAC = 0.5  # sampled corpus size as a fraction of the input
+
+
+def q55_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-flattened mixture sampling over `source` strata — the
+    standard rebalancing move for multi-source training corpora (as in
+    multilingual LM sampling): stratum s gets probability mass
+    q_s ∝ n_s^tau, so with tau<1 overrepresented sources are
+    downsampled harder. Selection is content-hash thresholded (q38's
+    trick), so the decision is reproducible, retry-stable, and a pure
+    narrow projection after a broadcast join of 10 per-source
+    thresholds — the only shuffle is the tiny count aggregate.
+
+    Cross-engine determinism: weights are integerized
+    (floor(sqrt(n_s)*1000+0.5); sqrt is IEEE-correctly-rounded, unlike
+    pow, which is why tau is pinned at 0.5 in the oracle form), so the
+    threshold is one multiply + one divide of exact integers in both
+    engines."""
+    docs = t(spark, sf, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    weights = counts.withColumn(
+        "w_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * 1000 + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    tot = weights.agg(
+        F.sum("n_s").alias("n_tot"), F.sum("w_s").alias("w_tot")
+    )
+    rates = (
+        weights.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target",
+            F.floor(F.col("n_tot") * F.lit(SAMPLE_TARGET_FRAC)).cast("long"),
+        )
+        .withColumn(
+            "thresh",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * (F.col("w_s") * F.col("target"))
+                    / (F.col("w_tot") * F.col("n_s"))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ),
+        )
+        .select("source", "thresh")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("thresh"))
+        .select("doc_id", "source", F.col("bucket").cast("int").alias("bucket"))
+    )
+
+
+Q55_SQL = f"""
+WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+w AS (SELECT source, n_s,
+             CAST(floor(sqrt(n_s) * 1000 + 0.5) AS BIGINT) AS w_s FROM c),
+t AS (SELECT sum(n_s) AS n_tot, sum(w_s) AS w_tot FROM w),
+r AS (SELECT source,
+             least(1000000, CAST(floor(
+               1000000.0 * (w_s * CAST(floor(n_tot * {SAMPLE_TARGET_FRAC}) AS BIGINT))
+               / (w_tot * n_s) + 0.5) AS BIGINT)) AS thresh
+      FROM w, t)
+SELECT d.doc_id, d.source,
+       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 AS INT) AS bucket
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000 < r.thresh
+"""
+
+EXTRA_QUERIES["q55_temperature_sample"] = Query(
+    q55_temperature_sample,
+    Q55_SQL,
+    "temperature-flattened mixture sampling (hash-thresholded, "
+    "broadcast per-stratum rates)",
+)
+
+
+# --- q89: deterministic weighted sampling (Efraimidis-Spirakis) -----------
+
+WSAMPLE_K = 25
+
+
+def q89_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling without replacement, derandomized: the
+    Efraimidis-Spirakis key ln(u)/w with u drawn from the document's
+    OWN content hash instead of an RNG — so the sample is reproducible,
+    retry-stable, and identical in any engine (the q38/q55 trick
+    applied to weighted selection). Weight = doc length in chars, so
+    token-heavy docs are proportionally favored — the standard move
+    when sampling a fixed-size training subset by value. Plan: narrow
+    projection + TakeOrdered top-k; no shuffle beyond the k-row
+    ordering."""
+    docs = t(spark, sf, "documents")
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+        % 1_000_000
+        + F.lit(0.5)
+    ) / 1_000_000.0
+    # weight guarded at 1: an empty doc (n_chars=0) would divide to
+    # -Infinity, where Spark and DuckDB disagree on the long cast
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("w"),
+            F.floor(key * 1_000_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("key_x1e9"),
+        )
+        .orderBy(F.col("key_x1e9").desc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+    )
+
+
+Q89_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(floor(ln((('0x' || substr(md5(text), 1, 8))::BIGINT % 1000000
+                        + 0.5) / 1000000.0)
+                    / greatest(n_chars, 1) * 1000000000 + 0.5) AS BIGINT)
+           AS key_x1e9
+  FROM documents)
+SELECT doc_id, w, key_x1e9 FROM keyed
+ORDER BY key_x1e9 DESC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+EXTRA_QUERIES["q89_weighted_sample"] = Query(
+    q89_weighted_sample,
+    Q89_SQL,
+    "derandomized Efraimidis-Spirakis weighted sampling (content-hash "
+    "uniform, length weights, top-k keys)",
+)
+
+
+# --- q90: winsorized length trimming --------------------------------------
+
+def q90_winsorize_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlier trimming for a length-sensitive training mix: clamp each
+    doc's char length into its corpus [p05, p95] band (exact
+    percentile_cont over the length distribution — two scalar values,
+    broadcast back), reporting the clamped value and which side was
+    trimmed. The standard winsorization pass before length-weighted
+    sampling. One narrow scan + one 2-value aggregate."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    pcts = docs.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    lo = F.floor(F.col("p05") + F.lit(0.5)).cast("long")
+    hi = F.floor(F.col("p95") + F.lit(0.5)).cast("long")
+    return docs.crossJoin(F.broadcast(pcts)).select(
+        "doc_id",
+        "n_chars",
+        F.greatest(lo, F.least(hi, F.col("n_chars"))).alias("clamped"),
+        F.when(F.col("n_chars") < lo, -1)
+        .when(F.col("n_chars") > hi, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("trimmed"),
+    )
+
+
+Q90_SQL = """
+WITH p AS (
+  SELECT CAST(floor(percentile_cont(0.05) WITHIN GROUP (ORDER BY n_chars)
+              + 0.5) AS BIGINT) AS lo,
+         CAST(floor(percentile_cont(0.95) WITHIN GROUP (ORDER BY n_chars)
+              + 0.5) AS BIGINT) AS hi
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       greatest(lo, least(hi, n_chars)) AS clamped,
+       CAST(CASE WHEN n_chars < lo THEN -1
+                 WHEN n_chars > hi THEN 1 ELSE 0 END AS INT) AS trimmed
+FROM documents, p
+"""
+
+EXTRA_QUERIES["q90_winsorize_lengths"] = Query(
+    q90_winsorize_lengths,
+    Q90_SQL,
+    "winsorized length trimming (exact p05/p95 clamp, broadcast band)",
+)
+
+
+# --- q91: equi-depth binning via NTILE ------------------------------------
+
+def q91_length_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth length quartiles with exact ntile semantics, in the
+    scale-safe form: ``operators.rank.global_ntile`` (range exchange +
+    partition-local index + broadcast offsets) instead of an
+    unpartitioned ntile window, so no single task ever sorts the whole
+    table. Bucket assignment is parity-proved equal to ``ntile(4)``
+    (tests/test_global_rank.py), which is exactly what the DuckDB
+    oracle runs — the hash is unchanged from the round-5 window form."""
+    from anti_ddos_spark.operators.rank import global_ntile
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    order = [F.col("n_chars").asc(), F.col("doc_id").asc()]
+    return (
+        global_ntile(docs, order, 4, bucket_col="q")
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.min("n_chars").alias("len_min"),
+            F.max("n_chars").alias("len_max"),
+        )
+    )
+
+
+Q91_SQL = """
+WITH ranked AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS q
+  FROM documents)
+SELECT q, CAST(count(*) AS INT) AS n_docs,
+       min(n_chars) AS len_min, max(n_chars) AS len_max
+FROM ranked GROUP BY q
+"""
+
+EXTRA_QUERIES["q91_length_quartiles"] = Query(
+    q91_length_quartiles,
+    Q91_SQL,
+    "equi-depth length quartiles via ntile window + per-bin span",
+)
+
+
+# --- q101: T5-style span-corruption mask layout ---------------------------
+
+MASK_RATE_PCT = 15  # corrupt ~15% of tokens
+MASK_SPAN = 3       # in spans of 3 tokens
+
+
+def q101_span_corruption(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic T5-style denoising layout: every 20-token stride
+    hosts one 3-token corruption span whose offset is drawn from the
+    doc's content hash — ≈15% of tokens masked, reproducible in any
+    engine (no RNG; the q38/q89 derandomization trick applied to
+    pretraining data prep). Emits the per-doc mask accounting a data
+    loader consumes: span count, masked-token count, and the layout
+    digest. Zero shuffle."""
+    docs = t(spark, sf, "documents")
+    stride = (100 * MASK_SPAN) // MASK_RATE_PCT  # 20 tokens per span slot
+    ws = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: x != ""
+    )
+    d = docs.withColumn("_ws", ws).filter(F.size("_ws") > 0)
+    n = F.size("_ws")
+    n_slots = F.floor((n + F.lit(stride - 1)) / stride).cast("int")
+    seed = content_seed(F.col("text"))
+    # slot i covers [i*stride, min(n, (i+1)*stride)); its span starts at
+    # slot_start + (seed + i) % max(1, slot_len - MASK_SPAN + 1)
+    starts = F.transform(
+        F.sequence(F.lit(0), n_slots - 1),
+        lambda i: i * stride
+        + F.pmod(
+            seed + i,
+            F.greatest(
+                F.lit(1),
+                F.least(n - i * stride, F.lit(stride)) - (MASK_SPAN - 1),
+            ),
+        ),
+    )
+    span_len = lambda s: F.least(F.lit(MASK_SPAN), n - s)  # noqa: E731
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        n_slots.alias("n_spans"),
+        F.aggregate(
+            starts, F.lit(0).cast("long"), lambda a, s: a + span_len(s)
+        )
+        .cast("int")
+        .alias("n_masked"),
+        F.md5(
+            F.concat_ws(",", F.transform(starts, lambda s: s.cast("string")))
+        ).alias("layout_md5"),
+    )
+
+
+def _q101_sql() -> str:
+    stride = (100 * MASK_SPAN) // MASK_RATE_PCT
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, list_filter({_W}, x -> x <> '') AS ws FROM documents),
+d AS (
+  SELECT doc_id, len(ws) AS n,
+         CAST(floor((len(ws) + {stride - 1}) / {stride}) AS INT) AS n_slots,
+         {sql_seed('text')} AS seed
+  FROM w WHERE len(ws) > 0),
+s AS (
+  SELECT doc_id, n, n_slots,
+         [i * {stride} + (seed + i) % greatest(1,
+            least(n - i * {stride}, {stride}) - {MASK_SPAN - 1})
+          FOR i IN generate_series(0, n_slots - 1)] AS starts
+  FROM d)
+SELECT doc_id, CAST(n AS INT) AS n_tokens, n_slots AS n_spans,
+       CAST(list_sum([least({MASK_SPAN}, n - st) FOR st IN starts])
+            AS INT) AS n_masked,
+       md5(array_to_string(list_transform(starts, x -> CAST(x AS VARCHAR)),
+                           ',')) AS layout_md5
+FROM s
+"""
+
+EXTRA_QUERIES["q101_span_corruption"] = Query(
+    q101_span_corruption,
+    _q101_sql(),
+    "T5-style span-corruption mask layout (content-hash derandomized, "
+    "~15% tokens in 3-token spans; zero shuffle)",
+)
+
+
+# --- q102: contrastive pair construction ----------------------------------
+
+NEG_PER_ANCHOR = 2
+
+
+def q102_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive training-pair construction: each doc's POSITIVE is
+    the next doc of the same source (a lead window over the natural
+    order — adjacent docs share provenance), plus NEG_PER_ANCHOR hash-
+    pseudo-random negatives. Negatives are drawn from the id space MINUS
+    {anchor, positive}: the draw lands in [0, n-2) and is remapped over
+    the two sorted exclusions, so a negative can never equal the anchor
+    or the positive (inter-negative collisions remain possible and are
+    accepted at this k). One hash(source) shuffle for the lead window;
+    the corpus size joins in as a broadcast 1-row aggregate, so nothing
+    serializes onto a single partition."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    n_row = docs.agg((F.max("doc_id") + 1).alias("_n"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = (
+        docs.withColumn("pos_id", F.lead("doc_id").over(w))
+        .filter(F.col("pos_id").isNotNull())
+        .crossJoin(F.broadcast(n_row))
+    )
+    seed = content_seed(F.col("doc_id").cast("string"))
+    lo = F.least(F.col("doc_id"), F.col("pos_id"))
+    hi = F.greatest(F.col("doc_id"), F.col("pos_id"))
+
+    def neg(j):
+        r = F.pmod(seed * j + j, F.col("_n") - 2)
+        r = F.when(r >= lo, r + 1).otherwise(r)
+        return F.when(r >= hi, r + 1).otherwise(r)
+
+    negs = F.transform(F.sequence(F.lit(1), F.lit(NEG_PER_ANCHOR)), neg)
+    return d.select(
+        F.col("doc_id").alias("anchor_id"),
+        "pos_id",
+        F.concat_ws(
+            ",", F.transform(negs, lambda x: x.cast("string"))
+        ).alias("neg_ids"),
+    )
+
+
+Q102_SQL = f"""
+WITH n AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+p AS (
+  SELECT doc_id AS anchor_id, source,
+         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS pos_id
+  FROM documents),
+r AS (
+  SELECT anchor_id, pos_id,
+         least(anchor_id, pos_id) AS lo, greatest(anchor_id, pos_id) AS hi,
+         [({sql_seed('CAST(anchor_id AS VARCHAR)')} * j + j) % (n_docs - 2)
+          FOR j IN generate_series(1, {NEG_PER_ANCHOR})] AS draws
+  FROM p, n WHERE pos_id IS NOT NULL)
+SELECT anchor_id, pos_id,
+       array_to_string(
+         [CAST(CASE WHEN (CASE WHEN d >= lo THEN d + 1 ELSE d END) >= hi
+                    THEN (CASE WHEN d >= lo THEN d + 1 ELSE d END) + 1
+                    ELSE (CASE WHEN d >= lo THEN d + 1 ELSE d END) END
+               AS VARCHAR) FOR d IN draws], ',') AS neg_ids
+FROM r
+"""
+
+EXTRA_QUERIES["q102_contrastive_pairs"] = Query(
+    q102_contrastive_pairs,
+    Q102_SQL,
+    "contrastive pair construction (same-source lead positive + "
+    "hash-deterministic negatives)",
+)
+
+
+# --- q103: curriculum difficulty ordering ---------------------------------
+
+def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum-learning prep: rank documents easy → hard by a
+    rarity-weighted difficulty proxy — the mean per-token rarity score
+    (tot*1000 div tf, an EXACT integer per token, so the per-doc mean
+    is sum-of-ints/count and immune to Spark's partial-aggregate
+    float-merge order; rare-word-heavy docs are 'hard'). Shape: one
+    explode + tf aggregate, broadcast of the (vocab-sized) frequency
+    table back onto the token stream, per-doc mean, then the
+    scale-safe global rank (``operators.rank.global_row_number``:
+    repartitionByRange on difficulty + per-partition offsets — the
+    form the round-5 docstring promised, now implemented and
+    parity-proved equal to the single-window rank)."""
+    from anti_ddos_spark.operators.rank import global_row_number
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus token mass stays lazy in the plan (no eager .count() at
+    # construction time — the q85-review rule); derived from tf so the
+    # broadcast side carries it for free
+    tot = tf.agg(F.sum("tf").alias("tot"))
+    rarity = F.expr("(tot * 1000) div tf")  # exact integer per token
+    scored = (
+        toks.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_toks"),
+            F.floor(F.avg(rarity) + F.lit(0.5))
+            .cast("long")
+            .alias("difficulty_x1e3"),
+        )
+    )
+    order = [F.col("difficulty_x1e3").asc(), F.col("doc_id").asc()]
+    return global_row_number(scored, order, rn_col="_rn").select(
+        "doc_id",
+        "n_toks",
+        "difficulty_x1e3",
+        F.col("_rn").cast("int").alias("curriculum_pos"),
+    )
+
+
+Q103_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_W}) AS term FROM documents),
+tf AS (SELECT term, count(*) AS tf FROM toks GROUP BY term),
+tot AS (SELECT sum(tf) AS tot FROM tf),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_toks,
+         CAST(floor(avg((tot * 1000) // tf) + 0.5) AS BIGINT)
+           AS difficulty_x1e3
+  FROM toks JOIN tf USING (term), tot
+  GROUP BY doc_id)
+SELECT doc_id, n_toks, difficulty_x1e3,
+       CAST(row_number() OVER (ORDER BY difficulty_x1e3 ASC, doc_id ASC)
+            AS INT) AS curriculum_pos
+FROM scored
+"""
+
+EXTRA_QUERIES["q103_curriculum_order"] = Query(
+    q103_curriculum_order,
+    Q103_SQL,
+    "curriculum ordering by rarity-weighted difficulty (exact unigram "
+    "frequencies, fixed-point idf score)",
+)
+
+
+# --- q104: deterministic per-epoch shuffling ------------------------------
+
+def q104_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-epoch training order without an RNG: each epoch's
+    permutation is the rank of md5(epoch:doc_id) — different every
+    epoch, identical on every replay/engine (how a distributed loader
+    gets resumable shuffling: position is a pure function of
+    (epoch, id)). Emits each doc's position in epochs 0 and 1; the
+    epoch-decorrelation check lives in the oracle comparison itself.
+
+    Each epoch is its own total order, so each runs its own scale-safe
+    global rank (``operators.rank.global_row_number`` — range exchange
+    per epoch key, no single-partition sort) and the per-epoch results
+    rejoin on doc_id: 2 range shuffles + 1 equi-join instead of two
+    windows over one all-rows partition."""
+    from anti_ddos_spark.operators.rank import global_row_number
+
+    docs = t(spark, sf, "documents").select("doc_id")
+
+    def epoch_pos(epoch: int, out: str) -> DataFrame:
+        key = F.md5(
+            F.concat_ws(":", F.lit(str(epoch)), F.col("doc_id").cast("string"))
+        )
+        ranked = global_row_number(
+            docs.withColumn("_k", key), ["_k", F.col("doc_id").asc()],
+            rn_col="_rn",
+        )
+        return ranked.select("doc_id", F.col("_rn").cast("int").alias(out))
+
+    return epoch_pos(0, "pos_e0").join(epoch_pos(1, "pos_e1"), "doc_id")
+
+
+Q104_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id ASC)
+         AS INT) AS pos_e0,
+       CAST(row_number() OVER (
+         ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id ASC)
+         AS INT) AS pos_e1
+FROM documents
+"""
+
+EXTRA_QUERIES["q104_epoch_shuffle"] = Query(
+    q104_epoch_shuffle,
+    Q104_SQL,
+    "deterministic per-epoch shuffle (position = rank of "
+    "md5(epoch:doc_id); resumable, engine-independent)",
+)
+
+
+# --- q106: per-stratum weighted sampling ----------------------------------
+
+STRAT_SAMPLE_K = 5
+
+
+def q106_stratified_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """The per-domain form of q89: within each source, keep the top-K
+    docs by the derandomized Efraimidis-Spirakis key (content-hash
+    uniform, length weight) — a fixed per-domain budget, the sampling
+    layout a balanced training mix uses. One shuffle on the stratum
+    key; the rank is per-stratum, never global."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf, "documents")
+    u = (content_seed(F.col("text")) % 1_000_000 + F.lit(0.5)) / 1_000_000.0
+    key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.floor(key * 1_000_000_000 + F.lit(0.5)).cast("long").alias("key_x1e9"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("key_x1e9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= STRAT_SAMPLE_K)
+    )
+
+
+Q106_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(floor(ln(({sql_seed('text')} % 1000000 + 0.5) / 1000000.0)
+                    / greatest(n_chars, 1) * 1000000000 + 0.5) AS BIGINT)
+           AS key_x1e9
+  FROM documents)
+SELECT doc_id, source, key_x1e9,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY key_x1e9 DESC, doc_id ASC) AS rk
+      FROM keyed)
+WHERE rk <= {STRAT_SAMPLE_K}
+"""
+
+EXTRA_QUERIES["q106_stratified_weighted_sample"] = Query(
+    q106_stratified_weighted_sample,
+    Q106_SQL,
+    "per-stratum weighted sampling (Efraimidis-Spirakis keys, fixed "
+    "per-source budget)",
+)
+
+

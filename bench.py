@@ -6,16 +6,39 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 count-collapsing noop action (write to a no-op sink would hide result
 materialization; we use .foreach-free collect of an agg summary to force
 every operator while keeping driver transfer negligible).
+
+Decade mode (round-6 verdict task #6): ``python bench.py --sf 10x``
+builds a 10x replication of sf0.1's events/documents/embeddings (reusing
+scripts/scale_probe.py's id-remapped replication) and times the
+table-compatible headline subset at that scale, writing the result to
+BENCH_SCALE10X.json. The DEFAULT run then embeds that file (marked
+``"cached": true`` with its build timestamp) as a ``scale10x`` block in
+the one-line JSON, so the per-round BENCH artifact carries both scales
+without the driver's bench run paying the multi-minute replication cost.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SCALE10X_RESULT = os.path.join(REPO, "BENCH_SCALE10X.json")
+
+# headline queries whose inputs (events/documents/embeddings) exist in
+# the replicated decade dir; the TPC-H-table queries have no 10x twin
+SCALE10X_QUERIES = [
+    "q20_event_sessions",
+    "q24_flow_features_full",
+    "q35_minhash_prod",
+    "q37_curation_funnel",
+    "q42_cosine_neardup_pairs",
+]
 
 HEADLINE = [
     "q01_pricing_summary",
@@ -39,7 +62,48 @@ HEADLINE = [
 ]
 
 
+def run_scale10x() -> None:
+    """Build (or reuse) the 10x decade dir and time the compatible
+    headline subset there; persist the block for default runs to embed."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import scale_probe
+
+    from anti_ddos_spark.queries import full_registry
+    from anti_ddos_spark.session import get_spark
+
+    out_dir = os.environ.get("SPARK_GRAFT_10X_DIR", "/tmp/spark_graft_10x")
+    spark = get_spark(app_name="anti_ddos_spark_bench_10x")
+    done = all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet", "_SUCCESS"))
+        for t in ("events", "documents", "embeddings")
+    )
+    if not done:
+        scale_probe.build_10x(spark, out_dir, replicas=10)
+    reg = full_registry()
+    timings = {
+        name: round(scale_probe.time_query(spark, reg[name].fn, out_dir, 1), 3)
+        for name in SCALE10X_QUERIES
+    }
+    block = {
+        "sf": "1.0 (10x replication of sf0.1)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(SCALE10X_RESULT, "w") as f:
+        json.dump(block, f, indent=1)
+    print(json.dumps(block))
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=None, help="'10x' runs the decade bench")
+    args = ap.parse_args()
+    if args.sf == "10x":
+        run_scale10x()
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from anti_ddos_spark.queries import full_registry
     from anti_ddos_spark.session import get_spark
@@ -82,6 +146,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # second-scale block from the most recent `bench.py --sf 10x` run
+    # (cached: the decade replication is too costly for every round-trip)
+    if os.path.exists(SCALE10X_RESULT):
+        with open(SCALE10X_RESULT) as f:
+            out["scale10x"] = {**json.load(f), "cached": True}
     print(json.dumps(out))
 
 

@@ -93,7 +93,20 @@ def _neardup_adaptive(spark, sf_dir):
     return lsh_neardup_pairs(emb, 0.8, n_bands=4, planes_per_band=planes)
 
 
+def _jaccard_w5(spark, sf_dir):
+    """Round-6 task #7: the LARGER-token-space fix for q34's saturated
+    corpus — 5-gram Jaccard via the same recall-1 prefix-filtered join
+    (w=5 multiplies the token space, pushing the n²/V candidate floor
+    out without the df-cap's recall trade; parity/recall-1 unit:
+    tests/test_jaccard_cap.py::test_wider_ngram_is_exact_vs_bruteforce)."""
+    from anti_ddos_spark.queries.base import t
+    from anti_ddos_spark.queries.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), ngram_w=5)
+
+
 EXTRA_PROBES = {
+    "jaccard_w5": _jaccard_w5,
     "neardup_prod_params": _neardup_prod,
     "neardup_adaptive_params": _neardup_adaptive,
 }

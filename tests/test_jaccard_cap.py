@@ -52,3 +52,56 @@ def test_uncapped_is_default(spark):
     assert _pairs(ngram_jaccard_pairs(docs)) == _pairs(
         ngram_jaccard_pairs(docs, max_prefix_df=None)
     )
+
+
+def test_wider_ngram_is_exact_vs_bruteforce(spark):
+    """ngram_w=5 (the round-6 de-saturation mode): the prefix-filtered
+    join must still be RECALL 1 for the 5-gram Jaccard metric — equal to
+    a brute-force within-block all-pairs computation."""
+    from anti_ddos_spark.queries.base import t
+    from anti_ddos_spark.queries.textops import char_ngrams, ngram_jaccard_pairs
+
+    docs = t(spark, SF_DIR_ORACLE, "documents")
+    got = ngram_jaccard_pairs(docs, ngram_w=5)
+    d = docs.select(
+        "doc_id", "source", "lang",
+        F.floor(F.col("n_chars") / 100).alias("band"),
+        char_ngrams(5).alias("g"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.floor(
+        F.size(F.array_intersect("a.g", "b.g")) * 100.0
+        / F.size(F.array_union("a.g", "b.g"))
+        + 0.5
+    ).cast("int")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("tri_jaccard_pct"),
+        )
+        .filter(F.col("tri_jaccard_pct") >= 30)
+    )
+    rows = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["tri_jaccard_pct"]) for r in df.collect()
+    }
+    g, bf = rows(got), rows(brute)
+    assert g == bf
+    assert g, "fixture must produce 5-gram near-dup pairs"
+
+
+def test_trigram_default_unchanged_by_width_param(spark):
+    from anti_ddos_spark.queries.base import t
+    from anti_ddos_spark.queries.textops import ngram_jaccard_pairs
+
+    docs = t(spark, SF_DIR_ORACLE, "documents")
+    assert _pairs(ngram_jaccard_pairs(docs)) == _pairs(
+        ngram_jaccard_pairs(docs, ngram_w=3)
+    )
