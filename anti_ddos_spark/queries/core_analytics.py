@@ -724,3 +724,124 @@ EXTRA_QUERIES["q112_explode_outer"] = Query(
     "null-preserving explode (posexplode_outer vs lateral LEFT JOIN "
     "unnest; matchless rows survive)",
 )
+
+
+# --- q116: map higher-order functions (map_concat/filter/transform) -------
+
+MAP_CLIP = 75
+
+
+def q116_map_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """The MapType higher-order-function surface q100 left unpinned:
+    ``create_map`` + ``map_concat`` (merge parsed JSON props with a
+    row-derived entry), ``map_filter`` (keep simple-key integral
+    entries), ``transform_values`` (per-entry cast + clip) and
+    ``transform_keys`` (canonicalize case) — the map-normalization
+    ladder a schema-free event pipeline runs before aggregating.
+    All four HOFs execute per-entry inside whole-stage codegen; the
+    final per-key aggregate is the only shuffle."""
+    ev = t(spark, sf, "events")
+    m = F.map_concat(
+        F.from_json("props", "map<string,string>"),
+        F.create_map(F.lit("uid"), F.col("user_id").cast("string")),
+    )
+    ints = F.map_filter(
+        m,
+        lambda k, v: k.rlike("^[A-Za-z0-9_]+$") & v.rlike("^-?[0-9]+$"),
+    )
+    clipped = F.transform_values(
+        ints, lambda k, v: F.least(v.cast("bigint"), F.lit(MAP_CLIP))
+    )
+    upped = F.transform_keys(clipped, lambda k, v: F.upper(k))
+    kv = ev.select(F.explode(upped).alias("key", "value"))
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").cast("long").alias("value_sum"),
+        F.min("value").cast("long").alias("value_min"),
+        F.max("value").cast("long").alias("value_max"),
+    )
+
+
+Q116_SQL = f"""
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS k,
+         json_extract_string(props, '$.' || unnest(json_keys(props))) AS v
+  FROM events
+  UNION ALL
+  SELECT 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events)
+SELECT upper(k) AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(CAST(v AS BIGINT), {MAP_CLIP})) AS BIGINT) AS value_sum,
+       CAST(min(least(CAST(v AS BIGINT), {MAP_CLIP})) AS BIGINT) AS value_min,
+       CAST(max(least(CAST(v AS BIGINT), {MAP_CLIP})) AS BIGINT) AS value_max
+FROM kv
+WHERE regexp_matches(k, '^[A-Za-z0-9_]+$') AND regexp_matches(v, '^-?[0-9]+$')
+GROUP BY upper(k)
+"""
+
+EXTRA_QUERIES["q116_map_hof"] = Query(
+    q116_map_hof,
+    Q116_SQL,
+    "MapType HOF ladder: create_map + map_concat -> map_filter -> "
+    "transform_values (clip) -> transform_keys (case) -> per-key agg",
+)
+
+
+# --- q117: array higher-order / ordering functions ------------------------
+
+def q117_array_hof(spark: SparkSession, sf: str) -> DataFrame:
+    """The array ordering/slicing surface the token pipelines use but
+    no oracle had pinned as such: ``array_sort`` + ``array_distinct``
+    (binary-collation string sort — identical to DuckDB's default
+    list_sort), ``slice``/``array_join`` (lexical prefix),
+    ``element_at`` with a NEGATIVE index (tail access),
+    ``array_position`` (1-based first occurrence), ``array_max`` over a
+    ``transform``, ``filter`` and ``forall``. Zero shuffle: one
+    projection per row."""
+    docs = t(spark, sf, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    sorted_d = F.array_sort(F.array_distinct(ws))
+    return docs.select(
+        "doc_id",
+        F.size(ws).cast("int").alias("n_tokens"),
+        F.array_join(F.slice(sorted_d, 1, 3), ",").alias("first3"),
+        F.element_at(sorted_d, -1).alias("last_token"),
+        F.array_position(ws, F.element_at(sorted_d, 1))
+        .cast("long")
+        .alias("pos_min_token"),
+        F.array_max(F.transform(ws, lambda x: F.length(x)))
+        .cast("int")
+        .alias("max_token_len"),
+        F.size(F.filter(ws, lambda x: F.length(x) >= 7))
+        .cast("int")
+        .alias("n_long_tokens"),
+        F.forall(ws, lambda x: F.length(x) > 0).cast("int").alias("all_nonempty"),
+    )
+
+
+Q117_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS ws,
+         list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))) AS sd
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS INT) AS n_tokens,
+       array_to_string(list_slice(sd, 1, 3), ',') AS first3,
+       sd[-1] AS last_token,
+       CAST(list_position(ws, sd[1]) AS BIGINT) AS pos_min_token,
+       CAST(list_max(list_transform(ws, x -> length(x))) AS INT)
+         AS max_token_len,
+       CAST(len(list_filter(ws, x -> length(x) >= 7)) AS INT)
+         AS n_long_tokens,
+       CAST((len(list_filter(ws, x -> length(x) > 0)) = len(ws)) AS INT)
+         AS all_nonempty
+FROM d
+"""
+
+EXTRA_QUERIES["q117_array_hof"] = Query(
+    q117_array_hof,
+    Q117_SQL,
+    "array HOF/ordering surface: array_sort/distinct, slice+join, "
+    "negative element_at, array_position, transform-max, filter, forall",
+)

@@ -31,7 +31,11 @@ sys.path.insert(0, REPO)
 SCALE10X_RESULT = os.path.join(REPO, "BENCH_SCALE10X.json")
 
 # headline queries whose inputs (events/documents/embeddings) exist in
-# the replicated decade dir; the TPC-H-table queries have no 10x twin
+# the replicated decade dir; the TPC-H-table queries have no 10x twin.
+# q42 is the ORACLE-PINNED fixed-parameter demo (static bucket space, so
+# its decade number grows superlinearly by design — PERF.md "parameter
+# saturation"); the neardup_adaptive_params probe timed next to it is
+# the production scale path (lsh_planes_for occupancy-constant sizing).
 SCALE10X_QUERIES = [
     "q20_event_sessions",
     "q24_flow_features_full",
@@ -80,9 +84,14 @@ def run_scale10x() -> None:
     if not done:
         scale_probe.build_10x(spark, out_dir, replicas=10)
     reg = full_registry()
+    probes = [(n, reg[n].fn) for n in SCALE10X_QUERIES] + [
+        ("neardup_adaptive_params", scale_probe.EXTRA_PROBES["neardup_adaptive_params"])
+    ]
+    # min-of-2 after warm: the spill-bound q42 decade point varies ~1.5x
+    # run-to-run on a shared-disk box; min is the steady-state claim
     timings = {
-        name: round(scale_probe.time_query(spark, reg[name].fn, out_dir, 1), 3)
-        for name in SCALE10X_QUERIES
+        name: round(scale_probe.time_query(spark, fn, out_dir, 2), 3)
+        for name, fn in probes
     }
     block = {
         "sf": "1.0 (10x replication of sf0.1)",
