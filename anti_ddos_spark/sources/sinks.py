@@ -153,3 +153,50 @@ def write_training_shards(
         )
         .orderBy("shard")
     )
+
+
+def es_bulk_lines(
+    df: DataFrame, index: str, id_col: str
+) -> DataFrame:
+    """Format rows as an Elasticsearch ``_bulk`` API body (S9): for each
+    row, an action line ``{"index": {"_index": ..., "_id": ...}}``
+    immediately followed by the document JSON — exactly the payload the
+    reference's indexer builds driver-side with ``helpers.bulk``
+    (indexer/indexer.py:26-45). Built distributed: a per-row
+    ``explode(array(action, doc))`` keeps the action/doc adjacency
+    within partition row order, so each written text partition is a
+    valid standalone ``_bulk`` body a POST (or the out-of-engine
+    indexer) can ship verbatim. The actual HTTP transport stays outside
+    the engine by design — this pins the full payload contract, not
+    just NDJSON docs."""
+    doc_cols = [c for c in df.columns]
+    action = F.to_json(
+        F.struct(
+            F.struct(
+                F.lit(index).alias("_index"),
+                F.col(id_col).cast("string").alias("_id"),
+            ).alias("index")
+        )
+    )
+    doc = F.to_json(F.struct(*[F.col(c) for c in doc_cols]))
+    return df.select(F.explode(F.array(action, doc)).alias("value"))
+
+
+def write_es_bulk(
+    df: DataFrame,
+    path: str,
+    index: str,
+    id_col: str,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write the ``_bulk`` bodies as text shards (one file = one valid
+    POST body). ``max_records_per_file`` bounds LINES per file; keep it
+    EVEN so an action line is never split from its document (enforced
+    here rather than documented)."""
+    if max_records_per_file is not None and max_records_per_file % 2:
+        raise ValueError("max_records_per_file must be even (action+doc pairs)")
+    w = es_bulk_lines(df, index, id_col).write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.text(path)

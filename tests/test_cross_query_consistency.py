@@ -85,3 +85,69 @@ def test_rate_monitors_agree(q):
     b_ = q("q88_streaming_rate_anomaly")
     assert a.count() == b_.count()
     assert a.exceptAll(b_).count() == 0
+
+
+def test_bounded_dedup_replay_accounting(q):
+    """q114's emitted set is fully determined by q30's digest summary:
+    every distinct digest is emitted exactly twice (batch-0 first copy +
+    batch-3 re-admission) plus the two clock rows."""
+    q30 = q("q30_exact_dedup").head()
+    out = q("q114_bounded_dedup_replay")
+    assert out.count() == 2 * q30["n_unique"] + 2
+    per = out.groupBy("digest").count()
+    clocks = per.filter(F.col("digest").startswith("CLOCK-"))
+    assert clocks.count() == 2
+    assert per.filter(~F.col("digest").startswith("CLOCK-")).agg(
+        F.min("count"), F.max("count")
+    ).head() == (2, 2)
+
+
+def test_stream_scoring_agrees_with_batch_rule(q):
+    """q115's streamed labels == thresholding q24's batch flow features
+    under the same append-emission predicate (stream ≡ batch, and the
+    rule is applied identically by two code paths)."""
+    from anti_ddos_spark.queries.streamops import (
+        RULE_MIN_BYTES,
+        RULE_MIN_PACKETS,
+    )
+    from anti_ddos_spark.queries.flow import FLOW_GAP_S
+    from anti_ddos_spark.queries.base import t as _t
+
+    streamed = q("q115_streaming_scored_flows").select("flow_id", "label")
+    flows = q("q24_flow_features_full")
+    final_wm = (
+        _t(streamed.sparkSession, SF, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .head()[0]
+    )
+    n_pkts = F.col("total_fwd_packets") + F.col("total_backward_packets")
+    n_bytes = F.col("total_length_of_fwd_packets") + F.col(
+        "total_length_of_bwd_packets"
+    )
+    batch = flows.filter(
+        F.col("last_ts_us") + FLOW_GAP_S * 1_000_000 < final_wm
+    ).select(
+        "flow_id",
+        F.when(
+            (n_pkts >= RULE_MIN_PACKETS) | (n_bytes >= RULE_MIN_BYTES),
+            "DDoS",
+        )
+        .otherwise("Normal")
+        .alias("label"),
+    )
+    a = {(r["flow_id"], r["label"]) for r in streamed.collect()}
+    b = {(r["flow_id"], r["label"]) for r in batch.collect()}
+    assert a == b and a
+
+
+def test_ntile_quartiles_partition_the_corpus(q):
+    """q91's equi-depth bins: counts sum to the corpus, sizes differ by
+    at most one, and length spans are ordered and non-overlapping."""
+    rows = sorted(q("q91_length_quartiles").collect(), key=lambda r: r["q"])
+    n_docs = q("q31_doc_profile").count()
+    assert [r["q"] for r in rows] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["len_max"] <= hi["len_min"]

@@ -121,3 +121,41 @@ def test_rate_packet_stream_schema(spark):
     assert df.isStreaming
     assert [f.name for f in df.schema] == [f.name for f in PACKET_SCHEMA]
     assert [f.dataType for f in df.schema] == [f.dataType for f in PACKET_SCHEMA]
+
+
+def test_es_bulk_payload_contract(spark, tmp_path):
+    """S9: each written text file is a valid _bulk body — alternating
+    action/doc lines, action._id matches the following doc's id, every
+    input row present exactly once."""
+    import glob
+    import json
+
+    from anti_ddos_spark.sources.sinks import write_es_bulk
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source", "lang")
+    )
+    out = str(tmp_path / "bulk")
+    write_es_bulk(docs, out, index="corpus", id_col="doc_id",
+                  max_records_per_file=10)
+    seen = {}
+    for f in glob.glob(out + "/*.txt") + glob.glob(out + "/part-*"):
+        lines = [l for l in open(f).read().splitlines() if l]
+        assert len(lines) % 2 == 0, f"odd line count in {f}"
+        for a, d in zip(lines[::2], lines[1::2]):
+            action, doc = json.loads(a), json.loads(d)
+            assert set(action) == {"index"}
+            assert action["index"]["_index"] == "corpus"
+            assert action["index"]["_id"] == str(doc["doc_id"])
+            seen[doc["doc_id"]] = doc
+    rows = {r["doc_id"]: r.asDict() for r in docs.collect()}
+    assert seen.keys() == rows.keys()
+    for k, v in rows.items():
+        assert seen[k] == v
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_es_bulk(docs, out + "2", "corpus", "doc_id",
+                      max_records_per_file=7)
