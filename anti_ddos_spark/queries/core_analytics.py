@@ -845,3 +845,119 @@ EXTRA_QUERIES["q117_array_hof"] = Query(
     "array HOF/ordering surface: array_sort/distinct, slice+join, "
     "negative element_at, array_position, transform-max, filter, forall",
 )
+
+
+# --- q119: calendar / datetime scalar surface -----------------------------
+
+def q119_calendar_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """The datetime scalar surface q15's bucketing left unpinned:
+    ``date_trunc('quarter')``, ``add_months``, ``last_day``,
+    ``dayofweek`` (Spark is 1=Sunday; the oracle shifts DuckDB's
+    0=Sunday), ``weekofyear`` (ISO week in both engines) and
+    ``dayofyear`` — composed into a per-quarter order profile. One hash
+    aggregate; every scalar folds into the scan projection."""
+    o = t(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("q_start"),
+            F.dayofweek(d).alias("dow"),
+            F.weekofyear(d).alias("wk"),
+            F.dayofyear(d).alias("doy"),
+            F.dayofmonth(F.last_day(d)).alias("eom_day"),
+            (F.year(F.add_months(d, 3)) > F.year(d)).alias("q_shift_wraps"),
+        )
+        .groupBy("q_start")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("dow").isin(1, 7), 1).otherwise(0))
+            .cast("long")
+            .alias("n_weekend"),
+            F.countDistinct("wk").cast("long").alias("n_iso_weeks"),
+            F.min("doy").cast("int").alias("doy_min"),
+            F.max("doy").cast("int").alias("doy_max"),
+            F.max("eom_day").cast("int").alias("eom_max"),
+            F.sum(F.col("q_shift_wraps").cast("int"))
+            .cast("long")
+            .alias("n_wrap"),
+        )
+    )
+
+
+Q119_SQL = """
+SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN dayofweek(o_orderdate) + 1 IN (1, 7)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+       CAST(count(DISTINCT weekofyear(o_orderdate)) AS BIGINT)
+         AS n_iso_weeks,
+       CAST(min(dayofyear(o_orderdate)) AS INT) AS doy_min,
+       CAST(max(dayofyear(o_orderdate)) AS INT) AS doy_max,
+       CAST(max(dayofmonth(last_day(o_orderdate))) AS INT) AS eom_max,
+       CAST(sum(CASE WHEN year(o_orderdate + INTERVAL 3 MONTH)
+                          > year(o_orderdate)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_wrap
+FROM orders
+GROUP BY 1
+"""
+
+EXTRA_QUERIES["q119_calendar_profile"] = Query(
+    q119_calendar_profile,
+    Q119_SQL,
+    "calendar scalar surface: date_trunc quarter, add_months wrap, "
+    "last_day, dayofweek/weekofyear/dayofyear per-quarter profile",
+)
+
+
+# --- q120: edit-distance fuzzy matching (blocked levenshtein join) --------
+
+FUZZY_MAX_EDITS = 2
+
+
+def q120_fuzzy_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy near-key matching — the entity-resolution primitive the
+    dedup family (set-based q34/q35) doesn't cover: part-name pairs
+    within ``FUZZY_MAX_EDITS`` Levenshtein edits, blocked on brand.
+    The ``abs(len(a) − len(b)) ≤ k`` join predicate is an exact
+    Levenshtein lower bound, so it prunes candidates BEFORE the O(n·m)
+    distance evaluation without losing a pair. Scale posture: blocking
+    carries the join (brand + length band here; at corpus scale the
+    q34-style q-gram prefix filter is the recall-1 generator and this
+    operator is its verify stage)."""
+    p = t(spark, sf, "part").select(
+        "p_partkey", "p_brand", "p_name", F.length("p_name").alias("ln")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    k = FUZZY_MAX_EDITS
+    cand = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.col("a.ln") - F.col("b.ln")) <= k),
+    )
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return cand.select(
+        F.col("a.p_partkey").alias("id_a"),
+        F.col("b.p_partkey").alias("id_b"),
+        dist.cast("int").alias("edits"),
+    ).filter(F.col("edits") <= k)
+
+
+Q120_SQL = f"""
+WITH d AS (
+  SELECT p_partkey, p_brand, p_name, length(p_name) AS ln FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edits
+FROM d a JOIN d b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND abs(a.ln - b.ln) <= {FUZZY_MAX_EDITS}
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_EDITS}
+"""
+
+EXTRA_QUERIES["q120_fuzzy_part_pairs"] = Query(
+    q120_fuzzy_part_pairs,
+    Q120_SQL,
+    "blocked Levenshtein fuzzy matching: brand block + exact "
+    "length-band lower bound, then edit-distance verify",
+)

@@ -1123,3 +1123,111 @@ EXTRA_QUERIES["q115_streaming_scored_flows"] = Query(
     "in-stream scoring stage hash-checked: sessionize -> rule-model "
     "transform -> DDoS/Normal label, REAL streaming run vs batch SQL",
 )
+
+
+# --- q118: stream-stream LEFT OUTER join (watermark-gated nulls) ----------
+
+def q118_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER join — the outer-join semantics
+    q93's inner form doesn't pin: matched pairs emit as they join, but
+    an UNMATCHED left row emits (with a null right side) only once the
+    watermark proves no future match can arrive, i.e. past
+    ``a_ts + 60 s`` (the upper bound of its match window). The final
+    no-data micro-batch of the availableNow run advances the global
+    watermark to min(max(a_ts), max(b_ts)) (0 s delay, min-policy
+    across inputs), so the emitted set is deterministic: all interval
+    matches plus exactly the unmatched odd-events whose window closed
+    strictly before that watermark — which is what the oracle
+    recomputes. At 100 TB the same watermark bound is the state story:
+    each side retains only the interval horizon, and outer results
+    stream out as the watermark passes them."""
+    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q118_stream_")
+    a_src = os.path.join(tmp, "a")
+    b_src = os.path.join(tmp, "b")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(a_src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(b_src)
+
+    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    a = (
+        spark.readStream.schema(schema)
+        .parquet(a_src)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .parquet(b_src)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
+        "left_outer",
+    ).select("a_id", "b_id", F.col("a_user").alias("user_id"))
+
+    name = f"q118_left_{run_id}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q118 stream-stream left join did not finish in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+    return spark.table(name)
+
+
+Q118_SQL = """
+WITH a AS (
+  SELECT event_id AS a_id, user_id, ts AS a_ts
+  FROM events WHERE event_id % 2 = 1),
+b AS (
+  SELECT event_id AS b_id, user_id, ts AS b_ts
+  FROM events WHERE event_id % 2 = 0),
+wm AS (
+  SELECT least((SELECT max(epoch_us(ts)) FROM events WHERE event_id % 2 = 1),
+               (SELECT max(epoch_us(ts)) FROM events WHERE event_id % 2 = 0))
+    AS wm_us)
+SELECT a.a_id, b.b_id, a.user_id
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND b.b_ts BETWEEN a.a_ts - INTERVAL 60 SECOND
+                AND a.a_ts + INTERVAL 60 SECOND
+UNION ALL
+SELECT a.a_id, NULL AS b_id, a.user_id
+FROM a, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM b
+        WHERE b.user_id = a.user_id
+          AND b.b_ts BETWEEN a.a_ts - INTERVAL 60 SECOND
+                         AND a.a_ts + INTERVAL 60 SECOND)
+  AND epoch_us(a.a_ts) + 60000000 < wm.wm_us
+"""
+
+EXTRA_QUERIES["q118_stream_stream_left_join"] = Query(
+    q118_stream_stream_left_join,
+    Q118_SQL,
+    "stream-stream LEFT OUTER interval join: matches emit in-stream, "
+    "unmatched rows emit nulls only after the watermark closes their "
+    "window (REAL run vs batch left-join + watermark predicate)",
+)
