@@ -961,3 +961,52 @@ EXTRA_QUERIES["q120_fuzzy_part_pairs"] = Query(
     "blocked Levenshtein fuzzy matching: brand block + exact "
     "length-band lower bound, then edit-distance verify",
 )
+
+
+# --- q121: ordered collection aggregate (user action paths) ---------------
+
+PATH_K = 5
+
+
+def q121_user_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-collection semantics — ``collect_list`` carries NO
+    ordering guarantee across partitions, so the deterministic form is
+    collect-then-sort: ``sort_array(collect_list(struct(ts, event_id,
+    event_type)))`` orders by the struct fields lexically (= ORDER BY
+    ts, event_id with the type riding along), then slice + transform +
+    array_join extract the first-K action path. The action-sequence
+    primitive funnel/path mining consumes; one hash aggregate, arrays
+    bounded by per-user event counts."""
+    ev = t(spark, sf, "events")
+    seq = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.slice(seq, 1, PATH_K), lambda x: x["event_type"]
+            ),
+            ">",
+        ).alias("path"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+Q121_SQL = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       array_to_string(
+         list_slice(list(event_type ORDER BY ts, event_id), 1, {PATH_K}),
+         '>') AS path,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+"""
+
+EXTRA_QUERIES["q121_user_paths"] = Query(
+    q121_user_paths,
+    Q121_SQL,
+    "deterministic ordered collect: sort_array(collect_list(struct)) "
+    "first-K action path per user",
+)
