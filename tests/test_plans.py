@@ -251,3 +251,33 @@ def test_training_prep_family_plans(spark):
         s = _summary(spark, name)
         assert "Python" not in s["text"] and "ArrowEval" not in s["text"], name
         assert "CartesianProduct" not in s["text"], name
+
+
+def test_round6_additions_bounded_and_pure(spark):
+    """Round-6 HOF/calendar/fuzzy/path queries: pure Catalyst (no
+    Python), no cartesian products, bounded shuffles. q117 must be a
+    zero-shuffle per-row projection; q120's length-band predicate must
+    ride the join (no post-join explosion beyond the single block
+    join)."""
+    caps = {
+        "q116_map_hof": 1,      # per-key agg
+        "q117_array_hof": 0,    # pure projection
+        # countDistinct = two-phase distinct aggregate: both Exchanges
+        # are on the group key (partial-distinct then merge) — the
+        # standard shape, not a regression
+        "q119_calendar_profile": 2,
+        "q121_user_paths": 2,
+    }
+    for name, cap in caps.items():
+        s = _summary(spark, name)
+        assert "Python" not in s["text"] and "ArrowEval" not in s["text"], name
+        assert "CartesianProduct" not in s["text"], name
+        assert s["n_shuffle_exchanges"] <= cap, (name, s["text"][:1200])
+
+    s = _summary(spark, "q120_fuzzy_part_pairs")
+    assert "CartesianProduct" not in s["text"]
+    assert s["n_broadcast_joins"] + s["n_sortmerge_joins"] == 1, s["text"][:1200]
+    # the levenshtein length-band lower bound must be in the join, not a
+    # post-join filter only: the equi-keys are (brand) and the band is a
+    # join condition — assert the band expression appears in the plan
+    assert "abs" in s["text"].lower(), "length-band pruning missing"
