@@ -132,6 +132,18 @@ def train(
     return model, metrics, scored
 
 
+def volumetric_columns() -> tuple["F.Column", "F.Column"]:
+    """The ONE definition of the volumetric flow signals (total packets,
+    total payload bytes) shared by ThresholdRuleModel, q115's output
+    projection and the cross-query consistency test — per the
+    one-definition-per-metric convention (CONTRIBUTING.md)."""
+    n_pkts = F.col("total_fwd_packets") + F.col("total_backward_packets")
+    n_bytes = F.col("total_length_of_fwd_packets") + F.col(
+        "total_length_of_bwd_packets"
+    )
+    return n_pkts, n_bytes
+
+
 class ThresholdRuleModel:
     """Deterministic rule 'model' with the PipelineModel ``.transform``
     contract: prediction=1.0 when the flow looks volumetric (total
@@ -149,10 +161,7 @@ class ThresholdRuleModel:
         self.min_bytes = min_bytes
 
     def transform(self, df: DataFrame) -> DataFrame:
-        n_pkts = F.col("total_fwd_packets") + F.col("total_backward_packets")
-        n_bytes = F.col("total_length_of_fwd_packets") + F.col(
-            "total_length_of_bwd_packets"
-        )
+        n_pkts, n_bytes = volumetric_columns()
         rule = (n_pkts >= self.min_packets) | (n_bytes >= self.min_bytes)
         return df.withColumn(
             "prediction", F.when(rule, F.lit(1.0)).otherwise(F.lit(0.0))

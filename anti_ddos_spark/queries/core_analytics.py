@@ -741,6 +741,10 @@ def q116_map_hof(spark: SparkSession, sf: str) -> DataFrame:
     All four HOFs execute per-entry inside whole-stage codegen; the
     final per-key aggregate is the only shuffle."""
     ev = t(spark, sf, "events")
+    # map_concat runs under the default EXCEPTION dedup policy: a props
+    # document that already carries a 'uid' key would fail LOUDLY at
+    # runtime rather than silently pick a side — the right contract for
+    # an enrichment merge
     m = F.map_concat(
         F.from_json("props", "map<string,string>"),
         F.create_map(F.lit("uid"), F.col("user_id").cast("string")),

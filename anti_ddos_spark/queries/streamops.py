@@ -1089,10 +1089,9 @@ def q115_streaming_scored_flows(spark: SparkSession, sf: str) -> DataFrame:
         raise RuntimeError("q115 scored stream did not finish in 300 s")
     _finish_stream_run(spark, tmp, name)
     out = spark.table(name)
-    n_pkts = F.col("total_fwd_packets") + F.col("total_backward_packets")
-    n_bytes = F.col("total_length_of_fwd_packets") + F.col(
-        "total_length_of_bwd_packets"
-    )
+    from anti_ddos_spark.ml import volumetric_columns
+
+    n_pkts, n_bytes = volumetric_columns()
     return out.select(
         "flow_id",
         F.unix_micros("timestamp").alias("last_ts_us"),

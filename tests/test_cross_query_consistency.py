@@ -120,10 +120,9 @@ def test_stream_scoring_agrees_with_batch_rule(q):
         .agg(F.max(F.unix_micros("ts")))
         .head()[0]
     )
-    n_pkts = F.col("total_fwd_packets") + F.col("total_backward_packets")
-    n_bytes = F.col("total_length_of_fwd_packets") + F.col(
-        "total_length_of_bwd_packets"
-    )
+    from anti_ddos_spark.ml import volumetric_columns
+
+    n_pkts, n_bytes = volumetric_columns()
     batch = flows.filter(
         F.col("last_ts_us") + FLOW_GAP_S * 1_000_000 < final_wm
     ).select(
