@@ -281,3 +281,40 @@ def test_round6_additions_bounded_and_pure(spark):
     # post-join filter only: the equi-keys are (brand) and the band is a
     # join condition — assert the band expression appears in the plan
     assert "abs" in s["text"].lower(), "length-band pruning missing"
+
+
+def test_shuffle_hash_join_hint_honored(spark):
+    """SURVEY §2.5 claims the full join-strategy surface; broadcast and
+    sort-merge are pinned by the query suite — this pins the third:
+    a shuffle_hash hint compiles to ShuffledHashJoin (no sort on either
+    side) with results identical to the default strategy. At scale SHJ
+    wins when one side is far smaller than the other but too big to
+    broadcast (hash-build beats sorting both sides)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        base = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        hinted = (
+            li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan[:1500]
+        assert {tuple(r) for r in hinted.collect()} == {
+            tuple(r) for r in base.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
