@@ -163,21 +163,29 @@ WHERE EXISTS (SELECT 1 FROM orders
 """
 
 
+"""Anti-join threshold: every fixture customer has SOME order, so the
+unfiltered anti-join is empty — a 0=0 driver row pins nothing (round-6
+verdict task #3). Customers lacking any order above this price form a
+small non-trivial set (3 rows at sf0.001, 30 at sf0.01), so the driver
+hash now certifies real anti-join semantics."""
+Q06_MIN_PRICE = 300_000
+
+
 def q06_anti_join(spark: SparkSession, sf: str) -> DataFrame:
     cust = t(spark, sf, "customer")
-    orders = t(spark, sf, "orders")
+    big = t(spark, sf, "orders").filter(F.col("o_totalprice") > Q06_MIN_PRICE)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_orderless"))
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
     )
 
 
-Q06_SQL = """
-SELECT c_mktsegment, count(*) AS n_orderless
+Q06_SQL = f"""
+SELECT c_custkey, c_mktsegment, c_nationkey
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY c_mktsegment
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_totalprice > {Q06_MIN_PRICE})
 """
 
 
@@ -576,22 +584,15 @@ QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape: filter + wide hash agg"),
     "q02_filter_project": Query(q02_filter_project, Q02_SQL, "selective scan with parquet pushdown"),
     "q03_join_revenue": Query(q03_join_revenue, Q03_SQL, "fact-fact join + broadcast dim + agg"),
-    "q04_dim_join": Query(q04_dim_join, Q04_SQL, "broadcast snowflake dim join"),
     "q05_semi_join": Query(q05_semi_join, Q05_SQL, "left semi join / EXISTS"),
     "q06_anti_join": Query(q06_anti_join, Q06_SQL, "left anti join / NOT EXISTS"),
     "q07_topk_orders": Query(q07_topk_orders, Q07_SQL, "global top-k, deterministic tie-break"),
     "q08_window_rank": Query(q08_window_rank, Q08_SQL, "per-group top-k via row_number"),
-    "q09_running_sum": Query(q09_running_sum, Q09_SQL, "running frame aggregate"),
-    "q10_rollup": Query(q10_rollup, Q10_SQL, "rollup grouping sets"),
-    "q12_distinct_counts": Query(q12_distinct_counts, Q12_SQL, "grouped exact distinct"),
     "q16_json_extract": Query(q16_json_extract, Q16_SQL, "regex/JSON scalar extraction"),
     "q19_percentiles": Query(q19_percentiles, Q19_SQL, "exact percentile_cont per group"),
     "q27_cube": Query(q27_cube, Q27_SQL, "full cube grouping sets"),
     "q28_salted_agg": Query(
         q28_salted_agg, Q28_SQL, "salted two-stage skew-safe agg ≡ plain agg"
-    ),
-    "q29_props_struct": Query(
-        q29_props_struct, Q29_SQL, "typed from_json struct parse + agg on parsed field"
     ),
 }
 
@@ -609,6 +610,15 @@ QUERIES: dict[str, Query] = {
 # end-to-end queries the north star names (q80 curation pipeline, q68
 # span dedup, q88/q93 streaming, q113 release gate). All five keep full
 # DuckDB hash oracles here via full_registry().
+#
+# Demoted in round 7 (r6 verdict task #2): q04/q09/q10/q12/q29 — trivial
+# relational rows stable since round 1 and transitively exercised (dim
+# joins by q03/q28, frame windows by q105/q98 locals and q08, grouping
+# sets by q27, distinct by q12's local oracle, struct parse by q16) —
+# yield their driver slots to the round-6 contract queries
+# (q103/q104 global-rank forms, q114 TTL re-admission, q115 in-stream
+# scoring, q118 stream-stream left outer). All five keep full DuckDB
+# hash oracles here via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
     "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
     "q11_set_ops": Query(q11_set_ops, Q11_SQL, "intersect/except/union combo"),
@@ -616,6 +626,13 @@ EXTRA_QUERIES: dict[str, Query] = {
     "q14_string_ops": Query(q14_string_ops, Q14_SQL, "trim/upper/concat/substr scalar fns"),
     "q15_datetime_agg": Query(q15_datetime_agg, Q15_SQL, "timestamp bucketing"),
     "q17_pivot": Query(q17_pivot, Q17_SQL, "pivot to conditional-agg matrix"),
+    "q04_dim_join": Query(q04_dim_join, Q04_SQL, "broadcast snowflake dim join"),
+    "q09_running_sum": Query(q09_running_sum, Q09_SQL, "running frame aggregate"),
+    "q10_rollup": Query(q10_rollup, Q10_SQL, "rollup grouping sets"),
+    "q12_distinct_counts": Query(q12_distinct_counts, Q12_SQL, "grouped exact distinct"),
+    "q29_props_struct": Query(
+        q29_props_struct, Q29_SQL, "typed from_json struct parse + agg on parsed field"
+    ),
 }
 
 

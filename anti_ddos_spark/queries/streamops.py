@@ -1032,7 +1032,8 @@ UNION ALL
 SELECT 'CLOCK-2' AS digest, {_Q114_T0_US + 2000 * 1_000_000} AS emit_us
 """
 
-EXTRA_QUERIES["q114_bounded_dedup_replay"] = Query(
+# Promoted to the driver registry in round 7 (r6 verdict task #2).
+QUERIES["q114_bounded_dedup_replay"] = Query(
     q114_bounded_dedup_replay,
     Q114_SQL,
     "bounded-state streaming dedup TTL contract: within-horizon "
@@ -1116,7 +1117,8 @@ WHERE last_ts_us + {FLOW_GAP_S * 1_000_000}
       < (SELECT max(epoch_us(ts)) FROM events)
 """.replace("{Q24}", Q24_SQL)
 
-EXTRA_QUERIES["q115_streaming_scored_flows"] = Query(
+# Promoted to the driver registry in round 7 (r6 verdict task #2).
+QUERIES["q115_streaming_scored_flows"] = Query(
     q115_streaming_scored_flows,
     Q115_SQL,
     "in-stream scoring stage hash-checked: sessionize -> rule-model "
@@ -1223,7 +1225,8 @@ WHERE NOT EXISTS (
   AND epoch_us(a.a_ts) + 60000000 < wm.wm_us
 """
 
-EXTRA_QUERIES["q118_stream_stream_left_join"] = Query(
+# Promoted to the driver registry in round 7 (r6 verdict task #2).
+QUERIES["q118_stream_stream_left_join"] = Query(
     q118_stream_stream_left_join,
     Q118_SQL,
     "stream-stream LEFT OUTER interval join: matches emit in-stream, "

@@ -1051,3 +1051,11 @@ for _extra in (_PREP_EXTRA, _CLEANUP_EXTRA, _GOV_EXTRA):
     if _dup:
         raise ValueError(f"duplicate split-module query names: {_dup}")
     EXTRA_QUERIES.update(_extra)
+
+# Round-7 driver rotation (r6 verdict task #2): the global-rank-backed
+# training-order queries take driver slots freed by the trivial
+# relational rows demoted in queries/core.py — their zero-Window range
+# exchange plans are exactly the scale-contract shapes the driver sweep
+# should pin.
+for _name in ("q103_curriculum_order", "q104_epoch_shuffle"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)
