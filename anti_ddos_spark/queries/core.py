@@ -437,15 +437,45 @@ FROM events GROUP BY 1
 
 # --- q18: approx sketch vs exact (extension §2.5) ------------------------
 
+# HLL++ at rsd=0.05: 3σ relative-error band. percentile_approx at
+# accuracy=10000 over ~30k rows/group: rank error ≤ n/10000 ≈ 0.03 % of
+# the value range; 1 % is generous.
+HLL_RSD = 0.05
+HLL_BOUND = 3 * HLL_RSD
+P50_BOUND_PCT = 0.01
+
+
 def q18_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    # approx_count_distinct has no cross-engine-stable value; the oracle
-    # pins the EXACT distinct count and the approx column's relative error
-    # bound is asserted engine-side in tests instead.
+    """Approx sketches with hash signal (round-6 verdict task #8): the
+    sketch estimates have no cross-engine-stable value, so the query
+    emits the EXACT aggregates (oracle-pinned) plus booleans asserting
+    each estimate landed inside its configured error band. The oracle
+    emits TRUE for those columns — if the engine's HLL or KLL estimate
+    ever drifts out of band, the Spark side turns false and the driver
+    hash breaks, so the bound check itself is value-checked."""
     li = t(spark, sf, "lineitem")
+    exact = F.countDistinct("l_orderkey")
+    approx = F.approx_count_distinct("l_orderkey", rsd=HLL_RSD)
+    p50_exact = F.expr("percentile(l_extendedprice, 0.5)")
+    p50_approx = F.percentile_approx("l_extendedprice", 0.5, 10000)
     return li.groupBy("l_linestatus").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        rnd(F.percentile_approx("l_extendedprice", 0.5, 10000), 0).alias("p50_price_approx"),
+        exact.alias("exact_orders"),
+        (F.abs(approx - exact) <= F.lit(HLL_BOUND) * exact).alias(
+            "hll_within_3rsd"
+        ),
+        (F.abs(p50_approx - p50_exact) <= F.lit(P50_BOUND_PCT) * p50_exact).alias(
+            "p50_within_1pct"
+        ),
     )
+
+
+Q18_SQL = """
+SELECT l_linestatus,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS hll_within_3rsd,
+       TRUE AS p50_within_1pct
+FROM lineitem GROUP BY l_linestatus
+"""
 
 
 # --- q27: full cube (all grouping sets) -----------------------------------
@@ -620,7 +650,10 @@ QUERIES: dict[str, Query] = {
 # scoring, q118 stream-stream left outer). All five keep full DuckDB
 # hash oracles here via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
-    "q18_approx_distinct": Query(q18_approx_distinct, None, "approx sketches (engine-side bound check)"),
+    "q18_approx_distinct": Query(
+        q18_approx_distinct, Q18_SQL,
+        "approx sketches: exact aggregates + in-band booleans, hash-checked",
+    ),
     "q11_set_ops": Query(q11_set_ops, Q11_SQL, "intersect/except/union combo"),
     "q13_conditional_scrub": Query(q13_conditional_scrub, Q13_SQL, "when/isin-scrub/fill/conditional agg"),
     "q14_string_ops": Query(q14_string_ops, Q14_SQL, "trim/upper/concat/substr scalar fns"),

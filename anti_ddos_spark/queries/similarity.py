@@ -265,13 +265,17 @@ FROM scored ORDER BY scored.cos DESC, vec_id ASC LIMIT {TOPK}
 # --- q46: k-means centroid training (iterative, rows-only) ----------------
 
 def q46_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    """Lloyd's k-means (k=8, 3 iterations, deterministic init) then the
-    per-cluster size histogram. Iterative — each pass is broadcast +
-    argmin + groupBy means with only k aggregated rows reaching the
-    driver — so there is no single SQL equivalent; registered rows-only
-    (same class as q18/q50), with convergence pinned by unit tests
-    (test_kmeans.py: monotone inertia, exact recovery of planted
-    clusters)."""
+    """Lloyd's k-means (k=8, 3 iterations, deterministic farthest-point
+    init), summarized as an oracle-checkable invariant row (round-6
+    verdict task #8 — was rows-only). The per-cluster histogram is NOT
+    emitted: centroid means are avg-of-floats whose partial-merge order
+    can move a boundary point between runs. Instead the query emits
+    what IS deterministic — total assigned vectors (= the table's row
+    count, SQL-pinned) plus engine-verified invariants as booleans
+    (inertia non-increasing across iterations, every cluster populated)
+    that the oracle expects TRUE. A convergence regression or a lost
+    row flips a value and breaks the hash; per-cluster geometry stays
+    covered by test_kmeans.py (planted-cluster recovery)."""
     from anti_ddos_spark.operators.similarity import (
         as_double,
         assign_to_centroids,
@@ -279,15 +283,44 @@ def q46_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = t(spark, sf, "embeddings")
-    cents, _history = kmeans_train(emb, k=CENTROIDS, iters=3)
+    cents, history = kmeans_train(emb, k=CENTROIDS, iters=3)
     d = emb.select(as_double(F.col("embedding")).alias("e"))
-    return (
+    sizes = (
         assign_to_centroids(d, cents)
-        .select(F.col("cid").alias("cluster_id"))
-        .groupBy("cluster_id")
-        .agg(F.count("*").alias("n_vectors"))
-        .orderBy("cluster_id")
+        .groupBy("cid")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum("n").alias("n_vectors"),
+            F.count("*").alias("n_clusters"),
+            F.min("n").alias("min_sz"),
+        )
+        .collect()[0]  # bounded: one aggregated row
     )
+    monotone = all(
+        history[i + 1] <= history[i] * (1 + 1e-12)
+        for i in range(len(history) - 1)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(sizes["n_vectors"]),
+                int(CENTROIDS),
+                bool(monotone),
+                bool(sizes["n_clusters"] == CENTROIDS and sizes["min_sz"] > 0),
+            )
+        ],
+        "n_vectors bigint, k bigint, inertia_monotone boolean, "
+        "all_clusters_populated boolean",
+    )
+
+
+Q46_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST({CENTROIDS} AS BIGINT) AS k,
+       TRUE AS inertia_monotone,
+       TRUE AS all_clusters_populated
+FROM embeddings
+"""
 
 
 QUERIES: dict[str, Query] = {
@@ -359,17 +392,18 @@ QUERIES["q51_semantic_dedup"] = Query(
 
 # Demoted under the 50-row driver cap (queries/__init__.py cap policy):
 # q43 is the demo-parameter twin of q44 (same LSH code path, toy
-# constants); q46 is rows-only anyway (iterative k-means has no SQL
-# oracle) and its real evidence is tests/test_kmeans.py — demoting it in
-# round 4 made room for the q72 transformWithState row, which has a full
-# hash-checked oracle.
+# constants); q46's iterative k-means has no per-cluster SQL oracle but
+# since round 7 carries an invariant-row oracle (count + TRUE booleans)
+# next to tests/test_kmeans.py — demoting it in round 4 made room for
+# the q72 transformWithState row, which has a full hash-checked oracle.
 EXTRA_QUERIES: dict[str, Query] = {
     "q43_lsh_ann": Query(
         q43_lsh_ann, Q43_SQL, "hyperplane-LSH bucketed ANN top-k (demo params)"
     ),
     "q46_kmeans_clusters": Query(
-        q46_kmeans_clusters, None,
-        "Lloyd's k-means (iterative, rows-only) cluster histogram",
+        q46_kmeans_clusters, Q46_SQL,
+        "Lloyd's k-means: invariant-row oracle (total count SQL-pinned, "
+        "monotone-inertia + populated-cluster booleans)",
     ),
 }
 
