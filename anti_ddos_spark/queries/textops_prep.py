@@ -490,26 +490,40 @@ def q103_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     scale-safe global rank (``operators.rank.global_row_number``:
     repartitionByRange on difficulty + per-partition offsets — the
     form the round-5 docstring promised, now implemented and
-    parity-proved equal to the single-window rank)."""
+    parity-proved equal to the single-window rank).
+
+    Scale shape (round-6 verdict task #5 — the 100× decade point was
+    α 0.75, dominated by exploding the token stream twice and joining
+    per token): the corpus token stream is collapsed to per-(doc, term)
+    counts FIRST (one explode, one shuffle whose map-side combine
+    bounds every partition by its local vocabulary), then tf / tot /
+    the rarity join / the per-doc mean all run over those collapsed
+    pairs — O(doc-term pairs), not O(tokens). The mean is recomposed as
+    sum(c·rarity)/sum(c): both operands are exact integers equal to
+    the token-level sums, so the emitted difficulty is bit-identical
+    to the per-token form and the oracle hash is unchanged."""
     from anti_ddos_spark.operators.rank import global_row_number
 
     docs = t(spark, sf, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
     )
-    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    # one explode → per-(doc, term) counts; everything downstream is
+    # collapsed-pair-sized
+    dt = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    tf = dt.groupBy("term").agg(F.sum("c").alias("tf"))
     # corpus token mass stays lazy in the plan (no eager .count() at
     # construction time — the q85-review rule); derived from tf so the
     # broadcast side carries it for free
     tot = tf.agg(F.sum("tf").alias("tot"))
     rarity = F.expr("(tot * 1000) div tf")  # exact integer per token
     scored = (
-        toks.join(F.broadcast(tf), "term")
+        dt.join(F.broadcast(tf), "term")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_toks"),
-            F.floor(F.avg(rarity) + F.lit(0.5))
+            F.sum("c").cast("int").alias("n_toks"),
+            F.floor(F.sum(F.col("c") * rarity) / F.sum("c") + F.lit(0.5))
             .cast("long")
             .alias("difficulty_x1e3"),
         )
