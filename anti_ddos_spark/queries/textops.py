@@ -726,11 +726,74 @@ QUERIES["q49_repetition_profile"] = Query(
     "Gopher-style repetition/boilerplate metrics (zero-shuffle narrow plan)",
 )
 
+# --- q123: the df-capped production posture of the q34 join --------------
+
+JACCARD_CAP_PROD = 100  # absolute df cap; at the 500-doc oracle sf this
+# KEEPS 271 of the exact 311 pairs and DROPS 40 — both sides of the cap
+# boundary carry hash signal (a cap of 500 would filter nothing at this
+# sf: dead evidence, the q06-anti-join trap the round-6 verdict flagged)
+
+
+def q123_jaccard_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """q34's operator in its SCALABLE posture (``max_prefix_df``): prefix
+    n-grams whose document frequency exceeds an absolute cap are dropped
+    as join keys, bounding candidates per key to cap² regardless of
+    corpus size — the form a saturated-token-space corpus must run (the
+    recall-1 exact twin is quadratic by counting there; PERF.md
+    "token-space saturation", spill-death measured at the 5M-doc Zipf
+    decade). Recall trade measured two ways: subset/monotone units
+    (tests/test_jaccard_cap.py) and planted-pair recall on the
+    Heaps/Zipf corpus (scripts/zipf_recall.py, PERF.md round-7). This
+    entry value-pins the capped semantics themselves against DuckDB:
+    same dfreq ranking, same cap boundary, same rn trim, same score."""
+    return ngram_jaccard_pairs(
+        t(spark, sf, "documents"), max_prefix_df=JACCARD_CAP_PROD
+    )
+
+
+def _jaccard_capped_sql(cap: int) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source, lang, CAST(floor(n_chars / 100) AS BIGINT) AS band,
+         list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                      i -> substr(text, i, 3))) AS tri
+  FROM documents),
+tok AS (
+  SELECT doc_id, source, lang, band, len(tri) AS n, unnest(tri) AS w FROM d),
+dfreq AS (SELECT w, count(*) AS dfreq FROM tok GROUP BY w),
+ranked AS (
+  SELECT tok.doc_id, tok.source, tok.lang, tok.band, tok.n, tok.w, dfreq.dfreq,
+         row_number() OVER (PARTITION BY tok.doc_id
+                            ORDER BY dfreq.dfreq ASC, tok.w ASC) AS rn
+  FROM tok JOIN dfreq USING (w)),
+pref AS (
+  SELECT doc_id, source, lang, band, w FROM ranked
+  WHERE rn <= n - floor((295 * n + 999) / 1000) + 1 AND dfreq <= {cap}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b
+    ON a.w = b.w AND a.source = b.source AND a.lang = b.lang
+   AND a.band = b.band AND a.doc_id < b.doc_id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(floor(len(list_intersect(da.tri, db.tri)) * 100.0
+                    / len(list_distinct(list_concat(da.tri, db.tri))) + 0.5)
+              AS INT) AS tri_jaccard_pct
+  FROM cand c JOIN d da ON da.doc_id = c.id_a JOIN d db ON db.doc_id = c.id_b)
+SELECT id_a, id_b, tri_jaccard_pct FROM scored WHERE tri_jaccard_pct >= 30
+"""
+
+
 # Demoted demo-parameter twins of q35/q36 (same code path, toy constants);
 # see queries/__init__.py cap policy. Oracle-checked via full_registry().
 EXTRA_QUERIES: dict[str, Query] = {
     "q32_minhash_pairs": Query(q32_minhash_pairs, _q32_sql(), "MinHash-LSH candidates + exact Jaccard"),
     "q33_simhash": Query(q33_simhash, _q33_sql(), "16-bit SimHash fingerprints"),
+    "q123_jaccard_capped": Query(
+        q123_jaccard_capped,
+        _jaccard_capped_sql(JACCARD_CAP_PROD),
+        "df-capped prefix Jaccard join (the scalable q34 posture, value-pinned)",
+    ),
 }
 
 

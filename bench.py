@@ -29,6 +29,18 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SCALE10X_RESULT = os.path.join(REPO, "BENCH_SCALE10X.json")
+SCALE100X_RESULT = os.path.join(REPO, "BENCH_SCALE100X.json")
+
+# 100x decade block (round-6 verdict task #7): adaptive-parameter /
+# scale-safe paths only — the fixed-demo forms (q42 et al.) were already
+# adjudicated as deliberate saturation exhibits at 10x, and the events
+# table at 100x is 100M rows of fixture replication that the q24/q20
+# decade story already covers. documents+embeddings replicate cheaply.
+SCALE100X_QUERIES = [
+    "q35_minhash_prod",
+    "q103_curriculum_order",
+    "q104_epoch_shuffle",
+]
 
 # headline queries whose inputs (events/documents/embeddings) exist in
 # the replicated decade dir; the TPC-H-table queries have no 10x twin.
@@ -105,12 +117,103 @@ def run_scale10x() -> None:
     print(json.dumps(block))
 
 
+def run_scale100x() -> None:
+    """Build (or reuse) the 100x documents/embeddings decade dir and time
+    the adaptive-path subset there; persist for default runs to embed."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import scale_probe
+
+    from anti_ddos_spark.queries import full_registry
+    from anti_ddos_spark.session import get_spark
+
+    out_dir = os.environ.get("SPARK_GRAFT_100X_DIR", "/tmp/spark_graft_100x")
+    spark = get_spark(app_name="anti_ddos_spark_bench_100x")
+    tables = {"documents", "embeddings"}
+    done = all(
+        os.path.exists(os.path.join(out_dir, f"{t}.parquet", "_SUCCESS"))
+        for t in tables
+    )
+    if not done:
+        scale_probe.build_10x(spark, out_dir, replicas=100, tables=tables)
+    reg = full_registry()
+    probes = [(n, reg[n].fn) for n in SCALE100X_QUERIES] + [
+        ("neardup_adaptive_params", scale_probe.EXTRA_PROBES["neardup_adaptive_params"])
+    ]
+    timings = {
+        name: round(scale_probe.time_query(spark, fn, out_dir, 2), 3)
+        for name, fn in probes
+    }
+    block = {
+        "sf": "10.0 (100x replication of sf0.1, documents+embeddings)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    with open(SCALE100X_RESULT, "w") as f:
+        json.dump(block, f, indent=1)
+    print(json.dumps(block))
+
+
+def run_all(out_path: str) -> None:
+    """Full-registry timing sweep at the oracle sf (round-6 verdict task
+    #6): one cold pass over every query in full_registry() so a
+    regression in any of the ~120 non-headline plans shows up in the
+    round-over-round diff, not only the 14 headline ones. Single pass,
+    no warmup — the artifact is a regression radar (compare like against
+    like across rounds), not a steady-state throughput claim."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.queries import full_registry
+    from anti_ddos_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark(app_name="anti_ddos_spark_bench_all")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    for name, q in full_registry().items():
+        t0 = _time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.agg(F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))).collect()
+        timings[name] = round(_time.perf_counter() - t0, 3)
+    out = {
+        "metric": "full_registry_sweep_cold",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "n_queries": len(timings),
+        "queries": timings,
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default=None, help="'10x' runs the decade bench")
+    ap.add_argument(
+        "--sf", default=None, help="'10x'/'100x' run the decade benches"
+    )
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="time every full_registry() query at sf0.01 (regression radar)",
+    )
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "BENCH_ALL.json"),
+        help="output path for --all",
+    )
     args = ap.parse_args()
+    if args.all:
+        run_all(args.out)
+        return
     if args.sf == "10x":
         run_scale10x()
+        return
+    if args.sf == "100x":
+        run_scale100x()
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,11 +258,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    # second-scale block from the most recent `bench.py --sf 10x` run
-    # (cached: the decade replication is too costly for every round-trip)
-    if os.path.exists(SCALE10X_RESULT):
-        with open(SCALE10X_RESULT) as f:
-            out["scale10x"] = {**json.load(f), "cached": True}
+    # decade blocks from the most recent `bench.py --sf 10x/100x` runs
+    # (cached: the decade replications are too costly for every round-trip)
+    for key, path in (("scale10x", SCALE10X_RESULT), ("scale100x", SCALE100X_RESULT)):
+        if os.path.exists(path):
+            with open(path) as f:
+                out[key] = {**json.load(f), "cached": True}
     print(json.dumps(out))
 
 

@@ -105,8 +105,32 @@ def _jaccard_w5(spark, sf_dir):
     return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), ngram_w=5)
 
 
+def _jaccard_capped(spark, sf_dir):
+    """q34's operator under the DF-CAPPED production posture: n-grams
+    whose document frequency exceeds an absolute cap are dropped as join
+    keys (rare-first prefix keeps recall high — near-dup pairs share
+    rare grams; recall measured in tests/test_jaccard_cap.py). The cap
+    is absolute, not corpus-relative: the whole point is that candidate
+    volume per join key stays ≤ cap² no matter how large the corpus
+    grows, which is what the exact recall-1 form cannot promise (its
+    n²/V floor is a counting fact — measured to a >79 GB spill death at
+    5M Zipf docs; PERF.md round-7). The cap value is a knob
+    (SPARK_GRAFT_JACCARD_CAP, default 200): total candidate volume is
+    ~O(cap · total-tokens-under-cap), i.e. linear in corpus size for a
+    fixed cap, but the CONSTANT is the cap — 2000 was measured to spill
+    this box's disk at the 5M-doc Zipf decade while 200 completes."""
+    from anti_ddos_spark.queries.base import t
+    from anti_ddos_spark.queries.textops import ngram_jaccard_pairs
+
+    cap = int(os.environ.get("SPARK_GRAFT_JACCARD_CAP", "200"))
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), max_prefix_df=cap
+    )
+
+
 EXTRA_PROBES = {
     "jaccard_w5": _jaccard_w5,
+    "jaccard_capped": _jaccard_capped,
     "neardup_prod_params": _neardup_prod,
     "neardup_adaptive_params": _neardup_adaptive,
 }
@@ -193,6 +217,99 @@ def _build_embeddings(spark, out_dir: str, rep) -> None:
     )
 
 
+# --- Zipf/Heaps synthetic corpus (round-6 verdict task #4) ----------------
+#
+# The driver's documents fixture has a ~30-word vocabulary, so every
+# token-space blocking lever (w=5 n-grams, prefix filters) saturates at
+# the 100x decade for fixture reasons, not algorithmic ones (PERF.md
+# "token-space saturation" — V stops growing, so candidate pairs per
+# bucket grow ~n²/V). Real corpora obey Heaps' law: V(n) ≈ K·n^β with
+# β ≈ 0.5. This generator produces a corpus with BOTH properties the
+# claims live on:
+#
+# - Zipf-ish token frequencies: token rank drawn as
+#   floor(exp(u · ln(Vmax))) for hash-uniform u — P(rank=r) ∝ 1/r
+#   truncated at Vmax (classic inverse-CDF for s=1);
+# - Heaps vocabulary growth: Vmax itself is set to
+#   ceil(HEAPS_K · sqrt(expected total tokens)), so the attainable
+#   vocabulary grows ~n^0.5 by construction and the Zipf draws populate
+#   most of it.
+#
+# ~5% of docs are near-duplicates of their predecessor (same content
+# seed, last 3 token slots re-drawn) so the similarity-join probes have
+# real pairs to find at every scale. Everything is hash-seeded
+# (xxhash64) — no RNG state, identical corpus on every run/executor.
+
+ZIPF_TOKENS_MIN = 40
+ZIPF_TOKENS_SPAN = 41  # doc length uniform in [40, 80]
+HEAPS_K = 8.0
+ZIPF_BASE_DOCS = 50_000  # scale 1.0 ≈ the sf0.1 documents row count
+
+
+def build_zipf_documents(spark, out_dir: str, n_docs: int) -> None:
+    import math
+
+    from pyspark.sql import functions as F
+
+    exp_tokens = n_docs * (ZIPF_TOKENS_MIN + ZIPF_TOKENS_SPAN // 2)
+    # 26**4: the fixed-width 4-letter encoding below caps the rank space
+    vmax = min(456_976, max(1000, int(math.ceil(HEAPS_K * math.sqrt(exp_tokens)))))
+    ln_vmax = math.log(vmax)
+
+    df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    # ~5% near-dups: doc_id % 20 == 19 reuses the previous doc's content
+    # seed, with its last 3 token slots re-drawn from its own id
+    content_id = F.when(
+        (F.col("doc_id") % 20 == 19) & (F.col("doc_id") > 0),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    n_toks = (
+        F.lit(ZIPF_TOKENS_MIN)
+        + F.pmod(F.xxhash64(content_id, F.lit("len")), F.lit(ZIPF_TOKENS_SPAN))
+    ).cast("int")
+
+    # token slot j: u = hash(seed, j)/2^20 in [0,1); rank = floor(e^(u·lnV)).
+    # The rank is then spelled as a fixed-width base-26 LETTER word: the
+    # q34 family shingles CHARACTERS, so a digit spelling ('t1234') would
+    # cap V_char at ~12^w and silently re-saturate the very space this
+    # corpus exists to grow. With letters, distinct char n-grams track
+    # the word vocabulary (measured in the smoke check below the module).
+    rank = (
+        "cast(floor(exp((pmod(xxhash64({seed}, j), 1048576)"
+        f" / 1048576.0d) * {ln_vmax!r})) as int)"
+    )
+    ranks = F.expr(
+        "transform(sequence(0, n_toks - 1), j -> "
+        f"CASE WHEN is_dup AND j >= n_toks - 3 THEN {rank.format(seed='doc_id')} "
+        f"ELSE {rank.format(seed='content_id')} END)"
+    )
+    tokens = F.expr(
+        "transform(ranks, r -> concat("
+        "char(97 + (r div 17576) % 26), char(97 + (r div 676) % 26), "
+        "char(97 + (r div 26) % 26), char(97 + r % 26)))"
+    )
+    text = F.array_join(tokens, " ")
+    (
+        df.withColumn("content_id", content_id)
+        .withColumn("is_dup", F.col("doc_id") != F.col("content_id"))
+        .withColumn("n_toks", n_toks)
+        .withColumn("ranks", ranks)
+        .withColumn("text", text)
+        .select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit("zipf"), F.pmod(F.xxhash64("content_id"), F.lit(10))
+            ).alias("source"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
+
+
 def time_query(spark, fn, sf_dir: str, runs: int) -> float:
     from pyspark.sql import functions as F
 
@@ -225,8 +342,16 @@ def main() -> None:
         help="comma subset of tables to replicate (default: all three)",
     )
     ap.add_argument("--keep", action="store_true", help="keep the scale dirs")
+    ap.add_argument(
+        "--fixture",
+        default="replica",
+        choices=("replica", "zipf"),
+        help="replica: id-remapped replication of sf0.1 (default). "
+        "zipf: generated Heaps/Zipf corpus (documents only); --scales "
+        "are then multiples of 50k docs (0.1,1,10,100)",
+    )
     args = ap.parse_args()
-    scales = [int(s) for s in args.scales.split(",")]
+    scales = [float(s) if "." in s else int(s) for s in args.scales.split(",")]
 
     from anti_ddos_spark.queries import full_registry
     from anti_ddos_spark.session import get_spark
@@ -235,39 +360,73 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = full_registry()
 
-    probes = [(n, reg[n].fn) for n in PROBE_QUERIES] + list(EXTRA_PROBES.items())
+    if args.fixture == "zipf":
+        # zipf dirs carry only documents; default to the token-space
+        # probes whose saturation story the corpus exists to re-test.
+        # The exact recall-1 forms (q34, jaccard_w5) are NOT defaults at
+        # 100x: their n²/V candidate floor spills the disk at 5M Zipf
+        # docs (measured) — probe them explicitly with --queries at the
+        # scales you can afford.
+        probes = [
+            ("q35_minhash_prod", reg["q35_minhash_prod"].fn),
+            ("jaccard_capped", EXTRA_PROBES["jaccard_capped"]),
+        ]
+    else:
+        probes = [(n, reg[n].fn) for n in PROBE_QUERIES] + list(EXTRA_PROBES.items())
     if args.queries:
         wanted = set(args.queries.split(","))
-        known = {n for n, _fn in probes}
-        unknown = wanted - known - set(reg)
+        # any extra probe or full_registry query can be requested by
+        # name, not only the mode's default set (zipf mode defaults
+        # exclude the exact recall-1 forms, but probing them at chosen
+        # scales is exactly what --queries is for)
+        pool = dict(probes)
+        pool.update(EXTRA_PROBES)
+        unknown = wanted - set(pool) - set(reg)
         if unknown:
             # fail BEFORE the expensive replica build: a typo'd name
             # would otherwise probe nothing and exit 0
             raise SystemExit(f"unknown probe/query names: {sorted(unknown)}")
-        # any full_registry query can be probed by name, not only the
-        # flagship set
-        probes = [(n, fn) for n, fn in probes if n in wanted] + [
-            (n, reg[n].fn) for n in sorted(wanted - known) if n in reg
+        probes = [(n, pool[n]) for n in sorted(wanted & set(pool))] + [
+            (n, reg[n].fn) for n in sorted(wanted - set(pool))
         ]
 
     tables = set(args.tables.split(",")) if args.tables else None
-    scale_dirs: list[tuple[int, str]] = []
+    scale_dirs: list[tuple[float, str]] = []
     for rep in scales:
-        out_dir = os.path.join(tempfile.gettempdir(), f"scale_{rep}x")
-        build_10x(spark, out_dir, rep, tables)
+        if args.fixture == "zipf":
+            out_dir = os.path.join(tempfile.gettempdir(), f"zipf_{rep}x")
+            if not os.path.exists(
+                os.path.join(out_dir, "documents.parquet", "_SUCCESS")
+            ):
+                build_zipf_documents(spark, out_dir, int(rep * ZIPF_BASE_DOCS))
+        else:
+            out_dir = os.path.join(tempfile.gettempdir(), f"scale_{rep}x")
+            build_10x(spark, out_dir, int(rep), tables)
         scale_dirs.append((rep, out_dir))
     import math
 
     results: dict[str, dict[str, float]] = {}
     for name, fn in probes:
         # (label, replica factor relative to sf0.1, seconds)
-        points = [
-            ("sf0.01", 0.1, time_query(spark, fn, SF001, args.runs)),
-            ("sf0.1", 1.0, time_query(spark, fn, SF01, args.runs)),
-        ] + [
-            (f"{rep}x_sf0.1", float(rep), time_query(spark, fn, d, args.runs))
-            for rep, d in scale_dirs
-        ]
+        # zipf mode has no sf0.01/sf0.1 anchors: corpus statistics must
+        # be consistent along the whole curve, so every point is generated
+        suffix = "zipf" if args.fixture == "zipf" else "sf0.1"
+        specs = (
+            []
+            if args.fixture == "zipf"
+            else [("sf0.01", 0.1, SF001), ("sf0.1", 1.0, SF01)]
+        ) + [(f"{rep}x_{suffix}", float(rep), d) for rep, d in scale_dirs]
+        # time + print each point AS IT COMPLETES: a late-scale abort
+        # (disk spill at 100x is a real outcome this probe exists to
+        # find) must not lose the earlier decades' measurements
+        points = []
+        for lbl, factor, d in specs:
+            secs = time_query(spark, fn, d, args.runs)
+            print(
+                json.dumps({"query": name, "point": lbl, "sec": round(secs, 3)}),
+                flush=True,
+            )
+            points.append((lbl, factor, secs))
         r = {lbl: secs for lbl, _f, secs in points}
         # per-adjacent-interval exponent, normalized per decade
         for (l0, f0, t0), (l1, f1, t1) in zip(points, points[1:]):
