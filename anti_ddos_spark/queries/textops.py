@@ -536,17 +536,30 @@ def ngram_jaccard_pairs(
     pairs — once the corpus outgrows its token space, exactness is
     quadratic by counting, not by implementation (measured: the exact
     form spilled >80 GB at a 500k-doc replication of the ~30-word demo
-    vocabulary, PERF.md "token-space saturation"). Capped recall on
-    real Zipfian text stays high because true near-dup pairs share RARE
-    tokens by construction of the rare-first prefix; recall under the
-    cap is measured in tests/test_jaccard_cap.py.
+    vocabulary, PERF.md "token-space saturation").
 
-    ``ngram_w`` (round-6 verdict task #7) is the OTHER saturation fix:
-    widening the n-gram grows the token space multiplicatively, pushing
-    the n²/V candidate floor back out WITHOUT trading recall — the
-    similarity metric simply becomes w-gram Jaccard (still recall 1 for
-    that metric by the same prefix-filter bound). Measured at 10x/100x
-    in PERF.md ("larger token space" row; scripts/q34_w5_probe.py)."""
+    Capped recall is CONDITIONAL on the gram space outpacing the corpus
+    — a claim round 7 MEASURED on a planted-ground-truth Heaps/Zipf
+    corpus (scripts/zipf_recall.py, PERF.md round-7) and the result
+    corrects an earlier argued-only version of this docstring: at w=3
+    the char-gram space is hard-capped at |alphabet|³ (~19.7k over
+    [a-z ]), so past ~100k docs NO trigram is rare — the rare-first
+    prefix has nothing rare to keep and an absolute df cap either
+    empties it (cap=100: recall 0.0 at 500k docs) or admits mid-df
+    grams whose candidate volume spills the disk (cap=1000). Recall at
+    50k docs is 1.0 at every cap; the window closes with corpus growth,
+    not with the cap value. Subset/monotone algebra of the cap is
+    unit-pinned in tests/test_jaccard_cap.py.
+
+    ``ngram_w`` (round-6 verdict task #7) is what re-opens the window:
+    widening the n-gram grows the attainable gram space multiplicatively
+    (w=5: ~27⁵ ≈ 14M), so rare grams exist again for the prefix to keep
+    — measured recall at 500k Zipf docs: 0.98 (w=5, cap=100), 0.999
+    (w=5, cap=200). Uncapped, w=5 keeps recall 1 for the 5-gram metric
+    by the same prefix-filter bound (brute-force parity unit). For
+    corpora past ANY fixed gram space the parameter-free scale path is
+    MinHash banding on word shingles (q35: planted recall 0.9997 at
+    500k docs, α ≤ 0.97 measured through 5M)."""
     d = docs.select(
         "doc_id",
         F.col("source"),

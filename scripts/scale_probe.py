@@ -106,10 +106,13 @@ def _jaccard_w5(spark, sf_dir):
 
 
 def _jaccard_capped(spark, sf_dir):
-    """q34's operator under the DF-CAPPED production posture: n-grams
-    whose document frequency exceeds an absolute cap are dropped as join
-    keys (rare-first prefix keeps recall high — near-dup pairs share
-    rare grams; recall measured in tests/test_jaccard_cap.py). The cap
+    """q34's operator under the DF-CAPPED posture at w=3: n-grams whose
+    document frequency exceeds an absolute cap are dropped as join keys.
+    This probe measures the COST curve only — round 7's recall
+    measurement (scripts/zipf_recall.py) showed the w=3 capped form's
+    recall collapses past ~100k docs (char-trigram space is bounded at
+    |alphabet|³, so no trigram stays rare); the recall-keeping capped
+    form is `jaccard_capped_w5` below. The cap
     is absolute, not corpus-relative: the whole point is that candidate
     volume per join key stays ≤ cap² no matter how large the corpus
     grows, which is what the exact recall-1 form cannot promise (its
@@ -128,9 +131,26 @@ def _jaccard_capped(spark, sf_dir):
     )
 
 
+def _jaccard_capped_w5(spark, sf_dir):
+    """The capped posture at w=5 — the form that KEEPS recall on large
+    corpora. Round-7 measurement: at 500k Zipf docs the w=3 capped form
+    has recall ~0 (char-trigram space is bounded at |alphabet|^3, so no
+    trigram is rare and the cap empties the prefix), while w=5 grows the
+    gram space ~27^5 so rare grams exist for the rare-first prefix to
+    keep. Cap from SPARK_GRAFT_JACCARD_CAP (default 200), as above."""
+    from anti_ddos_spark.queries.base import t
+    from anti_ddos_spark.queries.textops import ngram_jaccard_pairs
+
+    cap = int(os.environ.get("SPARK_GRAFT_JACCARD_CAP", "200"))
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), max_prefix_df=cap, ngram_w=5
+    )
+
+
 EXTRA_PROBES = {
     "jaccard_w5": _jaccard_w5,
     "jaccard_capped": _jaccard_capped,
+    "jaccard_capped_w5": _jaccard_capped_w5,
     "neardup_prod_params": _neardup_prod,
     "neardup_adaptive_params": _neardup_adaptive,
 }

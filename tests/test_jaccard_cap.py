@@ -25,7 +25,10 @@ def test_capped_subset_and_monotone(spark):
     the demo corpus is token-space-saturated (~30-word vocabulary), the
     regime where a df cap costs recall — measured here at ~33% with a
     10%-df cap (102/311), exactly the tradeoff PERF.md documents. On
-    Zipfian real text the rare-first prefix keeps capped recall high."""
+    Zipfian text the trade is scale-conditional (round-7 planted-recall
+    measurement): w=3 capped recall is 1.0 at 50k docs but ~0 at 500k
+    (the char-trigram space itself saturates at |alphabet|³); w=5
+    restores 0.98-0.999 — see PERF.md round-7 / scripts/zipf_recall.py."""
     from anti_ddos_spark.queries.base import t
     from anti_ddos_spark.queries.textops import ngram_jaccard_pairs
 
