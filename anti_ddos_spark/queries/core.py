@@ -625,7 +625,6 @@ GROUP BY l_returnflag
 
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape: filter + wide hash agg"),
-    "q02_filter_project": Query(q02_filter_project, Q02_SQL, "selective scan with parquet pushdown"),
     "q03_join_revenue": Query(q03_join_revenue, Q03_SQL, "fact-fact join + broadcast dim + agg"),
     "q05_semi_join": Query(q05_semi_join, Q05_SQL, "left semi join / EXISTS"),
     "q06_anti_join": Query(q06_anti_join, Q06_SQL, "left anti join / NOT EXISTS"),
@@ -662,7 +661,14 @@ QUERIES: dict[str, Query] = {
 # (q103/q104 global-rank forms, q114 TTL re-admission, q115 in-stream
 # scoring, q118 stream-stream left outer). All five keep full DuckDB
 # hash oracles here via full_registry().
+#
+# Demoted in round 7 (second rotation): q02 — a selective
+# projection/filter scan whose pushdown shape every other driver row
+# exercises (and whose plan is separately pinned in test_plans.py) —
+# yields its slot to q123_jaccard_capped, the round-7 df-capped join
+# whose cap boundary is value-pinned against DuckDB.
 EXTRA_QUERIES: dict[str, Query] = {
+    "q02_filter_project": Query(q02_filter_project, Q02_SQL, "selective scan with parquet pushdown"),
     "q18_approx_distinct": Query(
         q18_approx_distinct, Q18_SQL,
         "approx sketches: exact aggregates + in-band booleans, hash-checked",

@@ -1132,6 +1132,9 @@ for _extra in (_PREP_EXTRA, _CLEANUP_EXTRA, _GOV_EXTRA):
 # training-order queries take driver slots freed by the trivial
 # relational rows demoted in queries/core.py — their zero-Window range
 # exchange plans are exactly the scale-contract shapes the driver sweep
-# should pin.
-for _name in ("q103_curriculum_order", "q104_epoch_shuffle"):
+# should pin. q123 (added round 7) takes q02's slot: the df-capped
+# prefix-join semantics are new this round and boundary-exercised at
+# the oracle sf (cap drops 40 of 311 pairs), where q02's selective
+# scan is a projection/filter shape every other driver row exercises.
+for _name in ("q103_curriculum_order", "q104_epoch_shuffle", "q123_jaccard_capped"):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)

@@ -266,7 +266,17 @@ HEAPS_K = 8.0
 ZIPF_BASE_DOCS = 50_000  # scale 1.0 ≈ the sf0.1 documents row count
 
 
-def build_zipf_documents(spark, out_dir: str, n_docs: int) -> None:
+def build_zipf_documents(
+    spark, out_dir: str, n_docs: int, graded: bool = False
+) -> None:
+    """``graded=False`` (default): every planted near-dup redraws its
+    last 3 token slots — one high-similarity class, the recall-probe
+    corpus (byte-identical to earlier rounds; determinism pinned in
+    tests/test_zipf_fixture.py). ``graded=True``: the redraw count
+    cycles over (2, 6, 12, 24, 40) by pair index, planting pairs whose
+    TRUE word-set Jaccard spans ~0.2-0.95 — the fixture for measuring
+    the MinHash banding s-curve empirically against its
+    1-(1-s^r)^b theory (scripts/minhash_scurve.py)."""
     import math
 
     from pyspark.sql import functions as F
@@ -278,7 +288,7 @@ def build_zipf_documents(spark, out_dir: str, n_docs: int) -> None:
 
     df = spark.range(n_docs).withColumnRenamed("id", "doc_id")
     # ~5% near-dups: doc_id % 20 == 19 reuses the previous doc's content
-    # seed, with its last 3 token slots re-drawn from its own id
+    # seed, with its last d token slots re-drawn from its own id
     content_id = F.when(
         (F.col("doc_id") % 20 == 19) & (F.col("doc_id") > 0),
         F.col("doc_id") - 1,
@@ -298,9 +308,16 @@ def build_zipf_documents(spark, out_dir: str, n_docs: int) -> None:
         "cast(floor(exp((pmod(xxhash64({seed}, j), 1048576)"
         f" / 1048576.0d) * {ln_vmax!r})) as int)"
     )
+    redraw = (
+        "element_at(array(2, 6, 12, 24, 40), "
+        "cast(pmod(doc_id div 20, 5) as int) + 1)"
+        if graded
+        else "3"
+    )
     ranks = F.expr(
         "transform(sequence(0, n_toks - 1), j -> "
-        f"CASE WHEN is_dup AND j >= n_toks - 3 THEN {rank.format(seed='doc_id')} "
+        f"CASE WHEN is_dup AND j >= n_toks - ({redraw}) "
+        f"THEN {rank.format(seed='doc_id')} "
         f"ELSE {rank.format(seed='content_id')} END)"
     )
     tokens = F.expr(

@@ -122,3 +122,44 @@ def test_generator_is_deterministic(spark, tmp_path_factory):
             ).collect()[0]
         )
     assert digests[0] == digests[1]
+
+
+def test_graded_corpus_plants_five_similarity_classes(spark, tmp_path_factory):
+    """graded=True cycles the planted redraw depth over (2,6,12,24,40),
+    so planted-pair word-set Jaccard spans low→high — the fixture
+    property the MinHash s-curve measurement (scripts/minhash_scurve.py)
+    depends on. graded=False output is pinned byte-identical elsewhere
+    (test_generator_is_deterministic), so the flag cannot drift the
+    recall-probe corpus."""
+    import scale_probe
+
+    out = str(tmp_path_factory.mktemp("zipf") / "graded")
+    scale_probe.build_zipf_documents(spark, out, n_docs=4000, graded=True)
+    docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+    planted = docs.filter(
+        (F.pmod("doc_id", F.lit(20)) == 19) & (F.col("doc_id") > 0)
+    ).select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"))
+    wsets = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    )
+    jac = (
+        planted.join(
+            wsets.select(F.col("doc_id").alias("id_a"), F.col("ws").alias("wa")),
+            "id_a",
+        )
+        .join(
+            wsets.select(F.col("doc_id").alias("id_b"), F.col("ws").alias("wb")),
+            "id_b",
+        )
+        .select(
+            (
+                F.size(F.array_intersect("wa", "wb"))
+                / F.size(F.array_union("wa", "wb"))
+            ).alias("j")
+        )
+    )
+    lo, hi = jac.agg(F.min("j"), F.max("j")).collect()[0]
+    assert lo < 0.3 and hi > 0.8, (lo, hi)
+    # all five grades appear: bucketed similarity has ≥5 distinct levels
+    n_levels = jac.select(F.floor(F.col("j") * 5).alias("b")).distinct().count()
+    assert n_levels >= 4
