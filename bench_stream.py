@@ -6,13 +6,22 @@ rows/sec for a fixed wall duration, then reports whether the pipeline
 kept up: sustained processedRowsPerSecond, mean batch duration vs the
 trigger interval, and end-of-run backlog.
 
-Usage:  python bench_stream.py [rows_per_sec] [duration_s] [mode]
+Usage:  python bench_stream.py [rows_per_sec] [duration_s] [mode] [n_flows]
         mode ∈ session_window | accum | stateful, each optionally with a
         "+score" suffix (e.g. accum+score) that appends in-stream RF
         scoring (100 trees × depth 6, the reference's model contract) to
         the plan — BASELINE.md's full streaming proxy. The model is
         trained up front on batch flows from the same synthetic traffic
         generator (training time excluded from the soak window).
+
+        n_flows (default 1000) sets the open-flow key cardinality of the
+        synthetic traffic. Group count — not row count — is the
+        capacity-planning variable for stateful operators (the round-2
+        measurement bug proved it the hard way: unique keys per row made
+        the same pipeline look 100× slower), so the round-7 ladder soaks
+        the same offered rows/sec at 1k/10k/100k open flows. Append
+        ",rocksdb" to n_flows (e.g. 100000,rocksdb) to run that point on
+        the RocksDB state-store provider.
 
 Prints one JSON line.
 """
@@ -54,6 +63,21 @@ def main() -> None:
     rows_per_sec = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
     duration_s = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     mode = sys.argv[3] if len(sys.argv) > 3 else "session_window"
+    flows_arg = sys.argv[4] if len(sys.argv) > 4 else "1000"
+    flows_arg, _, provider = flows_arg.partition(",")
+    n_flows = int(flows_arg)
+    # trigger interval (s). The round-7 cardinality ladder's lever: when
+    # every open flow is touched every batch, per-batch cost is
+    # ~groups × group-machinery regardless of row count — so the trigger
+    # must scale with per-executor key cardinality to amortize it (a
+    # cluster additionally divides the keys across executors).
+    trigger_s = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    # state-partition count (6th arg). The 8-partition default is sized
+    # for the 1k-flow soak (sub-MB state, task overhead dominates); at
+    # 100k flows 8 partitions strand 24 of 32 cores while each task
+    # walks 12.5k groups — partitions must scale with key cardinality
+    # (measured 4x recovery in PERF.md's round-7 cardinality ladder).
+    n_parts = int(sys.argv[6]) if len(sys.argv) > 6 else 8
 
     from anti_ddos_spark.session import get_spark
     from anti_ddos_spark.sources.packets import rate_packet_stream
@@ -64,14 +88,20 @@ def main() -> None:
     # Streaming micro-batches are small; 32 shuffle partitions would give
     # sub-MB state partitions and per-task overhead dominates. 8 is sized
     # for local mode; a cluster deployment scales this with executor count.
-    spark = get_spark(app_name="bench_stream", shuffle_partitions=8)
+    spark = get_spark(app_name="bench_stream", shuffle_partitions=n_parts)
     spark.sparkContext.setLogLevel("ERROR")
+    if provider == "rocksdb":
+        from anti_ddos_spark.session import use_rocksdb
+
+        use_rocksdb(spark)
 
     mode, _, score_suffix = mode.partition("+")
     with_score = score_suffix == "score"
     model = _train_soak_model(spark) if with_score else None
 
-    packets = rate_packet_stream(spark, rows_per_second=rows_per_sec)
+    packets = rate_packet_stream(
+        spark, rows_per_second=rows_per_sec, n_flows=n_flows
+    )
     if with_score:
         # full reference proxy: sessionize → 77 features → finalized
         # filter → RF transform, all in-stream (streaming/pipeline.py)
@@ -99,7 +129,7 @@ def main() -> None:
         flows.writeStream.outputMode(out_mode)
         .format("noop")
         .option("checkpointLocation", ckpt)
-        .trigger(processingTime="1 second")
+        .trigger(processingTime=f"{trigger_s} seconds")
         .start()
     )
     time.sleep(duration_s)
@@ -111,17 +141,21 @@ def main() -> None:
     steady = progress[5:] if len(progress) > 8 else progress
     proc = [p["processedRowsPerSecond"] for p in steady if p["numInputRows"] > 0]
     durs = [p["batchDuration"] / 1000.0 for p in steady if p["numInputRows"] > 0]
-    backlog_batches = [p for p in steady if p["batchDuration"] > 2_000]
+    backlog_batches = [p for p in steady if p["batchDuration"] > 2_000 * trigger_s]
     out = {
         "metric": "stream_sustained_rows_per_sec",
         "value": round(statistics.median(proc), 1) if proc else 0.0,
         "unit": "rows/sec",
         "mode": mode + ("+score" if with_score else ""),
+        "n_flows": n_flows,
+        "provider": provider or "memory",
         "offered_rows_per_sec": rows_per_sec,
         "batches": len(progress),
         "mean_batch_s": round(statistics.mean(durs), 2) if durs else None,
         "slow_batches_gt_2x_trigger": len(backlog_batches),
-        "kept_up": bool(durs) and statistics.mean(durs) < 2.0,
+        "trigger_s": trigger_s,
+        "shuffle_partitions": n_parts,
+        "kept_up": bool(durs) and statistics.mean(durs) < 2.0 * trigger_s,
     }
     print(json.dumps(out))
 
