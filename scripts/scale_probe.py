@@ -137,7 +137,12 @@ def _jaccard_capped_w5(spark, sf_dir):
     has recall ~0 (char-trigram space is bounded at |alphabet|^3, so no
     trigram is rare and the cap empties the prefix), while w=5 grows the
     gram space ~27^5 so rare grams exist for the rare-first prefix to
-    keep. Cap from SPARK_GRAFT_JACCARD_CAP (default 200), as above."""
+    keep. Cap from SPARK_GRAFT_JACCARD_CAP (default 200), as above.
+    Measured cost (PERF.md round-7): 28.7 s at 50k Zipf docs, 464 s at
+    500k (alpha 1.21 — superlinear, because the growing V5 keeps more
+    grams under the cap as the corpus grows), box-disk-bounded at 5M;
+    recall 0.999 at 500k. Keeping recall with the cap is not free —
+    MinHash (q35) stays the corpus-scale production path."""
     from anti_ddos_spark.queries.base import t
     from anti_ddos_spark.queries.textops import ngram_jaccard_pairs
 
