@@ -666,3 +666,74 @@ EXTRA_QUERIES["q106_stratified_weighted_sample"] = Query(
 )
 
 
+
+
+# --- q124: learned-BPE tokenization (Spark-learned merges, SQL replay) ----
+
+BPE_NUM_MERGES = 12
+
+# Merges are a deterministic function of the corpus (exact long counts,
+# lexical tie-break), so the memo keys on sf alone — unlike q122's
+# fitted model, the learned list is plain Python and outlives sessions.
+_BPE_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf: str) -> list[tuple[str, str]]:
+    if sf not in _BPE_MEMO:
+        from anti_ddos_spark.operators.bpe import bpe_learn, word_histogram
+
+        _BPE_MEMO[sf] = bpe_learn(
+            word_histogram(t(spark, sf, "documents")), BPE_NUM_MERGES
+        )
+    return _BPE_MEMO[sf]
+
+
+def q124_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-subword tokenization end-to-end: learn BPE_NUM_MERGES
+    merge rules on THIS corpus (operators/bpe.bpe_learn — one
+    corpus-sized word-count shuffle, then V-bounded iterations), then
+    tokenize every document with the learned vocabulary as a chain of
+    Catalyst ArrayAggregate folds (zero Python, zero shuffle in the
+    apply path; plan-pinned in tests/test_bpe.py). The oracle replays
+    the SAME merge list through generated DuckDB lambda SQL
+    (operators/bpe.bpe_sql_tokens), so token identity — not just
+    counts — is hash-checked cross-engine."""
+    from anti_ddos_spark.operators.bpe import tokens_expr, words_expr
+
+    merges = _bpe_merges(spark, sf)
+    d = t(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"), merges)
+    return d.select(
+        "doc_id",
+        F.size(words_expr(F.col("text"))).alias("n_words"),
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("head_tokens"),
+    )
+
+
+def q124_oracle_sql(spark: SparkSession, sf: str) -> str:
+    from anti_ddos_spark.operators.bpe import WORD_SPLIT_RE, bpe_sql_tokens
+
+    merges = _bpe_merges(spark, sf)
+    toks = bpe_sql_tokens("text", merges)
+    words = (
+        f"list_filter(regexp_split_to_array(lower(text), "
+        f"'{WORD_SPLIT_RE}'), wq -> len(wq) > 0)"
+    )
+    return f"""
+SELECT doc_id,
+       len({words}) AS n_words,
+       len({toks}) AS n_tokens,
+       array_to_string(({toks})[1:8], ' ') AS head_tokens
+FROM documents
+"""
+
+
+EXTRA_QUERIES["q124_bpe_tokenize"] = Query(
+    q124_bpe_tokenize,
+    None,
+    "learned-BPE tokenization: merges trained on the corpus in Spark, "
+    "token stream hash-checked against the same merges replayed in "
+    "generated DuckDB lambda SQL (corpus-dependent oracle)",
+    sql_fn=q124_oracle_sql,
+)
