@@ -1014,3 +1014,62 @@ EXTRA_QUERIES["q121_user_paths"] = Query(
     "deterministic ordered collect: sort_array(collect_list(struct)) "
     "first-K action path per user",
 )
+
+
+# --- q125: frequent-items sketch with its guarantee hash-checked ----------
+
+HH_SUPPORT = 0.01  # freqItems support; sketch holds ≤ 1/support items
+
+
+def q125_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries-family heavy hitters (``df.stat.freqItems``) over the
+    corpus token stream, with the sketch's one-sided guarantee carried
+    IN BAND the same way q18 carries the HLL rsd bound: the output is
+    every TRUE heavy hitter (exact count, strictly > support·N, both
+    engines compute it exactly) plus ``in_sketch`` — whether the
+    distributed sketch surfaced it. freqItems admits false positives
+    but never false negatives above support, so the oracle pins TRUE;
+    a sketch that dropped a real heavy hitter breaks the hash, and the
+    exact counts give the row real value signal.
+
+    Scale: the sketch is one aggregate over the explode (no shuffle of
+    the raw stream beyond the count's partial agg) and collects at most
+    1/support = 100 items — a bounded collect; the exact side is the
+    same explode + one count shuffle. At 100 TB the sketch pass is the
+    cheap screen; the exact confirm join stays V-bounded."""
+    from anti_ddos_spark.operators.bpe import words_expr
+
+    d = t(spark, sf, "documents")
+    tok = d.select(F.explode(words_expr(F.col("text"))).alias("w"))
+    sketch = [
+        str(x)
+        for x in tok.stat.freqItems(["w"], support=HH_SUPPORT).collect()[0][0]
+    ]
+    tot = tok.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * int(round(1 / HH_SUPPORT)) > F.col("n"))
+        .select("w", "cnt", F.col("w").isin(sketch).alias("in_sketch"))
+    )
+
+
+Q125_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            wq -> len(wq) > 0)) AS w
+  FROM documents),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT w, count(*) AS cnt, TRUE AS in_sketch
+FROM tok, tot
+GROUP BY w, tot.n
+HAVING count(*) * 100 > tot.n
+"""
+
+EXTRA_QUERIES["q125_heavy_hitters"] = Query(
+    q125_heavy_hitters,
+    Q125_SQL,
+    "frequent-items sketch (freqItems) with its no-false-negative "
+    "guarantee and exact heavy-hitter counts hash-checked in band",
+)
