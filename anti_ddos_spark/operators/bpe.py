@@ -206,3 +206,53 @@ def bpe_sql_tokens(text_sql: str, merges: list[tuple[str, str]]) -> str:
     chars = "list_transform(range(1, len(w) + 1), ci -> w[ci])"
     seg = _sql_segment(chars, merges)
     return f"flatten(list_transform({words}, w -> {seg}))"
+
+
+def bpe_tokenize_via_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """The saturated-corpus twin of ``bpe_tokenize``: segmentation is a
+    pure function of the WORD, so run the merge folds over the DISTINCT
+    vocabulary (V rows, Heaps-bounded) and join the word→tokens mapping
+    back to the positional token stream, re-assembling per-document
+    order with the sort_array(collect_list(struct)) pattern.
+
+    Trade against the fold form (measured, PERF.md round-7): the fold
+    form is zero-shuffle but its per-row compute is CORPUS-sized (every
+    occurrence of every word re-runs the k folds); this form pays one
+    doc_id shuffle (plus a vocab broadcast) but does the k folds exactly
+    V times. Past vocabulary saturation — every corpus eventually —
+    corpus/V occurrences per word make the V-bounded form the 100 TB
+    path. ``broadcast_vocab=False`` switches the mapping join to a
+    shuffle join for vocabularies too large to broadcast (100M+ words);
+    the segmentation compute stays V-bounded either way.
+    """
+    word_toks = (
+        docs.select(F.explode(words_expr(F.col(text_col))).alias("word"))
+        .distinct()
+        .select("word", segment_expr(F.col("word"), merges).alias("word_toks"))
+    )
+    if broadcast_vocab:
+        word_toks = F.broadcast(word_toks)
+    pos = docs.select(
+        *docs.columns,
+        F.posexplode(words_expr(F.col(text_col))).alias("pos", "word"),
+    )
+    other = [c for c in docs.columns]
+    return (
+        pos.join(word_toks, "word")
+        .groupBy(*other)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "word_toks"))
+                    ),
+                    lambda s: s["word_toks"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )

@@ -179,3 +179,31 @@ def test_apply_plan_is_zero_shuffle(spark):
     s = plan_summary(df.select(tokens_expr(F.col("text"), MERGES)))
     assert s["n_shuffle_exchanges"] == 0
     assert s["n_broadcast_exchanges"] == 0
+
+
+def test_vocab_join_apply_matches_fold_apply(spark):
+    """The V-bounded apply twin reproduces the zero-shuffle fold form
+    exactly — including per-document token ORDER (positional
+    re-assembly) — in both broadcast and shuffle-join modes."""
+    from anti_ddos_spark.operators.bpe import bpe_tokenize, bpe_tokenize_via_vocab
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "id long, text string"
+    )
+    want = {
+        r["id"]: r["bpe_tokens"] for r in bpe_tokenize(df, MERGES).collect()
+    }
+    for bc in (True, False):
+        got = {
+            r["id"]: r["bpe_tokens"]
+            for r in bpe_tokenize_via_vocab(df, MERGES, broadcast_vocab=bc)
+            .collect()
+        }
+        # docs with zero alphanumeric words drop out of the join form
+        # (no positional rows to re-assemble); every surviving doc must
+        # match token-for-token, and the dropped ones must be empty.
+        for k, v in want.items():
+            if k in got:
+                assert got[k] == v, (bc, k)
+            else:
+                assert v == [], (bc, k)
