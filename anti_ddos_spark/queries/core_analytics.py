@@ -1073,3 +1073,73 @@ EXTRA_QUERIES["q125_heavy_hitters"] = Query(
     "frequent-items sketch (freqItems) with its no-false-negative "
     "guarantee and exact heavy-hitter counts hash-checked in band",
 )
+
+
+# --- q126: mergeable HLL sketches (per-group build → lossless union) ------
+
+# lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6 %; 3σ band rounded up to 5 %.
+HLL_UNION_BOUND = 0.05
+
+
+def q126_mergeable_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """The mergeable-sketch architecture that makes distinct counts
+    tractable at 100 TB: build a Datasketches HLL per group
+    (``hll_sketch_agg``), then combine groups with ``hll_union_agg`` —
+    the global estimate comes from sketch union WITHOUT rescanning raw
+    data, which is how cross-partition/cross-day distinct rollups
+    actually run on a cluster (and what q18's single-shot
+    approx_count_distinct cannot do). Users overlap across event types,
+    so the true global is NOT the sum of the groups — the union has to
+    do real work, and its estimate is bound-checked in band against the
+    exact global distinct (the q18 oracle pattern: estimates have no
+    cross-engine value, booleans + exact counts carry the hash)."""
+    ev = t(spark, sf, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    groups = per.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+            <= F.lit(HLL_UNION_BOUND) * F.col("exact_users")
+        ).alias("hll_within_band"),
+    )
+    exact_total = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    union_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    total = exact_total.crossJoin(union_est).select(
+        F.lit("TOTAL").alias("event_type"),
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(HLL_UNION_BOUND) * F.col("exact_users")
+        ).alias("hll_within_band"),
+    )
+    return groups.unionByName(total)
+
+
+Q126_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS hll_within_band
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'TOTAL', count(DISTINCT user_id), count(*), TRUE FROM events
+"""
+
+EXTRA_QUERIES["q126_mergeable_hll"] = Query(
+    q126_mergeable_hll,
+    Q126_SQL,
+    "mergeable HLL sketches: per-group Datasketches build, lossless "
+    "union to a global estimate, bound-checked in band vs exact",
+)
