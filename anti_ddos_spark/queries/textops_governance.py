@@ -335,3 +335,119 @@ QUERIES["q113_release_gate"] = Query(
     "corpus release gate: dup rate + drift PSI + OOV + contamination "
     "composed into one go/no-go row",
 )
+
+
+# --- q127: train/val/test split with dup-leakage audit --------------------
+
+# Deterministic 80/10/10 assignment on the DOC-ID hash (not the text
+# hash — duplicate texts land in different splits by construction,
+# which is exactly the leakage this audit exists to catch).
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 90  # cumulative
+
+
+def q127_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The pre-release check a training pipeline runs on its splits:
+    deterministic content-hash split assignment, then a dup-leakage
+    audit — how many duplicate-fingerprint groups are contained inside
+    one split (benign) vs CROSS split boundaries (eval contamination:
+    the held-out answer is in the training set near-verbatim). The
+    audit digest is the LEAD-5-TOKEN fingerprint (shared pretokenizer,
+    operators/bpe.words_expr): this fixture has zero byte-identical
+    texts (measured — q30's dup counts are honestly 0 here), and a
+    verbatim dup shares its lead fingerprint anyway, so the fingerprint
+    audit subsumes the exact form while actually firing at the oracle
+    sf. One digest shuffle + one split-count shuffle, both tiny after
+    the md5 projection; at 100 TB this is two map-side-combined
+    aggregates over digests, the q30 exact-dedup shape. Output: one row
+    per split with its size and intra-split dup groups, plus the
+    CROSS_SPLIT row whose nonzero dup_groups is the audit's reason to
+    exist."""
+    from anti_ddos_spark.operators.bpe import words_expr
+    from anti_ddos_spark.queries.base import content_seed
+
+    d = t(spark, sf, "documents")
+    fingerprint = F.md5(
+        F.array_join(F.slice(words_expr(F.col("text")), 1, 5), " ")
+    )
+    part = (
+        F.when(
+            content_seed(F.col("doc_id").cast("string")) % 100
+            < SPLIT_TRAIN_PCT,
+            "train",
+        )
+        .when(
+            content_seed(F.col("doc_id").cast("string")) % 100
+            < SPLIT_VAL_PCT,
+            "val",
+        )
+        .otherwise("test")
+    )
+    base = d.select(part.alias("part"), fingerprint.alias("dg"))
+    per_digest = base.groupBy("dg").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("part").alias("nparts"),
+        F.min("part").alias("one_part"),
+    )
+    sizes = base.groupBy("part").agg(F.count(F.lit(1)).alias("n_docs"))
+    intra = (
+        per_digest.filter((F.col("cnt") > 1) & (F.col("nparts") == 1))
+        .groupBy(F.col("one_part").alias("part"))
+        .agg(F.count(F.lit(1)).alias("dup_groups"))
+    )
+    splits = (
+        sizes.join(intra, "part", "left")
+        .select(
+            "part",
+            "n_docs",
+            F.coalesce("dup_groups", F.lit(0)).alias("dup_groups"),
+        )
+    )
+    cross = per_digest.filter(F.col("nparts") >= 2).agg(
+        F.lit("CROSS_SPLIT").alias("part"),
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_docs"),
+        F.count(F.lit(1)).alias("dup_groups"),
+    )
+    return splits.unionByName(cross)
+
+
+def _q127_sql() -> str:
+    from anti_ddos_spark.queries.base import sql_seed
+
+    seed = sql_seed("CAST(doc_id AS VARCHAR)")
+    part = (
+        f"CASE WHEN {seed} % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {seed} % 100 < {SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    fp = (
+        "md5(array_to_string(list_slice(list_filter("
+        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "wq -> len(wq) > 0), 1, 5), ' '))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {part} AS part, {fp} AS dg FROM documents),
+per_digest AS (
+  SELECT dg, count(*) AS cnt, count(DISTINCT part) AS nparts,
+         min(part) AS one_part
+  FROM base GROUP BY dg)
+SELECT b.part, count(*) AS n_docs,
+       coalesce(any_value(i.dup_groups), 0) AS dup_groups
+FROM base b
+LEFT JOIN (SELECT one_part, count(*) AS dup_groups
+           FROM per_digest WHERE cnt > 1 AND nparts = 1
+           GROUP BY one_part) i ON i.one_part = b.part
+GROUP BY b.part
+UNION ALL
+SELECT 'CROSS_SPLIT', CAST(coalesce(sum(cnt), 0) AS BIGINT), count(*)
+FROM per_digest WHERE nparts >= 2
+"""
+
+
+EXTRA_QUERIES["q127_split_leakage_audit"] = Query(
+    q127_split_leakage_audit,
+    _q127_sql(),
+    "deterministic 80/10/10 split + lead-fingerprint dup-leakage audit: "
+    "intra-split dup groups per split and the cross-split contamination row",
+)
