@@ -626,9 +626,7 @@ GROUP BY l_returnflag
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, Q01_SQL, "TPC-H Q1 shape: filter + wide hash agg"),
     "q03_join_revenue": Query(q03_join_revenue, Q03_SQL, "fact-fact join + broadcast dim + agg"),
-    "q05_semi_join": Query(q05_semi_join, Q05_SQL, "left semi join / EXISTS"),
     "q06_anti_join": Query(q06_anti_join, Q06_SQL, "left anti join / NOT EXISTS"),
-    "q07_topk_orders": Query(q07_topk_orders, Q07_SQL, "global top-k, deterministic tie-break"),
     "q08_window_rank": Query(q08_window_rank, Q08_SQL, "per-group top-k via row_number"),
     "q16_json_extract": Query(q16_json_extract, Q16_SQL, "regex/JSON scalar extraction"),
     "q19_percentiles": Query(q19_percentiles, Q19_SQL, "exact percentile_cont per group"),
@@ -667,8 +665,20 @@ QUERIES: dict[str, Query] = {
 # exercises (and whose plan is separately pinned in test_plans.py) —
 # yields its slot to q123_jaccard_capped, the round-7 df-capped join
 # whose cap boundary is value-pinned against DuckDB.
+#
+# Demoted in round 7 (third rotation): q05 (semi-join semantics also
+# exercised by q57's broadcast anti-gate and q79's semi-join recall
+# eval, strategy pinned in test_plans.py) and q07 (TakeOrdered
+# plan-pinned; global ordering exercised by q103/q104's rank forms) —
+# their slots go to q126_mergeable_hll (per-group sketch build +
+# lossless union, the rescan-free distinct-rollup contract) and
+# q127_split_leakage_audit (split assignment + cross-split
+# contamination row), both semantics new in round 7 with static SQL
+# oracles.
 EXTRA_QUERIES: dict[str, Query] = {
     "q02_filter_project": Query(q02_filter_project, Q02_SQL, "selective scan with parquet pushdown"),
+    "q05_semi_join": Query(q05_semi_join, Q05_SQL, "left semi join / EXISTS"),
+    "q07_topk_orders": Query(q07_topk_orders, Q07_SQL, "global top-k, deterministic tie-break"),
     "q18_approx_distinct": Query(
         q18_approx_distinct, Q18_SQL,
         "approx sketches: exact aggregates + in-band booleans, hash-checked",
@@ -753,3 +763,7 @@ for _extra in (_ANALYTICS_EXTRA, _WINDOWS_EXTRA):
     if _dup:
         raise ValueError(f"duplicate split-module query names: {_dup}")
     EXTRA_QUERIES.update(_extra)
+
+# Round-7 third rotation: the mergeable-sketch contract takes q05's
+# slot (see the demotion note above EXTRA_QUERIES).
+QUERIES["q126_mergeable_hll"] = EXTRA_QUERIES.pop("q126_mergeable_hll")

@@ -1136,5 +1136,9 @@ for _extra in (_PREP_EXTRA, _CLEANUP_EXTRA, _GOV_EXTRA):
 # prefix-join semantics are new this round and boundary-exercised at
 # the oracle sf (cap drops 40 of 311 pairs), where q02's selective
 # scan is a projection/filter shape every other driver row exercises.
-for _name in ("q103_curriculum_order", "q104_epoch_shuffle", "q123_jaccard_capped"):
+# q127 (round-7 third rotation) takes q07's slot: the cross-split
+# leakage audit is a new governance contract with live signal at the
+# oracle sf, where q07's TakeOrdered shape is separately plan-pinned.
+for _name in ("q103_curriculum_order", "q104_epoch_shuffle", "q123_jaccard_capped",
+              "q127_split_leakage_audit"):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
