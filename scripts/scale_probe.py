@@ -152,12 +152,52 @@ def _jaccard_capped_w5(spark, sf_dir):
     )
 
 
+# Fixed merge list for the BPE apply probes: the 12 merges bpe_learn
+# finds on the zipf 1x fixture (deterministic — argmax ties break
+# lexically), hardcoded so the probe times APPLY alone, not learning
+# (learning's decade curve is measured separately and is flat, PERF.md
+# round-7).
+_BPE_PROBE_MERGES = [
+    ("a", "a"), ("aa", "a"), ("a", "b"), ("aaa", "b"), ("aa", "b"),
+    ("a", "c"), ("aaa", "c"), ("aa", "c"), ("a", "d"), ("aaa", "d"),
+    ("aa", "d"), ("a", "e"),
+]
+
+
+def _bpe_apply_fold(spark, sf_dir):
+    """BPE tokenization, zero-shuffle fold form: k folds per word
+    OCCURRENCE — measured exactly linear (corpus-bounded compute)."""
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.operators.bpe import tokens_expr
+    from anti_ddos_spark.queries.base import t
+
+    return t(spark, sf_dir, "documents").select(
+        F.size(tokens_expr(F.col("text"), _BPE_PROBE_MERGES)).alias("n")
+    )
+
+
+def _bpe_apply_vocab(spark, sf_dir):
+    """BPE tokenization, V-bounded vocab-join form: k folds per DISTINCT
+    word, mapping broadcast back — the 100 TB path (PERF.md decades:
+    2.15/7.54/62.7 s vs the fold form's 13.4/135.7/~1350 s)."""
+    from anti_ddos_spark.operators.bpe import bpe_tokenize_via_vocab
+    from anti_ddos_spark.queries.base import t
+
+    return bpe_tokenize_via_vocab(
+        t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BPE_PROBE_MERGES,
+    )
+
+
 EXTRA_PROBES = {
     "jaccard_w5": _jaccard_w5,
     "jaccard_capped": _jaccard_capped,
     "jaccard_capped_w5": _jaccard_capped_w5,
     "neardup_prod_params": _neardup_prod,
     "neardup_adaptive_params": _neardup_adaptive,
+    "bpe_apply_fold": _bpe_apply_fold,
+    "bpe_apply_vocab": _bpe_apply_vocab,
 }
 
 
