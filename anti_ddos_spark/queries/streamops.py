@@ -1233,3 +1233,107 @@ QUERIES["q118_stream_stream_left_join"] = Query(
     "unmatched rows emit nulls only after the watermark closes their "
     "window (REAL run vs batch left-join + watermark predicate)",
 )
+
+
+# --- q128: streaming distinct-load monitor (sketch state in-stream) -------
+
+DISTINCT_RSD = 0.05  # HLL++ rsd for the streaming estimate; band = 3σ
+
+
+def q128_streaming_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming run of the per-window DISTINCT-load monitor: the
+    only way distinct-per-window survives an unbounded stream is sketch
+    state, so the streaming aggregate carries approx_count_distinct's
+    HLL++ partial as its state-store value (exact countDistinct is not
+    even allowed in an append-mode streaming agg without storing every
+    key). Event-time 1-minute windows, 0-second watermark, append mode,
+    batch top-up of the unsealed tail with the SAME estimator (HLL++ is
+    hash-deterministic, so stream and batch estimates of one window
+    agree exactly). Evidence is the q18 in-band pattern: exact distinct
+    per window (both engines compute it) plus a boolean pinning the
+    streamed estimate inside max(3·rsd·n, 3) — an out-of-band sketch or
+    a wrong window assignment breaks the hash. The absolute floor is a
+    MEASURED necessity, not slack-for-safety: the rsd guarantee is
+    asymptotic, and at tiny per-window cardinalities Spark's HLL++
+    sparse registers collide (observed on this fixture: {64, 7} → est 1,
+    {126, 33, 17} → est 2 — 3 of ~40k windows), so tiny windows carry a
+    small ABSOLUTE register-collision error the relative band cannot
+    express."""
+    ev = t(spark, sf, "events").select("ts", "user_id")
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q128_stream_")
+    src = os.path.join(tmp, "events")
+    ev.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("ts TIMESTAMP, user_id BIGINT").parquet(
+        src
+    )
+    est = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=DISTINCT_RSD).alias("est")
+        )
+        .select(F.col("w.start").alias("minute"), "est")
+    )
+    name = f"q128_distinct_{run_id}"
+    q = (
+        est.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q128 streaming distinct monitor did not finish its "
+            "availableNow run in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+
+    emitted = spark.table(name)
+    batch = ev.select(F.date_trunc("minute", "ts").alias("minute"), "user_id")
+    tail = (
+        batch.join(emitted.select("minute"), "minute", "left_anti")
+        .groupBy("minute")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=DISTINCT_RSD).alias("est")
+        )
+    )
+    est_all = emitted.select("minute", "est").unionByName(tail)
+    exact = batch.groupBy("minute").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return exact.join(est_all, "minute").select(
+        "minute",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(
+                F.lit(3 * DISTINCT_RSD) * F.col("exact_users"), F.lit(3.0)
+            )
+        ).alias("est_within_3rsd"),
+    )
+
+
+Q128_SQL = """
+SELECT date_trunc('minute', ts) AS minute,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS n_events,
+       TRUE AS est_within_3rsd
+FROM events GROUP BY 1
+"""
+
+EXTRA_QUERIES["q128_streaming_distinct_users"] = Query(
+    q128_streaming_distinct_users,
+    Q128_SQL,
+    "streaming distinct-load monitor: HLL++ sketch state in an "
+    "event-time windowed aggregate (REAL run), bound-checked in band "
+    "vs exact per-window distincts",
+)
