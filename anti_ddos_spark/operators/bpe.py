@@ -156,7 +156,13 @@ def bpe_learn(
             nxt = cur.select(
                 merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
             ).persist()
-            nxt.count()
+            try:
+                nxt.count()
+            except Exception:
+                # don't strand the freshly pinned frame if
+                # materialization fails mid-learn
+                nxt.unpersist()
+                raise
             cur.unpersist()
             cur = nxt
     finally:
@@ -242,7 +248,7 @@ def bpe_tokenize_via_vocab(
         F.posexplode(words_expr(F.col(text_col))).alias("pos", "word"),
     )
     other = [c for c in docs.columns]
-    return (
+    assembled = (
         pos.join(word_toks, "word")
         .groupBy(*other)
         .agg(
@@ -255,4 +261,11 @@ def bpe_tokenize_via_vocab(
                 )
             ).alias("bpe_tokens")
         )
+    )
+    # docs with zero alphanumeric words produce no posexplode rows; join
+    # them back with an empty token array so the twin is row-for-row
+    # faithful to bpe_tokenize (no silently dropped documents)
+    return docs.join(assembled, other, "left").withColumn(
+        "bpe_tokens",
+        F.coalesce("bpe_tokens", F.expr("CAST(array() AS array<string>)")),
     )

@@ -348,7 +348,7 @@ SPLIT_VAL_PCT = 90  # cumulative
 
 def q127_split_leakage_audit(spark: SparkSession, sf: str) -> DataFrame:
     """The pre-release check a training pipeline runs on its splits:
-    deterministic content-hash split assignment, then a dup-leakage
+    deterministic doc-id-hash split assignment, then a dup-leakage
     audit — how many duplicate-fingerprint groups are contained inside
     one split (benign) vs CROSS split boundaries (eval contamination:
     the held-out answer is in the training set near-verbatim). The
@@ -420,9 +420,11 @@ def _q127_sql() -> str:
         f"WHEN {seed} % 100 < {SPLIT_VAL_PCT} THEN 'val' "
         f"ELSE 'test' END"
     )
+    from anti_ddos_spark.operators.bpe import WORD_SPLIT_RE
+
     fp = (
         "md5(array_to_string(list_slice(list_filter("
-        "regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        f"regexp_split_to_array(lower(text), '{WORD_SPLIT_RE}'), "
         "wq -> len(wq) > 0), 1, 5), ' '))"
     )
     return f"""

@@ -199,11 +199,6 @@ def test_vocab_join_apply_matches_fold_apply(spark):
             for r in bpe_tokenize_via_vocab(df, MERGES, broadcast_vocab=bc)
             .collect()
         }
-        # docs with zero alphanumeric words drop out of the join form
-        # (no positional rows to re-assemble); every surviving doc must
-        # match token-for-token, and the dropped ones must be empty.
-        for k, v in want.items():
-            if k in got:
-                assert got[k] == v, (bc, k)
-            else:
-                assert v == [], (bc, k)
+        # row-for-row faithful, INCLUDING docs with zero alphanumeric
+        # words (re-joined with an empty token array)
+        assert got == want, bc
