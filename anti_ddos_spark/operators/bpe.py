@@ -243,29 +243,30 @@ def bpe_tokenize_via_vocab(
     )
     if broadcast_vocab:
         word_toks = F.broadcast(word_toks)
+    # posexplode_OUTER keeps documents with zero alphanumeric words as a
+    # single (pos=null, word=null) row, so the twin is row-for-row
+    # faithful to bpe_tokenize without a second corpus join: the null
+    # word left-joins to a null mapping, flatten propagates the null,
+    # and the coalesce lands the empty token array.
     pos = docs.select(
         *docs.columns,
-        F.posexplode(words_expr(F.col(text_col))).alias("pos", "word"),
+        F.posexplode_outer(words_expr(F.col(text_col))).alias("pos", "word"),
     )
     other = [c for c in docs.columns]
-    assembled = (
-        pos.join(word_toks, "word")
+    return (
+        pos.join(word_toks, "word", "left")
         .groupBy(*other)
         .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("pos", "word_toks"))
-                    ),
-                    lambda s: s["word_toks"],
-                )
+            F.coalesce(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "word_toks"))
+                        ),
+                        lambda s: s["word_toks"],
+                    )
+                ),
+                F.expr("CAST(array() AS array<string>)"),
             ).alias("bpe_tokens")
         )
-    )
-    # docs with zero alphanumeric words produce no posexplode rows; join
-    # them back with an empty token array so the twin is row-for-row
-    # faithful to bpe_tokenize (no silently dropped documents)
-    return docs.join(assembled, other, "left").withColumn(
-        "bpe_tokens",
-        F.coalesce("bpe_tokens", F.expr("CAST(array() AS array<string>)")),
     )
