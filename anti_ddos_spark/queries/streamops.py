@@ -1337,3 +1337,119 @@ EXTRA_QUERIES["q128_streaming_distinct_users"] = Query(
     "event-time windowed aggregate (REAL run), bound-checked in band "
     "vs exact per-window distincts",
 )
+
+
+# --- q129: stream-stream FULL OUTER join (both sides watermark-gated) -----
+
+def q129_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL stream-stream FULL OUTER interval join — completes the
+    outer family next to q93 (inner) and q118 (left): matched pairs
+    emit as they join, and an unmatched row from EITHER side emits its
+    null-padded result only once the watermark proves its 60-second
+    match window can no longer be satisfied. Symmetric state story:
+    each side retains exactly the interval horizon, and the final
+    no-data micro-batch's watermark (min across inputs, 0 s delay)
+    deterministically seals which unmatched rows of each side emit —
+    the a-side gate is a_ts + 60 s < wm, the b-side gate the mirror.
+    The oracle recomputes all three row classes."""
+    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q129_stream_")
+    a_src = os.path.join(tmp, "a")
+    b_src = os.path.join(tmp, "b")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(a_src)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(b_src)
+
+    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    a = (
+        spark.readStream.schema(schema)
+        .parquet(a_src)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .parquet(b_src)
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
+        "full_outer",
+    ).select(
+        "a_id", "b_id", F.coalesce("a_user", "b_user").alias("user_id")
+    )
+
+    name = f"q129_full_{run_id}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q129 stream-stream full join did not finish in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+    return spark.table(name)
+
+
+Q129_SQL = """
+WITH a AS (
+  SELECT event_id AS a_id, user_id, ts AS a_ts
+  FROM events WHERE event_id % 2 = 1),
+b AS (
+  SELECT event_id AS b_id, user_id, ts AS b_ts
+  FROM events WHERE event_id % 2 = 0),
+wm AS (
+  SELECT least((SELECT max(epoch_us(ts)) FROM events WHERE event_id % 2 = 1),
+               (SELECT max(epoch_us(ts)) FROM events WHERE event_id % 2 = 0))
+    AS wm_us)
+SELECT a.a_id, b.b_id, a.user_id
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND b.b_ts BETWEEN a.a_ts - INTERVAL 60 SECOND
+                AND a.a_ts + INTERVAL 60 SECOND
+UNION ALL
+SELECT a.a_id, NULL AS b_id, a.user_id
+FROM a, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM b
+        WHERE b.user_id = a.user_id
+          AND b.b_ts BETWEEN a.a_ts - INTERVAL 60 SECOND
+                         AND a.a_ts + INTERVAL 60 SECOND)
+  AND epoch_us(a.a_ts) + 60000000 < wm.wm_us
+UNION ALL
+SELECT NULL AS a_id, b.b_id, b.user_id
+FROM b, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM a
+        WHERE a.user_id = b.user_id
+          AND a.a_ts BETWEEN b.b_ts - INTERVAL 60 SECOND
+                         AND b.b_ts + INTERVAL 60 SECOND)
+  AND epoch_us(b.b_ts) + 60000000 < wm.wm_us
+"""
+
+EXTRA_QUERIES["q129_stream_stream_full_join"] = Query(
+    q129_stream_stream_full_join,
+    Q129_SQL,
+    "stream-stream FULL OUTER interval join: matches in-stream, "
+    "null-padded rows from BOTH sides gated on their watermark-sealed "
+    "match windows (REAL run vs the three-row-class batch SQL)",
+)
