@@ -1162,3 +1162,74 @@ EXTRA_QUERIES["q126_mergeable_hll"] = Query(
     "mergeable HLL sketches: per-group Datasketches build, lossless "
     "union to a global estimate, bound-checked in band vs exact",
 )
+
+
+# --- q130: CDC merge (row-level MERGE INTO semantics, broadcast-keyed) -----
+
+def q130_cdc_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level change-data-capture apply on plain parquet
+    (sources/maintenance.apply_cdc): a deterministic change batch of
+    updates (odd keys), inserts (keys the snapshot lacks) and deletes
+    (keys ≡ 5 mod 8) merges into the snapshot as one broadcast
+    anti-join plus a union — MERGE INTO semantics without a table
+    format, the snapshot never shuffles. Complements the
+    partition-level upsert (test_maintenance) with the row-level form;
+    every row class (kept / updated / inserted / deleted) is value-
+    checked by the oracle's identical three-branch construction."""
+    from anti_ddos_spark.sources.maintenance import apply_cdc
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = o.filter(F.col("o_orderkey") % 4 != 3)
+    is_del = F.col("o_orderkey") % 8 == 5
+    ch = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn(
+            "op",
+            F.when(is_del, "D")
+            .when(F.col("o_orderkey") % 4 == 3, "I")
+            .otherwise("U"),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(is_del, F.col("o_orderstatus")).otherwise(F.lit("M")),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(is_del, F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice") * 2
+            ),
+        )
+    )
+    return apply_cdc(snap, ch, "o_orderkey")
+
+
+Q130_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+snap AS (SELECT * FROM o WHERE o_orderkey % 4 != 3),
+ch AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 8 = 5 THEN o_orderstatus ELSE 'M' END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 8 = 5 THEN o_totalprice
+              ELSE o_totalprice * 2 END AS o_totalprice,
+         CASE WHEN o_orderkey % 8 = 5 THEN 'D'
+              WHEN o_orderkey % 4 = 3 THEN 'I'
+              ELSE 'U' END AS op
+  FROM o WHERE o_orderkey % 2 = 1)
+SELECT s.* FROM snap s
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = s.o_orderkey)
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM ch WHERE op != 'D'
+"""
+
+EXTRA_QUERIES["q130_cdc_merge"] = Query(
+    q130_cdc_merge,
+    Q130_SQL,
+    "row-level CDC merge: update/insert/delete batch applied as one "
+    "broadcast anti-join + union (MERGE INTO semantics on plain "
+    "parquet, snapshot never shuffles)",
+)

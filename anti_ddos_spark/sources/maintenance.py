@@ -115,3 +115,34 @@ def compact_partitions(
     )
     # sever the manifest from the source path before the caller swaps it
     return spark.createDataFrame(counts.collect(), counts.schema)
+
+
+def apply_cdc(
+    snapshot: "DataFrame",
+    changes: "DataFrame",
+    key: str,
+    op_col: str = "op",
+    broadcast_changes: bool = True,
+) -> "DataFrame":
+    """Row-level MERGE semantics on plain parquet frames: apply a CDC
+    change batch (op ∈ {'U','I','D'}) to a snapshot as
+    ``(snapshot ANTI-JOIN change-keys) UNION upserts`` — update is
+    delete+insert, so one anti-join on the key plus a union is the
+    whole plan. With ``broadcast_changes`` (the normal regime: change
+    batches are small next to the snapshot) the anti-join broadcasts
+    the key set and the snapshot never shuffles — the property that
+    makes incremental maintenance viable at 100 TB; flip it off when a
+    backfill-sized batch should shuffle both sides instead.
+
+    Column contract: ``changes`` carries the snapshot columns plus
+    ``op_col``; 'D' rows only need the key populated.
+    """
+    from pyspark.sql import functions as F
+
+    keys = changes.select(key)
+    if broadcast_changes:
+        keys = F.broadcast(keys)
+    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    return snapshot.join(keys, key, "left_anti").unionByName(
+        upserts.select(*snapshot.columns)
+    )

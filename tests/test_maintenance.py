@@ -83,3 +83,30 @@ def test_compaction_respects_file_budget(spark):
             total += row["n_rows"]
         assert total == docs.count()
         assert spark.read.parquet(dest).count() == docs.count()
+
+
+def test_apply_cdc_row_classes_and_broadcast_plan(spark):
+    """MERGE semantics row-by-row: kept rows intact, updates replace,
+    inserts appear, deletes vanish — and the snapshot side never
+    shuffles (broadcast anti-join on the change keys)."""
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.plans import plan_summary
+    from anti_ddos_spark.sources.maintenance import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, v string, x double",
+    )
+    ch = spark.createDataFrame(
+        [(2, "B", 22.0, "U"), (4, "d", 40.0, "I"), (3, None, 0.0, "D")],
+        "k long, v string, x double, op string",
+    )
+    out = apply_cdc(snap, ch, "k")
+    got = {r["k"]: (r["v"], r["x"]) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 22.0), 4: ("d", 40.0)}
+
+    s = plan_summary(out)
+    assert s["n_broadcast_joins"] >= 1
+    assert s["n_sortmerge_joins"] == 0
+    assert s["n_shuffle_exchanges"] == 0
