@@ -1,0 +1,105 @@
+"""Versioned snapshot table: time travel, rollback, snapshot isolation,
+optimistic-concurrency conflict, and data-immutability (inode) proofs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_ddos_spark.sources.versioned import CommitConflict, VersionedTable
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return spark, VersionedTable(str(tmp_path / "tbl"))
+
+
+def test_append_overwrite_time_travel_and_rollback(table):
+    spark, t = table
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    d2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    d3 = spark.createDataFrame([(9, "z")], "k long, v string")
+
+    v0 = t.commit(d1, mode="overwrite")
+    v1 = t.commit(d2, mode="append")
+    assert (v0, v1) == (0, 1)
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (3, "c")]
+    # time travel: v0 unchanged after the append
+    assert _rows(t.read(spark, version=0)) == [(1, "a"), (2, "b")]
+
+    v2 = t.commit(d3, mode="overwrite")
+    assert _rows(t.read(spark)) == [(9, "z")]
+    # every historical version still readable
+    assert _rows(t.read(spark, version=1)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    v3 = t.rollback(1)
+    assert v3 == v2 + 1
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b"), (3, "c")]
+    # rollback is a new version; the rolled-past version stays readable
+    assert _rows(t.read(spark, version=v2)) == [(9, "z")]
+    assert t.versions() == [0, 1, 2, 3]
+
+
+def test_rollback_moves_no_data(table):
+    spark, t = table
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    v1 = t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+
+    def inodes():
+        out = {}
+        for dirpath, _, names in os.walk(os.path.join(t.root, "data")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[p] = os.stat(p).st_ino
+        return out
+
+    before = inodes()
+    t.rollback(0)
+    assert inodes() == before  # manifest-only: every data file untouched
+
+
+def test_snapshot_isolation_under_concurrent_commit(table):
+    spark, t = table
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # a reader resolves its snapshot...
+    snap = t.read(spark, version=t.current_version())
+    # ...a writer overwrites the live table...
+    t.commit(
+        spark.createDataFrame([(7, "q")], "k long, v string"),
+        mode="overwrite",
+    )
+    # ...the reader's already-resolved snapshot is unaffected
+    assert _rows(snap) == [(1, "a")]
+    assert _rows(t.read(spark)) == [(7, "q")]
+
+
+def test_optimistic_conflict_detection(table):
+    spark, t = table
+    base = t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # writer B publishes on top of base
+    t.commit(
+        spark.createDataFrame([(2, "b")], "k long, v string"),
+        expected_version=base,
+    )
+    # writer A, also based on `base`, must fail — not silently clobber
+    with pytest.raises(CommitConflict):
+        t.commit(
+            spark.createDataFrame([(3, "c")], "k long, v string"),
+            expected_version=base,
+        )
+    # the loser left no published manifest and the table is intact
+    assert t.versions() == [0, 1]
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "b")]
+
+
+def test_read_empty_table_raises(table):
+    spark, t = table
+    with pytest.raises(FileNotFoundError):
+        t.read(spark)
