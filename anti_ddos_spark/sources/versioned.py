@@ -165,3 +165,59 @@ class VersionedTable:
             os.path.join(self.root, rel) for rel in self._manifest(v)["files"]
         ]
         return spark.read.parquet(*files)
+
+
+def foreach_batch_committer(table: VersionedTable):
+    """Exactly-once streaming sink: commit each micro-batch as a table
+    version, idempotent on ``batchId``.
+
+    Structured Streaming re-delivers a micro-batch after a failure with
+    the SAME batchId; recording the id in the manifest and skipping
+    already-committed ids turns at-least-once delivery into
+    exactly-once table state — the standard transactional-sink contract
+    (reference's undefined ``foreach_batch_function`` made idempotent,
+    the same fix as sinks.py's NDJSON committer but with snapshot
+    semantics: every micro-batch is a time-travelable version).
+    Retries that lose a commit race re-check and skip, so a retried
+    batch can never double-append.
+    """
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        for v in reversed(table.versions()):
+            m = table._manifest(v)
+            bid = m.get("batch_id")
+            if bid is not None and bid >= batch_id:
+                return  # this batch (or a later one) already landed
+        base = table.current_version()
+        new_version = 0 if base is None else base + 1
+        token = uuid.uuid4().hex[:8]
+        rel_dir = os.path.join("data", f"v{new_version}-{token}")
+        batch_df.write.parquet(os.path.join(table.root, rel_dir))
+        files = sorted(
+            os.path.join(rel_dir, n)
+            for n in os.listdir(os.path.join(table.root, rel_dir))
+            if n.endswith(".parquet")
+        )
+        if base is not None:
+            files = table._manifest(base)["files"] + files
+        manifest = {
+            "version": new_version,
+            "base": base,
+            "mode": "append",
+            "batch_id": batch_id,
+            "files": files,
+        }
+        mpath = os.path.join(
+            table.root, "manifests", f"v{new_version}.json"
+        )
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        if table.current_version() != base:
+            os.remove(mpath)  # lost a race; the retry will re-check
+            return
+        tmp = table._pointer() + f".tmp-{token}"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.rename(tmp, table._pointer())
+
+    return _commit

@@ -103,3 +103,42 @@ def test_read_empty_table_raises(table):
     spark, t = table
     with pytest.raises(FileNotFoundError):
         t.read(spark)
+
+
+def test_foreach_batch_committer_is_exactly_once(table, tmp_path):
+    """A REAL availableNow stream commits micro-batches as versions;
+    re-delivering a batch id (the failure-retry contract) is a no-op,
+    so table state is exactly-once even under at-least-once delivery."""
+    from anti_ddos_spark.sources.versioned import foreach_batch_committer
+
+    spark, t = table
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, chr(97 + i % 3)) for i in range(20)], "k long, v string"
+    ).coalesce(2).write.parquet(src)
+
+    sink = foreach_batch_committer(t)
+    q = (
+        spark.readStream.schema("k long, v string")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert _rows(t.read(spark)) == sorted(
+        (i, chr(97 + i % 3)) for i in range(20)
+    )
+    v_before = t.current_version()
+
+    # simulate the failure-retry: the engine re-delivers batch 0
+    batch0 = spark.read.parquet(src)
+    sink(batch0, 0)
+    assert t.current_version() == v_before  # skipped, no new version
+    assert t.read(spark).count() == 20  # and no double-append
+
+    # a genuinely NEW batch id commits a new version
+    sink(spark.createDataFrame([(99, "zz")], "k long, v string"), 999)
+    assert t.current_version() == v_before + 1
+    assert t.read(spark).count() == 21
