@@ -12,6 +12,8 @@ import paths (e.g. streamops' rate_zscores / Q87_SQL) keep working.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from anti_ddos_spark.queries.base import Query, rnd, sql_rnd, t
@@ -1232,4 +1234,77 @@ EXTRA_QUERIES["q130_cdc_merge"] = Query(
     "row-level CDC merge: update/insert/delete batch applied as one "
     "broadcast anti-join + union (MERGE INTO semantics on plain "
     "parquet, snapshot never shuffles)",
+)
+
+
+# --- q131: snapshot diff over the versioned table (time travel) -----------
+
+def q131_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """The versioned table's semantics made oracle-visible: commit the
+    even-doc_id half of documents as v0, APPEND the odd half as v1,
+    then time-travel-read BOTH versions and report the release delta
+    per source (docs/chars added, version sizes). The table root is a
+    fixed per-sf scratch dir rebuilt idempotently each call, so the
+    files backing the lazily-collected result persist while repeat
+    invocations can't accumulate garbage. The oracle reconstructs the
+    same delta from the parity split directly — so a time-travel read
+    that leaked v1 files into v0 (or dropped v0 files from v1) breaks
+    the hash."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import VersionedTable
+
+    d = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"ad_snapdiff_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    tbl = VersionedTable(root)
+    tbl.commit(d.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
+    tbl.commit(d.filter(F.col("doc_id") % 2 == 1), mode="append")
+
+    old = tbl.read(spark, version=0)
+    new = tbl.read(spark)  # the live pointer → v1
+    added = new.join(old.select("doc_id"), "doc_id", "left_anti")
+    per_src = added.groupBy("source").agg(
+        F.count(F.lit(1)).alias("added_docs"),
+        F.sum("n_chars").alias("added_chars"),
+    )
+    sizes = (
+        old.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("v0_docs"))
+        .join(
+            new.groupBy("source").agg(F.count(F.lit(1)).alias("v1_docs")),
+            "source",
+        )
+    )
+    return per_src.join(sizes, "source").select(
+        "source", "added_docs", "added_chars", "v0_docs", "v1_docs"
+    )
+
+
+Q131_SQL = """
+WITH old AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+new AS (SELECT * FROM documents),
+added AS (
+  SELECT * FROM new WHERE doc_id NOT IN (SELECT doc_id FROM old))
+SELECT a.source,
+       count(*) AS added_docs,
+       CAST(sum(a.n_chars) AS BIGINT) AS added_chars,
+       any_value(o.v0_docs) AS v0_docs,
+       any_value(n.v1_docs) AS v1_docs
+FROM added a
+JOIN (SELECT source, count(*) AS v0_docs FROM old GROUP BY source) o
+  ON o.source = a.source
+JOIN (SELECT source, count(*) AS v1_docs FROM new GROUP BY source) n
+  ON n.source = a.source
+GROUP BY a.source
+"""
+
+EXTRA_QUERIES["q131_snapshot_diff"] = Query(
+    q131_snapshot_diff,
+    Q131_SQL,
+    "versioned-table release delta: time-travel read of v0 vs the "
+    "live v1 pointer, per-source added docs/chars + version sizes",
 )
