@@ -235,6 +235,15 @@ def bpe_tokenize_via_vocab(
     path. ``broadcast_vocab=False`` switches the mapping join to a
     shuffle join for vocabularies too large to broadcast (100M+ words);
     the segmentation compute stays V-bounded either way.
+
+    Precondition: ``docs`` rows must be unique across ``docs.columns``
+    (in practice: include a key column — every fixture table has one).
+    The positional re-assembly groups by the full row, so two
+    byte-identical input rows would collapse into one output row with
+    a doubled token array where ``bpe_tokenize`` emits two rows.
+    Row-for-row fidelity means: under that precondition, every input
+    row (including wordless ones, via posexplode_outer) yields exactly
+    one output row.
     """
     word_toks = (
         docs.select(F.explode(words_expr(F.col(text_col))).alias("word"))

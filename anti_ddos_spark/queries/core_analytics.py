@@ -1239,30 +1239,36 @@ EXTRA_QUERIES["q130_cdc_merge"] = Query(
 
 # --- q131: snapshot diff over the versioned table (time travel) -----------
 
+# one live scratch root per sf (see q131 docstring)
+_SNAPDIFF_ROOTS: dict[str, str] = {}
+
 def q131_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """The versioned table's semantics made oracle-visible: commit the
     even-doc_id half of documents as v0, APPEND the odd half as v1,
     then time-travel-read BOTH versions and report the release delta
-    per source (docs/chars added, version sizes). The table root is a
-    fixed per-sf scratch dir rebuilt idempotently each call, so the
-    files backing the lazily-collected result persist while repeat
-    invocations can't accumulate garbage. The oracle reconstructs the
-    same delta from the parity split directly — so a time-travel read
-    that leaked v1 files into v0 (or dropped v0 files from v1) breaks
-    the hash."""
-    import hashlib
+    per source (docs/chars added, version sizes). Scratch lifecycle is
+    the streamops keep-latest pattern: each call builds a FRESH mkdtemp
+    root (no cross-process collision) and removes the previous call's
+    root for the same sf only after the new one exists — bounding
+    accumulation to one live root per sf while the newest returned
+    (still-lazy) DataFrame keeps its backing files. The oracle
+    reconstructs the same delta from the parity split directly — so a
+    time-travel read that leaked v1 files into v0 (or dropped v0 files
+    from v1) breaks the hash."""
     import shutil
     import tempfile
 
     from anti_ddos_spark.sources.versioned import VersionedTable
 
     d = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
-    tag = hashlib.md5(sf.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"ad_snapdiff_{tag}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="ad_snapdiff_")
     tbl = VersionedTable(root)
     tbl.commit(d.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
     tbl.commit(d.filter(F.col("doc_id") % 2 == 1), mode="append")
+    prev = _SNAPDIFF_ROOTS.get(sf)
+    if prev is not None and prev != root:
+        shutil.rmtree(prev, ignore_errors=True)
+    _SNAPDIFF_ROOTS[sf] = root
 
     old = tbl.read(spark, version=0)
     new = tbl.read(spark)  # the live pointer → v1

@@ -1126,25 +1126,19 @@ QUERIES["q115_streaming_scored_flows"] = Query(
 )
 
 
-# --- q118: stream-stream LEFT OUTER join (watermark-gated nulls) ----------
 
-def q118_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL stream-stream LEFT OUTER join — the outer-join semantics
-    q93's inner form doesn't pin: matched pairs emit as they join, but
-    an UNMATCHED left row emits (with a null right side) only once the
-    watermark proves no future match can arrive, i.e. past
-    ``a_ts + 60 s`` (the upper bound of its match window). The final
-    no-data micro-batch of the availableNow run advances the global
-    watermark to min(max(a_ts), max(b_ts)) (0 s delay, min-policy
-    across inputs), so the emitted set is deterministic: all interval
-    matches plus exactly the unmatched odd-events whose window closed
-    strictly before that watermark — which is what the oracle
-    recomputes. At 100 TB the same watermark bound is the state story:
-    each side retains only the interval horizon, and outer results
-    stream out as the watermark passes them."""
+def _stream_stream_interval_join(
+    spark: SparkSession, sf: str, how: str, family: str
+) -> DataFrame:
+    """Shared runner for the stream-stream interval-join family
+    (q118 LEFT OUTER / q129 FULL OUTER): odd event_ids stream as side
+    a, even as side b, both 0-second-watermarked, joined on user within
+    ±60 s event time, availableNow run into a memory sink. The callers
+    differ ONLY in join type — one definition of the mechanics so a fix
+    to timeouts/watermark/interval applies to every form at once."""
     ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
     run_id = next(_counter)
-    tmp = tempfile.mkdtemp(prefix="q118_stream_")
+    tmp = tempfile.mkdtemp(prefix=f"{family}_stream_")
     a_src = os.path.join(tmp, "a")
     b_src = os.path.join(tmp, "b")
     ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(a_src)
@@ -1176,10 +1170,12 @@ def q118_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("a_user") == F.col("b_user"))
         & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
         & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
-        "left_outer",
-    ).select("a_id", "b_id", F.col("a_user").alias("user_id"))
+        how,
+    ).select(
+        "a_id", "b_id", F.coalesce("a_user", "b_user").alias("user_id")
+    )
 
-    name = f"q118_left_{run_id}"
+    name = f"{family}_{run_id}"
     q = (
         joined.writeStream.outputMode("append")
         .format("memory")
@@ -1192,10 +1188,30 @@ def q118_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
         q.stop()
         q.awaitTermination(60)
         raise RuntimeError(
-            "q118 stream-stream left join did not finish in 240 s"
+            f"{family} stream-stream join did not finish in 240 s"
         )
     _finish_stream_run(spark, tmp, name)
     return spark.table(name)
+
+
+# --- q118: stream-stream LEFT OUTER join (watermark-gated nulls) ----------
+
+def q118_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL stream-stream LEFT OUTER join — the outer-join semantics
+    q93's inner form doesn't pin: matched pairs emit as they join, but
+    an UNMATCHED left row emits (with a null right side) only once the
+    watermark proves no future match can arrive, i.e. past
+    ``a_ts + 60 s`` (the upper bound of its match window). The final
+    no-data micro-batch of the availableNow run advances the global
+    watermark to min(max(a_ts), max(b_ts)) (0 s delay, min-policy
+    across inputs), so the emitted set is deterministic: all interval
+    matches plus exactly the unmatched odd-events whose window closed
+    strictly before that watermark — which is what the oracle
+    recomputes. At 100 TB the same watermark bound is the state story:
+    each side retains only the interval horizon, and outer results
+    stream out as the watermark passes them. Mechanics shared with
+    q129 via _stream_stream_interval_join (one definition)."""
+    return _stream_stream_interval_join(spark, sf, "left_outer", "q118_left")
 
 
 Q118_SQL = """
@@ -1344,70 +1360,16 @@ EXTRA_QUERIES["q128_streaming_distinct_users"] = Query(
 def q129_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
     """REAL stream-stream FULL OUTER interval join — completes the
     outer family next to q93 (inner) and q118 (left): matched pairs
-    emit as they join, and an unmatched row from EITHER side emits its
+    emit in-stream, and an unmatched row from EITHER side emits its
     null-padded result only once the watermark proves its 60-second
     match window can no longer be satisfied. Symmetric state story:
     each side retains exactly the interval horizon, and the final
     no-data micro-batch's watermark (min across inputs, 0 s delay)
     deterministically seals which unmatched rows of each side emit —
     the a-side gate is a_ts + 60 s < wm, the b-side gate the mirror.
-    The oracle recomputes all three row classes."""
-    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
-    run_id = next(_counter)
-    tmp = tempfile.mkdtemp(prefix="q129_stream_")
-    a_src = os.path.join(tmp, "a")
-    b_src = os.path.join(tmp, "b")
-    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(a_src)
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(b_src)
-
-    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
-    a = (
-        spark.readStream.schema(schema)
-        .parquet(a_src)
-        .withWatermark("ts", "0 seconds")
-        .select(
-            F.col("event_id").alias("a_id"),
-            F.col("user_id").alias("a_user"),
-            F.col("ts").alias("a_ts"),
-        )
-    )
-    b = (
-        spark.readStream.schema(schema)
-        .parquet(b_src)
-        .withWatermark("ts", "0 seconds")
-        .select(
-            F.col("event_id").alias("b_id"),
-            F.col("user_id").alias("b_user"),
-            F.col("ts").alias("b_ts"),
-        )
-    )
-    joined = a.join(
-        b,
-        (F.col("a_user") == F.col("b_user"))
-        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
-        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
-        "full_outer",
-    ).select(
-        "a_id", "b_id", F.coalesce("a_user", "b_user").alias("user_id")
-    )
-
-    name = f"q129_full_{run_id}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        q.stop()
-        q.awaitTermination(60)
-        raise RuntimeError(
-            "q129 stream-stream full join did not finish in 240 s"
-        )
-    _finish_stream_run(spark, tmp, name)
-    return spark.table(name)
+    The oracle recomputes all three row classes. Mechanics shared with
+    q118 via _stream_stream_interval_join (one definition)."""
+    return _stream_stream_interval_join(spark, sf, "full_outer", "q129_full")
 
 
 Q129_SQL = """

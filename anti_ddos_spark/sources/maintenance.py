@@ -123,6 +123,7 @@ def apply_cdc(
     key: str,
     op_col: str = "op",
     broadcast_changes: bool = True,
+    seq_col: str | None = None,
 ) -> "DataFrame":
     """Row-level MERGE semantics on plain parquet frames: apply a CDC
     change batch (op ∈ {'U','I','D'}) to a snapshot as
@@ -135,14 +136,34 @@ def apply_cdc(
     backfill-sized batch should shuffle both sides instead.
 
     Column contract: ``changes`` carries the snapshot columns plus
-    ``op_col``; 'D' rows only need the key populated.
+    ``op_col``; 'D' rows only need the key populated. Rows whose op is
+    not one of U/I/D (including null) are IGNORED entirely — they
+    neither delete nor upsert. Without that guard a malformed op would
+    fall through the upsert filter yet still anti-join its key out of
+    the snapshot: an accidental delete.
+
+    Multiple change rows per key: pass ``seq_col`` (a per-key-monotone
+    change sequence — the shape every CDC log provides) and only the
+    highest-sequence row per key is applied, so an ordered U-then-D
+    batch deletes instead of resurrecting the update. Without
+    ``seq_col`` the caller must pre-resolve to one row per key.
     """
     from pyspark.sql import functions as F
 
-    keys = changes.select(key)
+    ch = changes.filter(F.col(op_col).isin("U", "I", "D"))
+    if seq_col is not None:
+        payload = [c for c in ch.columns if c not in (key, seq_col)]
+        ch = (
+            ch.groupBy(key)
+            .agg(
+                F.max_by(F.struct(*payload), F.col(seq_col)).alias("_r")
+            )
+            .select(key, "_r.*")
+        )
+    keys = ch.select(key)
     if broadcast_changes:
         keys = F.broadcast(keys)
-    upserts = changes.filter(F.col(op_col) != "D").drop(op_col)
+    upserts = ch.filter(F.col(op_col) != "D").drop(op_col)
     return snapshot.join(keys, key, "left_anti").unionByName(
         upserts.select(*snapshot.columns)
     )

@@ -6,38 +6,55 @@ isolation: readers must see a consistent file set while writers land
 new data, every historical version must stay readable (time travel),
 and a bad release must be revertible without rewriting data. Real
 table formats do this with manifest files plus an atomically-swapped
-pointer; the same design works on any filesystem with atomic rename —
-no table-format dependency, which is the point for an engine that
-ships against bare parquet.
+pointer; the same design works on any filesystem with atomic rename
+plus an advisory lock — no table-format dependency, which is the point
+for an engine that ships against bare parquet.
 
 Layout:
 
     root/
-      data/v{N}-{token}/part-*.parquet   immutable data directories
+      data/d-{token}/part-*.parquet      immutable data directories
       manifests/v{N}.json                file list + lineage per version
       _current                           pointer file: the live version
+      _lock                              flock target for the publish CS
 
-Invariants:
-- data directories are immutable once a manifest references them
-  (rollback and time travel are manifest-only operations — verified by
-  inode stability in tests/test_versioned.py);
-- the pointer flips with os.rename, which POSIX guarantees atomic, so
-  a reader resolving ``_current`` sees the old or the new snapshot,
-  never a torn state;
-- writers are optimistic: ``commit(expected_version=...)`` re-checks
-  the pointer immediately before the rename and raises
-  ``CommitConflict`` when another writer landed first — retry with a
-  fresh read, the losing writer's data directory is garbage, nothing
-  is corrupted.
+Commit protocol (the data write is distributed and lock-free; only the
+KB-sized publish step serializes):
+
+1. write the batch's data directory (normal distributed parquet write);
+2. under ``flock(_lock)``: re-read the pointer — if the base moved,
+   release and either raise ``CommitConflict`` (plain commits) or
+   rebase and retry (the streaming sink); allocate the next version as
+   ``max(existing manifest numbers) + 1`` (orphans from crashed
+   publishes are skipped, never reused), create the manifest with
+   O_EXCL, and atomically rename the pointer.
+
+Crash-safety invariants:
+
+- a manifest without a pointer flip is an ORPHAN: off the committed
+  chain (readers follow the pointer; idempotency walks ``base`` links
+  from the pointer), so a batch whose publish crashed mid-way is
+  re-committed on re-delivery rather than silently skipped;
+- the lock is advisory flock, released by the OS if the holder dies;
+- data directories are immutable once written (rollback and time
+  travel are manifest-only — inode-stability proved in
+  tests/test_versioned.py);
+- a conflict loser removes only files it created itself.
+
+For object stores without flock, swap ``_publish``'s critical section
+for the store's conditional-put (CAS) primitive; everything else is
+already rename/read-only.
 
 At 100 TB the manifest is KBs per version (file paths, not data), the
 pointer is one rename, and every data write is the engine's normal
-distributed parquet write — nothing here serializes through the
-driver except the file LISTING of the just-written directory.
+distributed parquet write — nothing serializes through the driver
+except the file LISTING of the just-written directory and the flocked
+pointer flip.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import uuid
@@ -55,7 +72,7 @@ class VersionedTable:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
 
-    # -- pointer ------------------------------------------------------
+    # -- pointer / manifests -------------------------------------------
 
     def _pointer(self) -> str:
         return os.path.join(self.root, "_current")
@@ -79,7 +96,86 @@ class VersionedTable:
         with open(path) as f:
             return json.load(f)
 
-    # -- write --------------------------------------------------------
+    def committed_chain(self) -> list[dict]:
+        """Manifests on the LIVE chain (pointer → base links), newest
+        first. Orphans from crashed publishes are excluded — they were
+        never visible and must not suppress a retry."""
+        out = []
+        v = self.current_version()
+        while v is not None:
+            m = self._manifest(v)
+            out.append(m)
+            v = m["base"]
+        return out
+
+    def last_batch_id(self) -> int | None:
+        """Highest streaming batch id on the committed chain — O(1):
+        every manifest carries the running max."""
+        v = self.current_version()
+        return None if v is None else self._manifest(v).get("last_batch_id")
+
+    # -- write ----------------------------------------------------------
+
+    def _write_data_dir(self, df: DataFrame) -> list[str]:
+        rel_dir = os.path.join("data", f"d-{uuid.uuid4().hex[:12]}")
+        df.write.parquet(os.path.join(self.root, rel_dir))
+        return sorted(
+            os.path.join(rel_dir, n)
+            for n in os.listdir(os.path.join(self.root, rel_dir))
+            if n.endswith(".parquet")
+        )
+
+    def _publish(
+        self,
+        new_files: list[str],
+        mode: str,
+        base: int | None,
+        batch_id: int | None = None,
+    ) -> int:
+        """The flocked critical section: verify the base is still live,
+        allocate the next manifest number (O_EXCL create — never
+        clobbers), flip the pointer. Raises CommitConflict if the base
+        moved; the caller decides whether to rebase-and-retry."""
+        lock_path = os.path.join(self.root, "_lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            live = self.current_version()
+            if live != base:
+                raise CommitConflict(f"base moved: {base} -> {live}")
+            files = list(new_files)
+            prev_last_bid = None
+            if base is not None:
+                bm = self._manifest(base)
+                prev_last_bid = bm.get("last_batch_id")
+                if mode == "append":
+                    files = bm["files"] + files
+            existing = self.versions()
+            new_version = (existing[-1] + 1) if existing else 0
+            manifest = {
+                "version": new_version,
+                "base": base,
+                "mode": mode,
+                "files": files,
+            }
+            if batch_id is not None or prev_last_bid is not None:
+                manifest["last_batch_id"] = max(
+                    x for x in (batch_id, prev_last_bid) if x is not None
+                )
+            if batch_id is not None:
+                manifest["batch_id"] = batch_id
+            mpath = os.path.join(
+                self.root, "manifests", f"v{new_version}.json"
+            )
+            # O_EXCL: a concurrent claim of the same number is impossible
+            # under the lock, but never-clobber is cheap insurance
+            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+            tmp = self._pointer() + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(str(new_version))
+            os.rename(tmp, self._pointer())
+            return new_version
 
     def commit(
         self,
@@ -90,67 +186,26 @@ class VersionedTable:
         """Publish ``df`` as the next version. ``mode='append'`` keeps
         the current snapshot's files and adds the new ones;
         ``'overwrite'`` starts the file list fresh. Optimistic
-        concurrency: pass the version this commit was based on and the
-        publish fails with CommitConflict if someone else landed
-        first."""
+        concurrency: the publish fails with CommitConflict if another
+        writer landed after this commit's base (always checked; pass
+        ``expected_version`` to pin an even earlier base read)."""
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         base = self.current_version()
         if expected_version is not None and base != expected_version:
             raise CommitConflict(f"base moved: {expected_version} -> {base}")
-        new_version = 0 if base is None else base + 1
-        token = uuid.uuid4().hex[:8]
-        rel_dir = os.path.join("data", f"v{new_version}-{token}")
-        df.write.parquet(os.path.join(self.root, rel_dir))
-        files = sorted(
-            os.path.join(rel_dir, n)
-            for n in os.listdir(os.path.join(self.root, rel_dir))
-            if n.endswith(".parquet")
-        )
-        if mode == "append" and base is not None:
-            files = self._manifest(base)["files"] + files
-        manifest = {
-            "version": new_version,
-            "base": base,
-            "mode": mode,
-            "files": files,
-        }
-        mpath = os.path.join(self.root, "manifests", f"v{new_version}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
-        # last-moment conflict re-check, then the atomic pointer flip
-        if self.current_version() != base:
-            os.remove(mpath)
-            raise CommitConflict("another writer published first")
-        tmp = self._pointer() + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.rename(tmp, self._pointer())
-        return new_version
+        new_files = self._write_data_dir(df)
+        return self._publish(new_files, mode, base)
 
     def rollback(self, to_version: int) -> int:
         """Publish a NEW version whose file list is ``to_version``'s —
         history stays intact (a rollback is itself audit-visible), no
         data moves."""
-        old = self._manifest(to_version)
+        old_files = self._manifest(to_version)["files"]
         base = self.current_version()
-        new_version = (base or 0) + 1
-        manifest = {
-            "version": new_version,
-            "base": base,
-            "mode": f"rollback:{to_version}",
-            "files": old["files"],
-        }
-        mpath = os.path.join(self.root, "manifests", f"v{new_version}.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
-        tmp = self._pointer() + ".tmp-rb"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.rename(tmp, self._pointer())
-        return new_version
+        return self._publish(old_files, f"rollback:{to_version}", base)
 
-    # -- read ---------------------------------------------------------
+    # -- read -----------------------------------------------------------
 
     def read(
         self, spark: SparkSession, version: int | None = None
@@ -167,57 +222,47 @@ class VersionedTable:
         return spark.read.parquet(*files)
 
 
-def foreach_batch_committer(table: VersionedTable):
+def foreach_batch_committer(table: VersionedTable, max_retries: int = 5):
     """Exactly-once streaming sink: commit each micro-batch as a table
     version, idempotent on ``batchId``.
 
     Structured Streaming re-delivers a micro-batch after a failure with
-    the SAME batchId; recording the id in the manifest and skipping
-    already-committed ids turns at-least-once delivery into
-    exactly-once table state — the standard transactional-sink contract
-    (reference's undefined ``foreach_batch_function`` made idempotent,
-    the same fix as sinks.py's NDJSON committer but with snapshot
-    semantics: every micro-batch is a time-travelable version).
-    Retries that lose a commit race re-check and skip, so a retried
-    batch can never double-append.
+    the SAME batchId; batch ids are monotonic per query, so the check
+    is O(1): skip iff the COMMITTED chain's running ``last_batch_id``
+    already covers this id. Orphan manifests from a crash between
+    manifest write and pointer flip are off the chain and do NOT
+    suppress the retry — the re-delivered batch commits again (the
+    reference's undefined ``foreach_batch_function``, made a real
+    transactional sink).
+
+    Losing a publish race is handled by REBASING and retrying (the data
+    directory is already written; only the manifest/pointer step
+    re-runs), never by silently returning — a silent drop would let the
+    checkpoint advance past rows that never landed. After
+    ``max_retries`` lost races the error propagates so the engine fails
+    the batch and re-delivers it.
     """
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        for v in reversed(table.versions()):
-            m = table._manifest(v)
-            bid = m.get("batch_id")
-            if bid is not None and bid >= batch_id:
-                return  # this batch (or a later one) already landed
-        base = table.current_version()
-        new_version = 0 if base is None else base + 1
-        token = uuid.uuid4().hex[:8]
-        rel_dir = os.path.join("data", f"v{new_version}-{token}")
-        batch_df.write.parquet(os.path.join(table.root, rel_dir))
-        files = sorted(
-            os.path.join(rel_dir, n)
-            for n in os.listdir(os.path.join(table.root, rel_dir))
-            if n.endswith(".parquet")
+        last = table.last_batch_id()
+        if last is not None and last >= batch_id:
+            return  # this batch (or a later one) is already on the chain
+        new_files = table._write_data_dir(batch_df)
+        for _ in range(max_retries):
+            base = table.current_version()
+            try:
+                table._publish(
+                    new_files, "append", base, batch_id=batch_id
+                )
+                return
+            except CommitConflict:
+                # someone else published; if it was us (a racing retry
+                # of this very batch), the chain now covers batch_id
+                last = table.last_batch_id()
+                if last is not None and last >= batch_id:
+                    return
+        raise CommitConflict(
+            f"batch {batch_id}: lost the publish race {max_retries} times"
         )
-        if base is not None:
-            files = table._manifest(base)["files"] + files
-        manifest = {
-            "version": new_version,
-            "base": base,
-            "mode": "append",
-            "batch_id": batch_id,
-            "files": files,
-        }
-        mpath = os.path.join(
-            table.root, "manifests", f"v{new_version}.json"
-        )
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
-        if table.current_version() != base:
-            os.remove(mpath)  # lost a race; the retry will re-check
-            return
-        tmp = table._pointer() + f".tmp-{token}"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.rename(tmp, table._pointer())
 
     return _commit

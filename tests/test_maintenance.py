@@ -110,3 +110,29 @@ def test_apply_cdc_row_classes_and_broadcast_plan(spark):
     assert s["n_broadcast_joins"] >= 1
     assert s["n_sortmerge_joins"] == 0
     assert s["n_shuffle_exchanges"] == 0
+
+
+def test_apply_cdc_seq_resolution_and_malformed_ops(spark):
+    """Ordered changelog semantics: with seq_col the LAST change per
+    key wins (U then D deletes; I then U lands the update), and
+    malformed/null ops are ignored entirely — they must not fall
+    through as accidental deletes."""
+    from anti_ddos_spark.sources.maintenance import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, "B1", "U", 1),  # then deleted at seq 2 → must vanish
+            (2, None, "D", 2),
+            (4, "d0", "I", 1),  # then updated at seq 3 → d1 wins
+            (4, "d1", "U", 3),
+            (3, None, "x", 9),  # malformed op: MUST be a no-op
+            (1, None, None, 9),  # null op: MUST be a no-op
+        ],
+        "k long, v string, op string, seq long",
+    )
+    out = apply_cdc(snap, ch, "k", seq_col="seq")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "a", 3: "c", 4: "d1"}

@@ -142,3 +142,39 @@ def test_foreach_batch_committer_is_exactly_once(table, tmp_path):
     sink(spark.createDataFrame([(99, "zz")], "k long, v string"), 999)
     assert t.current_version() == v_before + 1
     assert t.read(spark).count() == 21
+
+
+def test_orphan_manifest_neither_blocks_nor_suppresses(table):
+    """Crash between manifest write and pointer flip leaves an ORPHAN:
+    it must not block future version allocation, and its batch_id must
+    not suppress the re-delivered batch (that would be data loss)."""
+    import json
+    import os
+
+    from anti_ddos_spark.sources.versioned import foreach_batch_committer
+
+    spark, t = table
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # hand-craft the crash artifact: manifest v1 exists, pointer still 0
+    orphan = {
+        "version": 1,
+        "base": 0,
+        "mode": "append",
+        "files": [],
+        "batch_id": 5,
+        "last_batch_id": 5,
+    }
+    with open(os.path.join(t.root, "manifests", "v1.json"), "w") as f:
+        json.dump(orphan, f)
+    assert t.current_version() == 0
+    assert t.last_batch_id() is None  # chain walk ignores the orphan
+
+    sink = foreach_batch_committer(t)
+    sink(spark.createDataFrame([(5, "e")], "k long, v string"), 5)
+    # committed past the orphan number, rows landed, id now on-chain
+    assert t.current_version() == 2
+    assert t.last_batch_id() == 5
+    assert _rows(t.read(spark)) == [(1, "a"), (5, "e")]
+    # and the re-delivery of batch 5 is now a no-op
+    sink(spark.createDataFrame([(6, "f")], "k long, v string"), 5)
+    assert t.current_version() == 2
