@@ -826,61 +826,9 @@ def q93_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     state). All data replays in one availableNow batch, so the emitted
     pair set is deterministic and hash-checks against the batch
     self-join SQL. At 100 TB the watermark bound IS the state story:
-    each side retains only rows inside the interval horizon."""
-    ev = t(spark, sf, "events").select("event_id", "user_id", "ts")
-    run_id = next(_counter)
-    tmp = tempfile.mkdtemp(prefix="q93_stream_")
-    a_src = os.path.join(tmp, "a")
-    b_src = os.path.join(tmp, "b")
-    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(a_src)
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(b_src)
-
-    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
-    a = (
-        spark.readStream.schema(schema)
-        .parquet(a_src)
-        .withWatermark("ts", "0 seconds")
-        .select(
-            F.col("event_id").alias("a_id"),
-            F.col("user_id").alias("a_user"),
-            F.col("ts").alias("a_ts"),
-        )
-    )
-    b = (
-        spark.readStream.schema(schema)
-        .parquet(b_src)
-        .withWatermark("ts", "0 seconds")
-        .select(
-            F.col("event_id").alias("b_id"),
-            F.col("user_id").alias("b_user"),
-            F.col("ts").alias("b_ts"),
-        )
-    )
-    joined = a.join(
-        b,
-        (F.col("a_user") == F.col("b_user"))
-        & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 60 SECONDS"))
-        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 60 SECONDS")),
-    ).select("a_id", "b_id", F.col("a_user").alias("user_id"))
-
-    name = f"q93_pairs_{run_id}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = q.awaitTermination(240)
-    if not finished:
-        q.stop()
-        q.awaitTermination(60)
-        raise RuntimeError(
-            "q93 stream-stream join did not finish its availableNow run in 240 s"
-        )
-    _finish_stream_run(spark, tmp, name)
-    return spark.table(name)
+    each side retains only rows inside the interval horizon.
+    Mechanics shared with q118/q129 via _stream_stream_interval_join."""
+    return _stream_stream_interval_join(spark, sf, "inner", "q93_pairs")
 
 
 Q93_SQL = """
