@@ -178,3 +178,52 @@ def test_orphan_manifest_neither_blocks_nor_suppresses(table):
     # and the re-delivery of batch 5 is now a no-op
     sink(spark.createDataFrame([(6, "f")], "k long, v string"), 5)
     assert t.current_version() == 2
+
+
+def test_streaming_cdc_committer_merges_exactly_once(table, tmp_path):
+    """REAL two-micro-batch streaming MERGE into the versioned table:
+    batch 1 inserts, batch 2 (a later file, maxFilesPerTrigger=1)
+    updates/deletes; every micro-batch lands as a time-travelable
+    version, and re-delivering a batch id is a no-op."""
+    import time
+
+    from anti_ddos_spark.sources.versioned import streaming_cdc_committer
+
+    spark, t = table
+    src = str(tmp_path / "cdc_src")
+    schema = "k long, v string, op string, seq long"
+    b1 = spark.createDataFrame(
+        [(1, "a", "I", 1), (2, "b", "I", 2), (3, "c", "I", 3)], schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # later mtime → second micro-batch (q114 pattern)
+    b2 = spark.createDataFrame(
+        [(2, "B", "U", 4), (3, None, "D", 5), (4, "d", "I", 6)], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    sink = streaming_cdc_committer(t, "k", seq_col="seq")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "B"), (4, "d")]
+    # one version per micro-batch; v-first is the post-batch-1 state
+    chain = t.committed_chain()
+    assert len(chain) == 2
+    first_v = chain[-1]["version"]
+    assert _rows(t.read(spark, version=first_v)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # re-delivery of an already-committed batch id: no-op
+    v_before = t.current_version()
+    sink(b2, 1)
+    assert t.current_version() == v_before
+    assert _rows(t.read(spark)) == [(1, "a"), (2, "B"), (4, "d")]
