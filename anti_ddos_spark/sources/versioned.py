@@ -322,3 +322,68 @@ def streaming_cdc_committer(
         )
 
     return _apply
+
+
+def compact(
+    table: VersionedTable, spark: SparkSession, n_files: int = 8
+) -> int:
+    """Small-file compaction as a VERSION: read the live snapshot,
+    rewrite it as ``n_files`` files, publish with ``overwrite`` — the
+    same flocked protocol as any commit, so readers of older versions
+    keep their (untouched) files and a concurrent writer turns this
+    into a clean CommitConflict instead of lost data. Streaming appends
+    (one small directory per micro-batch) make this the table's
+    standing maintenance job."""
+    base = table.current_version()
+    df = table.read(spark, version=base).coalesce(n_files)
+    new_files = table._write_data_dir(df)
+    return table._publish(new_files, "compact", base)
+
+
+def vacuum(table: VersionedTable, keep_versions: int = 2) -> dict:
+    """Retention GC — the lifecycle op without which versions
+    accumulate forever. Keeps the newest ``keep_versions`` manifests of
+    the COMMITTED chain (time travel keeps working inside the retention
+    window), then deletes (a) expired/orphaned manifests and (b) every
+    data directory no retained manifest references. Runs under the
+    publish lock so a concurrent commit can't interleave; returns the
+    deletion counts for the caller's audit log."""
+    import shutil
+
+    lock_path = os.path.join(table.root, "_lock")
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        chain = table.committed_chain()
+        keep = chain[: max(1, keep_versions)]
+        keep_numbers = {m["version"] for m in keep}
+        keep_dirs = set()
+        for m in keep:
+            for rel in m["files"]:
+                keep_dirs.add(rel.split(os.sep)[1])
+        dropped_manifests = 0
+        for v in table.versions():
+            if v not in keep_numbers:
+                os.remove(
+                    os.path.join(table.root, "manifests", f"v{v}.json")
+                )
+                dropped_manifests += 1
+        dropped_dirs = 0
+        data_root = os.path.join(table.root, "data")
+        for d in os.listdir(data_root):
+            if d not in keep_dirs:
+                shutil.rmtree(os.path.join(data_root, d))
+                dropped_dirs += 1
+        # re-link the chain so retained manifests don't point at
+        # vacuumed bases (the oldest retained manifest becomes a root)
+        oldest = keep[-1]
+        if oldest["base"] is not None and oldest["base"] not in keep_numbers:
+            oldest = {**oldest, "base": None}
+            mpath = os.path.join(
+                table.root, "manifests", f"v{oldest['version']}.json"
+            )
+            with open(mpath, "w") as f:
+                json.dump(oldest, f)
+        return {
+            "dropped_manifests": dropped_manifests,
+            "dropped_data_dirs": dropped_dirs,
+        }

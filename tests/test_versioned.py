@@ -227,3 +227,38 @@ def test_streaming_cdc_committer_merges_exactly_once(table, tmp_path):
     sink(b2, 1)
     assert t.current_version() == v_before
     assert _rows(t.read(spark)) == [(1, "a"), (2, "B"), (4, "d")]
+
+
+def test_compact_and_vacuum_lifecycle(table):
+    """compact() rewrites the live snapshot as a new version without
+    touching older versions' files; vacuum() drops everything outside
+    the retention window — including crash orphans — while time travel
+    keeps working inside it."""
+    import os
+
+    from anti_ddos_spark.sources.versioned import compact, vacuum
+
+    spark, t = table
+    for i in range(4):  # 4 appends → 4 small data dirs
+        t.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+        )
+    assert len(os.listdir(os.path.join(t.root, "data"))) == 4
+
+    v_c = compact(t, spark, n_files=1)
+    assert t.read(spark).count() == 4
+    # pre-compaction version still reads fine (its files untouched)
+    assert t.read(spark, version=v_c - 1).count() == 4
+
+    # keep only the compacted head: every append-era manifest expires,
+    # and with them the four small data dirs become unreferenced
+    stats = vacuum(t, keep_versions=1)
+    assert stats["dropped_manifests"] == 4  # the v0..v3 append chain
+    assert stats["dropped_data_dirs"] == 4
+    assert t.versions() == [v_c]
+    assert t.read(spark).count() == 4
+    # the retained manifest was re-rooted
+    assert t._manifest(v_c)["base"] is None
+    # and the table still accepts new commits after the GC
+    t.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert t.read(spark).count() == 5
