@@ -195,7 +195,11 @@ class VersionedTable:
         if expected_version is not None and base != expected_version:
             raise CommitConflict(f"base moved: {expected_version} -> {base}")
         new_files = self._write_data_dir(df)
-        return self._publish(new_files, mode, base)
+        try:
+            return self._publish(new_files, mode, base)
+        except CommitConflict:
+            _remove_data_dir(self, new_files)
+            raise
 
     def rollback(self, to_version: int) -> int:
         """Publish a NEW version whose file list is ``to_version``'s —
@@ -222,6 +226,53 @@ class VersionedTable:
         return spark.read.parquet(*files)
 
 
+def _remove_data_dir(table: VersionedTable, new_files: list[str]) -> None:
+    """Conflict-loser cleanup: remove the data directory behind a file
+    list that will never be published (the module invariant: a loser
+    removes only files it created itself)."""
+    import shutil
+
+    if new_files:
+        rel_dir = os.path.dirname(new_files[0])
+        shutil.rmtree(os.path.join(table.root, rel_dir), ignore_errors=True)
+
+
+def _retrying_publish(
+    table: VersionedTable,
+    batch_id: int,
+    build_files,
+    mode: str,
+    max_retries: int,
+) -> None:
+    """The ONE definition of the exactly-once sink scaffold shared by
+    foreach_batch_committer and streaming_cdc_committer: O(1) chain
+    idempotency on the monotonic batch id, rebase-and-retry on a lost
+    publish race (``build_files(base)`` re-runs against the NEW base,
+    so a concurrent writer's rows are never clobbered), loser data
+    dirs removed, and the error propagated — never swallowed — once
+    retries are exhausted, so the engine fails the batch and
+    re-delivers it."""
+    last = table.last_batch_id()
+    if last is not None and last >= batch_id:
+        return  # this batch (or a later one) is already on the chain
+    for _ in range(max_retries):
+        base = table.current_version()
+        new_files = build_files(base)
+        try:
+            table._publish(new_files, mode, base, batch_id=batch_id)
+            return
+        except CommitConflict:
+            _remove_data_dir(table, new_files)
+            # someone else published; if it was a racing retry of this
+            # very batch, the chain now covers batch_id
+            last = table.last_batch_id()
+            if last is not None and last >= batch_id:
+                return
+    raise CommitConflict(
+        f"batch {batch_id}: lost the publish race {max_retries} times"
+    )
+
+
 def foreach_batch_committer(table: VersionedTable, max_retries: int = 5):
     """Exactly-once streaming sink: commit each micro-batch as a table
     version, idempotent on ``batchId``.
@@ -233,36 +284,17 @@ def foreach_batch_committer(table: VersionedTable, max_retries: int = 5):
     manifest write and pointer flip are off the chain and do NOT
     suppress the retry — the re-delivered batch commits again (the
     reference's undefined ``foreach_batch_function``, made a real
-    transactional sink).
-
-    Losing a publish race is handled by REBASING and retrying (the data
-    directory is already written; only the manifest/pointer step
-    re-runs), never by silently returning — a silent drop would let the
-    checkpoint advance past rows that never landed. After
-    ``max_retries`` lost races the error propagates so the engine fails
-    the batch and re-delivers it.
+    transactional sink). Scaffold shared with streaming_cdc_committer
+    via _retrying_publish (one definition of the retry semantics).
     """
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
-        last = table.last_batch_id()
-        if last is not None and last >= batch_id:
-            return  # this batch (or a later one) is already on the chain
-        new_files = table._write_data_dir(batch_df)
-        for _ in range(max_retries):
-            base = table.current_version()
-            try:
-                table._publish(
-                    new_files, "append", base, batch_id=batch_id
-                )
-                return
-            except CommitConflict:
-                # someone else published; if it was us (a racing retry
-                # of this very batch), the chain now covers batch_id
-                last = table.last_batch_id()
-                if last is not None and last >= batch_id:
-                    return
-        raise CommitConflict(
-            f"batch {batch_id}: lost the publish race {max_retries} times"
+        _retrying_publish(
+            table,
+            batch_id,
+            lambda base: table._write_data_dir(batch_df),
+            "append",
+            max_retries,
         )
 
     return _commit
@@ -293,13 +325,10 @@ def streaming_cdc_committer(
     from anti_ddos_spark.sources.maintenance import apply_cdc
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        last = table.last_batch_id()
-        if last is not None and last >= batch_id:
-            return
         spark = batch_df.sparkSession
         drop = [op_col] + ([seq_col] if seq_col else [])
-        for _ in range(max_retries):
-            base = table.current_version()
+
+        def build_files(base):
             if base is None:
                 snapshot = batch_df.drop(*drop).limit(0)
             else:
@@ -307,18 +336,10 @@ def streaming_cdc_committer(
             merged = apply_cdc(
                 snapshot, batch_df, key, op_col=op_col, seq_col=seq_col
             )
-            new_files = table._write_data_dir(merged)
-            try:
-                table._publish(
-                    new_files, "overwrite", base, batch_id=batch_id
-                )
-                return
-            except CommitConflict:
-                last = table.last_batch_id()
-                if last is not None and last >= batch_id:
-                    return  # a racing retry of this very batch won
-        raise CommitConflict(
-            f"batch {batch_id}: lost the publish race {max_retries} times"
+            return table._write_data_dir(merged)
+
+        _retrying_publish(
+            table, batch_id, build_files, "overwrite", max_retries
         )
 
     return _apply
@@ -337,22 +358,49 @@ def compact(
     base = table.current_version()
     df = table.read(spark, version=base).coalesce(n_files)
     new_files = table._write_data_dir(df)
-    return table._publish(new_files, "compact", base)
+    try:
+        return table._publish(new_files, "compact", base)
+    except CommitConflict:
+        _remove_data_dir(table, new_files)
+        raise
 
 
-def vacuum(table: VersionedTable, keep_versions: int = 2) -> dict:
+def vacuum(
+    table: VersionedTable,
+    keep_versions: int = 2,
+    min_age_s: float = 3600.0,
+) -> dict:
     """Retention GC — the lifecycle op without which versions
     accumulate forever. Keeps the newest ``keep_versions`` manifests of
     the COMMITTED chain (time travel keeps working inside the retention
     window), then deletes (a) expired/orphaned manifests and (b) every
-    data directory no retained manifest references. Runs under the
-    publish lock so a concurrent commit can't interleave; returns the
-    deletion counts for the caller's audit log."""
+    data directory that no retained manifest references AND whose
+    mtime is older than ``min_age_s``.
+
+    The age gate is load-bearing, not politeness: data writes are
+    deliberately lock-free (a commit writes its directory BEFORE
+    taking the publish lock), so a freshly written unreferenced dir
+    may belong to an in-flight commit — deleting it would publish a
+    manifest over missing files. ``min_age_s`` must exceed the longest
+    plausible write-to-publish window (the same reason real table
+    formats gate VACUUM on file age); tests pass 0 deliberately.
+
+    Crash ordering: the oldest retained manifest is re-rooted FIRST
+    (tmp + atomic rename, so a torn write can't truncate a live
+    manifest) and expired manifests are removed after — a crash at any
+    point leaves a walkable chain. A table with no committed version
+    is a no-op (a fresh table's first in-flight commit is
+    indistinguishable from garbage). Runs under the publish lock so
+    the chain can't advance mid-scan; returns deletion counts for the
+    caller's audit log."""
     import shutil
+    import time
 
     lock_path = os.path.join(table.root, "_lock")
     with open(lock_path, "w") as lock:
         fcntl.flock(lock, fcntl.LOCK_EX)
+        if table.current_version() is None:
+            return {"dropped_manifests": 0, "dropped_data_dirs": 0}
         chain = table.committed_chain()
         keep = chain[: max(1, keep_versions)]
         keep_numbers = {m["version"] for m in keep}
@@ -360,6 +408,18 @@ def vacuum(table: VersionedTable, keep_versions: int = 2) -> dict:
         for m in keep:
             for rel in m["files"]:
                 keep_dirs.add(rel.split(os.sep)[1])
+        # re-root FIRST (atomically), so the chain stays walkable no
+        # matter where a crash lands
+        oldest = keep[-1]
+        if oldest["base"] is not None and oldest["base"] not in keep_numbers:
+            rooted = {**oldest, "base": None}
+            mpath = os.path.join(
+                table.root, "manifests", f"v{rooted['version']}.json"
+            )
+            tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(rooted, f)
+            os.rename(tmp, mpath)
         dropped_manifests = 0
         for v in table.versions():
             if v not in keep_numbers:
@@ -368,21 +428,16 @@ def vacuum(table: VersionedTable, keep_versions: int = 2) -> dict:
                 )
                 dropped_manifests += 1
         dropped_dirs = 0
+        now = time.time()
         data_root = os.path.join(table.root, "data")
         for d in os.listdir(data_root):
-            if d not in keep_dirs:
-                shutil.rmtree(os.path.join(data_root, d))
-                dropped_dirs += 1
-        # re-link the chain so retained manifests don't point at
-        # vacuumed bases (the oldest retained manifest becomes a root)
-        oldest = keep[-1]
-        if oldest["base"] is not None and oldest["base"] not in keep_numbers:
-            oldest = {**oldest, "base": None}
-            mpath = os.path.join(
-                table.root, "manifests", f"v{oldest['version']}.json"
-            )
-            with open(mpath, "w") as f:
-                json.dump(oldest, f)
+            full = os.path.join(data_root, d)
+            if d in keep_dirs:
+                continue
+            if now - os.path.getmtime(full) < min_age_s:
+                continue  # possibly an in-flight commit's unpublished dir
+            shutil.rmtree(full)
+            dropped_dirs += 1
         return {
             "dropped_manifests": dropped_manifests,
             "dropped_data_dirs": dropped_dirs,

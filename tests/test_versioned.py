@@ -252,7 +252,7 @@ def test_compact_and_vacuum_lifecycle(table):
 
     # keep only the compacted head: every append-era manifest expires,
     # and with them the four small data dirs become unreferenced
-    stats = vacuum(t, keep_versions=1)
+    stats = vacuum(t, keep_versions=1, min_age_s=0)
     assert stats["dropped_manifests"] == 4  # the v0..v3 append chain
     assert stats["dropped_data_dirs"] == 4
     assert t.versions() == [v_c]
@@ -262,3 +262,29 @@ def test_compact_and_vacuum_lifecycle(table):
     # and the table still accepts new commits after the GC
     t.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
     assert t.read(spark).count() == 5
+
+
+def test_vacuum_age_gate_and_empty_table(table):
+    """The age gate protects a lock-free in-flight commit's unpublished
+    data dir; an uncommitted table is a no-op entirely."""
+    from anti_ddos_spark.sources.versioned import vacuum
+
+    spark, t = table
+    # empty table: nothing deleted, no crash
+    assert vacuum(t) == {"dropped_manifests": 0, "dropped_data_dirs": 0}
+
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    # simulate an in-flight commit: data dir written, not yet published
+    unpublished = t._write_data_dir(
+        spark.createDataFrame([(2, "b")], "k long, v string")
+    )
+    import os
+
+    stats = vacuum(t, keep_versions=1)  # default min_age_s: fresh → kept
+    assert stats["dropped_data_dirs"] == 0
+    assert os.path.exists(
+        os.path.join(t.root, os.path.dirname(unpublished[0]))
+    )
+    # past the age gate the same dir is garbage and goes
+    stats = vacuum(t, keep_versions=1, min_age_s=0)
+    assert stats["dropped_data_dirs"] == 1
