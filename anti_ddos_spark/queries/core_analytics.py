@@ -1314,3 +1314,95 @@ EXTRA_QUERIES["q131_snapshot_diff"] = Query(
     "versioned-table release delta: time-travel read of v0 vs the "
     "live v1 pointer, per-source added docs/chars + version sizes",
 )
+
+
+# --- q132: layout pruning contract (z-order vs linear vs random) ----------
+
+def q132_layout_pruning(spark: SparkSession, sf: str) -> DataFrame:
+    """The z-order pruning contract as an oracle row (the q18 in-band
+    pattern for a claim no SQL engine can recompute: it is a property
+    of the parquet FOOTERS this query writes). 200k synthetic (x, y)
+    rows land in three 64-file layouts — random, linear-by-x,
+    z-ordered — and the query measures, by intersecting footer min/max
+    intervals exactly as any engine's scan pruning would, how many
+    files a 1/8-range filter on each column can touch. The oracle pins
+    the contract: the unclustered layouts must read EVERYTHING on y
+    (and random on x too), while the z layout must prune BOTH columns
+    (bounds carry the range-sampling straddler headroom measured in
+    tests/test_zorder.py). Bounded driver work: 192 footer reads."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from anti_ddos_spark.sources.layout import write_zordered
+
+    side, files, lo, hi = 1024, 64, 256, 384
+    root = tempfile.mkdtemp(prefix="ad_layout_")
+    df = (
+        spark.range(200_000)
+        .select(
+            F.abs(F.xxhash64("id") % side).alias("x"),
+            F.abs(F.xxhash64("id", F.lit(1)) % side).alias("y"),
+        )
+    )
+    paths = {k: os.path.join(root, k) for k in ("random", "linear", "zorder")}
+    df.repartition(files).write.parquet(paths["random"])
+    (
+        df.repartitionByRange(files, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(paths["linear"])
+    )
+    write_zordered(df, paths["zorder"], ["x", "y"], n_files=files)
+
+    def touched(path: str, col: str) -> int:
+        n = 0
+        for name in os.listdir(path):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, name)).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                for ci in range(grp.num_columns):
+                    c = grp.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and fmin < hi and fmax >= lo:
+                n += 1
+        return n
+
+    rows = []
+    for layout in ("random", "linear", "zorder"):
+        ty, tx = touched(paths[layout], "y"), touched(paths[layout], "x")
+        if layout == "zorder":
+            ok_y, ok_x = ty <= files // 4 + 3, tx <= files // 2
+        elif layout == "linear":
+            ok_y, ok_x = ty == files, tx <= files // 4 + 3
+        else:
+            ok_y, ok_x = ty == files, tx == files
+        rows.append((layout, files, bool(ok_y), bool(ok_x)))
+    # the result is driver-local literal rows — no lazy file dependency,
+    # so the scratch layouts can be removed immediately
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "layout string, n_files int, y_prune_ok boolean, x_prune_ok boolean"
+    )
+
+
+Q132_SQL = """
+SELECT * FROM (VALUES
+  ('random', 64, TRUE, TRUE),
+  ('linear', 64, TRUE, TRUE),
+  ('zorder', 64, TRUE, TRUE)
+) AS t(layout, n_files, y_prune_ok, x_prune_ok)
+"""
+
+EXTRA_QUERIES["q132_layout_pruning"] = Query(
+    q132_layout_pruning,
+    Q132_SQL,
+    "layout pruning contract: footer-interval file-touch bounds for "
+    "random / linear / z-order layouts, pinned as in-band booleans",
+)
