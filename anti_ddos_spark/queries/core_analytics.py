@@ -1244,9 +1244,14 @@ _SNAPDIFF_ROOTS: dict[str, str] = {}
 
 def q131_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """The versioned table's semantics made oracle-visible: commit the
-    even-doc_id half of documents as v0, APPEND the odd half as v1,
+    ``doc_id % 7 < 3`` slice of documents as v0, APPEND the rest as v1,
     then time-travel-read BOTH versions and report the release delta
-    per source (docs/chars added, version sizes). Scratch lifecycle is
+    per source (docs/chars added, version sizes). The split modulus is
+    7 — coprime with the fixture's ``source = src(doc_id % 20)``
+    assignment — so every source appears in BOTH versions and the
+    delta is ~20 real rows; the round-7 even/odd split was perfectly
+    correlated with source and silently produced a 0-row result (the
+    q06-in-r6 dead-row failure mode, caught in round 8). Scratch lifecycle is
     the streamops keep-latest pattern: each call builds a FRESH mkdtemp
     root (no cross-process collision) and removes the previous call's
     root for the same sf only after the new one exists — bounding
@@ -1263,8 +1268,8 @@ def q131_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").select("doc_id", "source", "n_chars")
     root = tempfile.mkdtemp(prefix="ad_snapdiff_")
     tbl = VersionedTable(root)
-    tbl.commit(d.filter(F.col("doc_id") % 2 == 0), mode="overwrite")
-    tbl.commit(d.filter(F.col("doc_id") % 2 == 1), mode="append")
+    tbl.commit(d.filter(F.col("doc_id") % 7 < 3), mode="overwrite")
+    tbl.commit(d.filter(F.col("doc_id") % 7 >= 3), mode="append")
     prev = _SNAPDIFF_ROOTS.get(sf)
     if prev is not None and prev != root:
         shutil.rmtree(prev, ignore_errors=True)
@@ -1291,7 +1296,7 @@ def q131_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
 
 
 Q131_SQL = """
-WITH old AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+WITH old AS (SELECT * FROM documents WHERE doc_id % 7 < 3),
 new AS (SELECT * FROM documents),
 added AS (
   SELECT * FROM new WHERE doc_id NOT IN (SELECT doc_id FROM old))

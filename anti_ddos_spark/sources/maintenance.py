@@ -147,17 +147,36 @@ def apply_cdc(
     highest-sequence row per key is applied, so an ordered U-then-D
     batch deletes instead of resurrecting the update. Without
     ``seq_col`` the caller must pre-resolve to one row per key.
+
+    Tie-break: the CDC contract is unique (key, seq), but a violating
+    batch must not produce a DIFFERENT merge on each run (max_by on
+    the sequence alone picks an arbitrary row when two rows tie). The
+    ordering key is therefore (seq, op, xxhash64(payload)) — any tie
+    resolves to the same row on every run and engine; rows identical
+    in all three are interchangeable by construction. Map-typed
+    payload columns are excluded from the hash (unhashable in Spark).
     """
     from pyspark.sql import functions as F
 
     ch = changes.filter(F.col(op_col).isin("U", "I", "D"))
     if seq_col is not None:
         payload = [c for c in ch.columns if c not in (key, seq_col)]
+        hashable = [
+            f.name
+            for f in ch.schema.fields
+            if f.name in payload
+            and "map<" not in f.dataType.simpleString()
+        ]
+        order = F.struct(
+            F.col(seq_col),
+            F.col(op_col),
+            F.xxhash64(*[F.col(c) for c in hashable])
+            if hashable
+            else F.lit(0),
+        )
         ch = (
             ch.groupBy(key)
-            .agg(
-                F.max_by(F.struct(*payload), F.col(seq_col)).alias("_r")
-            )
+            .agg(F.max_by(F.struct(*payload), order).alias("_r"))
             .select(key, "_r.*")
         )
     keys = ch.select(key)

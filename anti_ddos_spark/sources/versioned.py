@@ -108,11 +108,21 @@ class VersionedTable:
             v = m["base"]
         return out
 
-    def last_batch_id(self) -> int | None:
+    def last_batch_id(self, app_id: str | None = None) -> int | None:
         """Highest streaming batch id on the committed chain — O(1):
-        every manifest carries the running max."""
+        every manifest carries the running max. With ``app_id`` the
+        lookup is per transactional writer identity (see the committers'
+        ``txn_app_id``): batch ids are only monotonic WITHIN one
+        streaming query, so two queries sharing a table — or one query
+        whose checkpoint was reset (ids restart at 0) — must not share
+        an idempotency counter, or commits get silently skipped."""
         v = self.current_version()
-        return None if v is None else self._manifest(v).get("last_batch_id")
+        if v is None:
+            return None
+        m = self._manifest(v)
+        if app_id is None:
+            return m.get("last_batch_id")
+        return m.get("last_batch_ids", {}).get(app_id)
 
     # -- write ----------------------------------------------------------
 
@@ -131,11 +141,21 @@ class VersionedTable:
         mode: str,
         base: int | None,
         batch_id: int | None = None,
+        app_id: str | None = None,
+        extra: dict | None = None,
     ) -> int:
         """The flocked critical section: verify the base is still live,
         allocate the next manifest number (O_EXCL create — never
         clobbers), flip the pointer. Raises CommitConflict if the base
-        moved; the caller decides whether to rebase-and-retry."""
+        moved; the caller decides whether to rebase-and-retry.
+
+        ``app_id`` scopes the batch-id idempotency counter to one
+        transactional writer (manifest key ``last_batch_ids``); without
+        it the legacy table-global ``last_batch_id`` is used. Both maps
+        propagate through EVERY publish (plain commits, compact,
+        rollback included) so a maintenance op can't amnesia the sink.
+        ``extra`` keys merge into the manifest (the bucketed-CDC layout
+        metadata rides here)."""
         lock_path = os.path.join(self.root, "_lock")
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
@@ -144,9 +164,11 @@ class VersionedTable:
                 raise CommitConflict(f"base moved: {base} -> {live}")
             files = list(new_files)
             prev_last_bid = None
+            prev_app_bids: dict = {}
             if base is not None:
                 bm = self._manifest(base)
                 prev_last_bid = bm.get("last_batch_id")
+                prev_app_bids = dict(bm.get("last_batch_ids", {}))
                 if mode == "append":
                     files = bm["files"] + files
             existing = self.versions()
@@ -157,9 +179,23 @@ class VersionedTable:
                 "mode": mode,
                 "files": files,
             }
-            if batch_id is not None or prev_last_bid is not None:
+            if extra:
+                manifest.update(extra)
+            if app_id is not None and batch_id is not None:
+                prev_app_bids[app_id] = max(
+                    x for x in (batch_id, prev_app_bids.get(app_id))
+                    if x is not None
+                )
+                batch_id_for_global = None
+            else:
+                batch_id_for_global = batch_id
+            if prev_app_bids:
+                manifest["last_batch_ids"] = prev_app_bids
+            if batch_id_for_global is not None or prev_last_bid is not None:
                 manifest["last_batch_id"] = max(
-                    x for x in (batch_id, prev_last_bid) if x is not None
+                    x
+                    for x in (batch_id_for_global, prev_last_bid)
+                    if x is not None
                 )
             if batch_id is not None:
                 manifest["batch_id"] = batch_id
@@ -243,29 +279,46 @@ def _retrying_publish(
     build_files,
     mode: str,
     max_retries: int,
+    app_id: str | None = None,
 ) -> None:
     """The ONE definition of the exactly-once sink scaffold shared by
     foreach_batch_committer and streaming_cdc_committer: O(1) chain
-    idempotency on the monotonic batch id, rebase-and-retry on a lost
-    publish race (``build_files(base)`` re-runs against the NEW base,
-    so a concurrent writer's rows are never clobbered), loser data
-    dirs removed, and the error propagated — never swallowed — once
-    retries are exhausted, so the engine fails the batch and
-    re-delivers it."""
-    last = table.last_batch_id()
+    idempotency on the monotonic batch id (scoped to ``app_id`` when
+    the caller declared a writer identity — see last_batch_id),
+    rebase-and-retry on a lost publish race (``build_files(base)``
+    re-runs against the NEW base, so a concurrent writer's rows are
+    never clobbered), loser data dirs removed, and the error
+    propagated — never swallowed — once retries are exhausted, so the
+    engine fails the batch and re-delivers it.
+
+    ``build_files(base)`` returns ``(files, extra_manifest_keys,
+    created_rel_dir)``: the file list may CARRY FORWARD committed files
+    from the base (the bucketed CDC layout does), so conflict cleanup
+    deletes exactly ``created_rel_dir`` — never a directory derived
+    from the file list, which could belong to live data."""
+    last = table.last_batch_id(app_id)
     if last is not None and last >= batch_id:
         return  # this batch (or a later one) is already on the chain
     for _ in range(max_retries):
         base = table.current_version()
-        new_files = build_files(base)
+        new_files, extra, created_dir = build_files(base)
         try:
-            table._publish(new_files, mode, base, batch_id=batch_id)
+            table._publish(
+                new_files, mode, base,
+                batch_id=batch_id, app_id=app_id, extra=extra,
+            )
             return
         except CommitConflict:
-            _remove_data_dir(table, new_files)
+            if created_dir is not None:
+                import shutil
+
+                shutil.rmtree(
+                    os.path.join(table.root, created_dir),
+                    ignore_errors=True,
+                )
             # someone else published; if it was a racing retry of this
             # very batch, the chain now covers batch_id
-            last = table.last_batch_id()
+            last = table.last_batch_id(app_id)
             if last is not None and last >= batch_id:
                 return
     raise CommitConflict(
@@ -273,7 +326,11 @@ def _retrying_publish(
     )
 
 
-def foreach_batch_committer(table: VersionedTable, max_retries: int = 5):
+def foreach_batch_committer(
+    table: VersionedTable,
+    max_retries: int = 5,
+    txn_app_id: str | None = None,
+):
     """Exactly-once streaming sink: commit each micro-batch as a table
     version, idempotent on ``batchId``.
 
@@ -286,18 +343,51 @@ def foreach_batch_committer(table: VersionedTable, max_retries: int = 5):
     reference's undefined ``foreach_batch_function``, made a real
     transactional sink). Scaffold shared with streaming_cdc_committer
     via _retrying_publish (one definition of the retry semantics).
+
+    Batch ids are monotonic only WITHIN one streaming query's
+    checkpoint lineage. Pass ``txn_app_id`` (e.g. the checkpoint path
+    or a stable query name) when more than one query writes the table,
+    or when a checkpoint may be reset — each identity then keeps its
+    own idempotency counter in the manifest (the (appId, version) txn
+    key real table formats use). Without it, one table supports
+    exactly one streaming query with a stable checkpoint.
     """
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        def build(base):
+            files = table._write_data_dir(batch_df)
+            created = os.path.dirname(files[0]) if files else None
+            return files, None, created
+
         _retrying_publish(
-            table,
-            batch_id,
-            lambda base: table._write_data_dir(batch_df),
-            "append",
-            max_retries,
+            table, batch_id, build, "append", max_retries,
+            app_id=txn_app_id,
         )
 
     return _commit
+
+
+def _bucketed_data_dir(table: VersionedTable, df: DataFrame) -> tuple:
+    """Write ``df`` (which carries a ``_bucket`` column) partitioned by
+    bucket under one immutable data dir; return
+    ``({bucket: [rel files]}, rel_dir)``. The bucket value lives in the
+    directory name only — the parquet files hold the payload columns,
+    so a pruned snapshot read of the leaf files needs no basePath
+    gymnastics."""
+    rel_dir = os.path.join("data", f"d-{uuid.uuid4().hex[:12]}")
+    full = os.path.join(table.root, rel_dir)
+    df.write.partitionBy("_bucket").parquet(full)
+    out: dict[str, list[str]] = {}
+    for sub in sorted(os.listdir(full)):
+        if not sub.startswith("_bucket="):
+            continue
+        b = sub.split("=", 1)[1]
+        out[b] = sorted(
+            os.path.join(rel_dir, sub, n)
+            for n in os.listdir(os.path.join(full, sub))
+            if n.endswith(".parquet")
+        )
+    return out, rel_dir
 
 
 def streaming_cdc_committer(
@@ -306,40 +396,106 @@ def streaming_cdc_committer(
     op_col: str = "op",
     seq_col: str | None = None,
     max_retries: int = 5,
+    n_buckets: int = 16,
+    txn_app_id: str | None = None,
 ):
-    """Transactional streaming MERGE: each micro-batch of CDC rows
-    (op ∈ {'U','I','D'}, see sources/maintenance.apply_cdc) merges into
-    the table's live snapshot and publishes as a new version —
-    exactly-once via the same chain-walked ``batchId`` idempotency as
-    ``foreach_batch_committer``, conflict-rebased the same way (a lost
-    race re-reads the NEW base snapshot and re-merges, so a concurrent
-    writer's rows are never clobbered).
+    """Transactional streaming MERGE with a BOUNDED rewrite: each
+    micro-batch of CDC rows (op ∈ {'U','I','D'}, see
+    sources/maintenance.apply_cdc) merges into the table's live
+    snapshot and publishes as a new version — exactly-once via the
+    same chain-walked ``batchId`` idempotency as
+    ``foreach_batch_committer`` (scope it with ``txn_app_id`` when the
+    table outlives one checkpoint lineage), conflict-rebased the same
+    way (a lost race re-reads the NEW base snapshot and re-merges, so
+    a concurrent writer's rows are never clobbered).
 
-    Each publish is ``overwrite`` (the merged snapshot is the new file
-    list), which makes every micro-batch a complete, time-travelable
-    table state — the semantics demo. The 100 TB production form keeps
-    these exact semantics but bounds the rewrite: partition-prune the
-    snapshot to the partitions the batch's keys touch (apply_cdc's
-    anti-join + upsert_partitions), rewriting only those files.
+    The table's data is laid out in ``n_buckets`` key-hash buckets
+    (``pmod(xxhash64(key), n_buckets)`` — deterministic across runs and
+    sessions), recorded per-version in the manifest's ``bucket_files``
+    map. Each micro-batch:
+
+    1. computes the set of buckets its keys touch (bounded collect,
+       ≤ n_buckets values);
+    2. reads ONLY those buckets' files from the base manifest —
+       untouched buckets are never scanned;
+    3. ``apply_cdc``-merges the batch into that pruned slice;
+    4. writes the merged slice partitioned by bucket and publishes a
+       manifest that CARRIES FORWARD the untouched buckets' file
+       entries verbatim (their files keep their inodes — proved in
+       tests/test_versioned.py).
+
+    Per-batch cost is therefore O(touched buckets' data + batch), not
+    O(table): at 100 TB with 1024 buckets a key-local batch rewrites
+    ~0.1 % of the table instead of all of it. Every version is still a
+    complete time-travelable snapshot (the manifest's flat ``files``
+    list is carried + new). A base version without bucket metadata
+    (a plain commit, a compact, or a different ``n_buckets``) is
+    handled by one full-table re-bucketing merge, after which pruning
+    resumes — so the committer composes with the other lifecycle ops
+    instead of corrupting on them.
     """
+    from pyspark.sql import functions as F
+
     from anti_ddos_spark.sources.maintenance import apply_cdc
+
+    def _bucket_of(col):
+        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         drop = [op_col] + ([seq_col] if seq_col else [])
+        valid = batch_df.filter(F.col(op_col).isin("U", "I", "D"))
 
         def build_files(base):
+            base_buckets: dict[str, list[str]] = {}
+            if base is not None:
+                bm = table._manifest(base)
+                if bm.get("n_buckets") == n_buckets:
+                    base_buckets = bm.get("bucket_files", {})
             if base is None:
                 snapshot = batch_df.drop(*drop).limit(0)
+                carried: dict[str, list[str]] = {}
+            elif base_buckets:
+                touched = {
+                    str(r[0])
+                    for r in valid.select(
+                        _bucket_of(F.col(key)).alias("b")
+                    ).distinct().collect()
+                }
+                pruned = [
+                    os.path.join(table.root, rel)
+                    for b in sorted(touched)
+                    for rel in base_buckets.get(b, [])
+                ]
+                snapshot = (
+                    spark.read.parquet(*pruned)
+                    if pruned
+                    else batch_df.drop(*drop).limit(0)
+                )
+                carried = {
+                    b: fs
+                    for b, fs in base_buckets.items()
+                    if b not in touched
+                }
             else:
+                # unbucketed base (plain commit / compact / resized):
+                # one full merge re-establishes the bucket layout
                 snapshot = table.read(spark, version=base)
+                carried = {}
             merged = apply_cdc(
                 snapshot, batch_df, key, op_col=op_col, seq_col=seq_col
-            )
-            return table._write_data_dir(merged)
+            ).withColumn("_bucket", _bucket_of(F.col(key)))
+            new_buckets, created_dir = _bucketed_data_dir(table, merged)
+            bucket_files = {**carried, **new_buckets}
+            files = [
+                f for b in sorted(bucket_files) for f in bucket_files[b]
+            ]
+            extra = {"bucket_files": bucket_files, "n_buckets": n_buckets}
+            return files, extra, created_dir
 
         _retrying_publish(
-            table, batch_id, build_files, "overwrite", max_retries
+            table, batch_id, build_files, "overwrite", max_retries,
+            app_id=txn_app_id,
         )
 
     return _apply

@@ -136,3 +136,25 @@ def test_apply_cdc_seq_resolution_and_malformed_ops(spark):
     out = apply_cdc(snap, ch, "k", seq_col="seq")
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {1: "a", 3: "c", 4: "d1"}
+
+
+def test_apply_cdc_tie_break_is_deterministic(spark):
+    """Contract-violating batches (two change rows sharing (key, seq))
+    must resolve to the SAME row on every run: the ordering key is
+    (seq, op, payload hash), so repeated merges agree."""
+    from anti_ddos_spark.sources.maintenance import apply_cdc
+
+    snap = spark.createDataFrame([(1, "old")], "k long, v string")
+    # same key, same seq, different payloads — a contract violation
+    ch = spark.createDataFrame(
+        [(1, "a", "U", 9), (1, "b", "U", 9), (1, "z", "U", 3)],
+        "k long, v string, op string, seq long",
+    )
+    results = {
+        tuple(sorted((r["k"], r["v"]) for r in
+              apply_cdc(snap, ch, "k", seq_col="seq").collect()))
+        for _ in range(5)
+    }
+    assert len(results) == 1  # stable across runs
+    ((k, v),) = results.pop()
+    assert k == 1 and v in ("a", "b")  # seq 9 wins; tie is pinned

@@ -288,3 +288,134 @@ def test_vacuum_age_gate_and_empty_table(table):
     # past the age gate the same dir is garbage and goes
     stats = vacuum(t, keep_versions=1, min_age_s=0)
     assert stats["dropped_data_dirs"] == 1
+
+
+def test_streaming_cdc_rewrite_is_bucket_bounded(table, tmp_path):
+    """The round-8 scale contract: a micro-batch rewrites ONLY the
+    key-hash buckets its keys touch. REAL two-batch streaming run:
+    batch 1 seeds 40 keys across the 16-bucket layout, batch 2 changes
+    a single key — every untouched bucket's files must keep their
+    EXACT paths and inodes in the new manifest (carried forward, never
+    rescanned or rewritten), and only the touched bucket's entry may
+    change."""
+    import time
+
+    from anti_ddos_spark.sources.versioned import streaming_cdc_committer
+
+    spark, t = table
+    src = str(tmp_path / "cdc_src")
+    schema = "k long, v string, op string, seq long"
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", "I", i) for i in range(40)], schema
+    )
+    b1.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    b2 = spark.createDataFrame([(7, "CHANGED", "U", 100)], schema)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    sink = streaming_cdc_committer(t, "k", seq_col="seq")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    chain = t.committed_chain()
+    assert len(chain) == 2
+    m_new, m_old = chain[0], chain[1]
+    assert m_old["n_buckets"] == 16 and m_new["n_buckets"] == 16
+
+    changed = {
+        b
+        for b in set(m_old["bucket_files"]) | set(m_new["bucket_files"])
+        if m_old["bucket_files"].get(b) != m_new["bucket_files"].get(b)
+    }
+    assert len(changed) == 1  # exactly key 7's bucket
+    untouched = set(m_old["bucket_files"]) - changed
+    assert len(untouched) >= 10  # 40 keys spread over 16 buckets
+    for b in untouched:
+        for rel in m_old["bucket_files"][b]:
+            assert rel in m_new["files"]
+            assert os.path.exists(os.path.join(t.root, rel))
+    # inode proof: carried files are the SAME files, not rewrites
+    inodes_v1 = {
+        rel: os.stat(os.path.join(t.root, rel)).st_ino
+        for b in untouched
+        for rel in m_old["bucket_files"][b]
+    }
+    for rel, ino in inodes_v1.items():
+        assert os.stat(os.path.join(t.root, rel)).st_ino == ino
+
+    # merge semantics unchanged by the pruning
+    rows = _rows(t.read(spark))
+    assert (7, "CHANGED") in rows and len(rows) == 40
+    # and both versions time-travel cleanly
+    assert (7, "v7") in _rows(t.read(spark, version=m_old["version"]))
+
+
+def test_streaming_cdc_rebuckets_after_compact(table):
+    """compact() publishes an unbucketed manifest; the next CDC batch
+    must fall back to ONE full-table merge that re-establishes the
+    bucket layout (not corrupt or drop rows), after which pruning
+    resumes."""
+    from anti_ddos_spark.sources.versioned import (
+        compact,
+        streaming_cdc_committer,
+    )
+
+    spark, t = table
+    schema = "k long, v string, op string, seq long"
+    sink = streaming_cdc_committer(t, "k", seq_col="seq")
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(10)], schema
+        ),
+        0,
+    )
+    compact(t, spark, n_files=1)
+    assert "bucket_files" not in t._manifest(t.current_version())
+
+    sink(spark.createDataFrame([(3, "X", "U", 50)], schema), 1)
+    m = t._manifest(t.current_version())
+    assert m["n_buckets"] == 16  # layout re-established
+    rows = _rows(t.read(spark))
+    assert len(rows) == 10 and (3, "X") in rows
+
+
+def test_txn_app_id_scopes_idempotency(table):
+    """Two streaming queries sharing one table (or a checkpoint reset
+    restarting batch ids at 0) must not share an idempotency counter:
+    with txn_app_id each writer identity tracks its own last batch id,
+    so app B's batch 0 commits even after app A committed batch 5."""
+    from anti_ddos_spark.sources.versioned import foreach_batch_committer
+
+    spark, t = table
+    a = foreach_batch_committer(t, txn_app_id="qA")
+    b = foreach_batch_committer(t, txn_app_id="qB")
+    df = lambda k: spark.createDataFrame([(k, "x")], "k long, v string")  # noqa: E731
+
+    a(df(1), 5)
+    assert t.read(spark).count() == 1
+    # same app, replayed id: skipped
+    a(df(2), 5)
+    assert t.read(spark).count() == 1
+    # DIFFERENT app, lower id: must commit (the ADVICE data-loss case)
+    b(df(3), 0)
+    assert t.read(spark).count() == 2
+    assert t.last_batch_id("qA") == 5
+    assert t.last_batch_id("qB") == 0
+    # counters survive a plain commit + compact in between
+    t.commit(df(4))
+    from anti_ddos_spark.sources.versioned import compact
+
+    compact(t, spark, n_files=1)
+    assert t.last_batch_id("qA") == 5
+    a(df(5), 5)  # still suppressed post-compact
+    assert t.read(spark).count() == 3
+    a(df(6), 6)
+    assert t.read(spark).count() == 4
