@@ -36,15 +36,29 @@ def zorder_expr(cols: list, bits: int = 16) -> Column:
     using its low ``bits`` bits): bit i of column j lands at position
     ``i * len(cols) + j``. Built from literal shifts so the whole
     expression stays inside codegen. k * bits must fit in a long
-    (k·bits ≤ 63)."""
+    (k·bits ≤ 63).
+
+    Inputs are masked to the contract (``value & (2^bits - 1)``) before
+    interleaving: without the mask, arithmetic shiftright smears a
+    negative value's sign bit across EVERY interleaved position,
+    silently destroying the clustering for all columns (an
+    out-of-contract input then surfaces only as a mysterious pruning
+    regression). With it, out-of-range values degrade to defined
+    wrap-around on their own column — still out of contract (callers
+    should size ``bits`` to the domain), but deterministic and
+    contained."""
     n = len(cols)
     if n * bits > 63:
         raise ValueError(f"{n} cols x {bits} bits exceeds a long")
-    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    mask = F.lit((1 << bits) - 1)
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(mask)
+        for c in cols
+    ]
     z = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cs):
-            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
     return z
 

@@ -502,7 +502,11 @@ def streaming_cdc_committer(
 
 
 def compact(
-    table: VersionedTable, spark: SparkSession, n_files: int = 8
+    table: VersionedTable,
+    spark: SparkSession,
+    n_files: int = 8,
+    zorder_cols: list | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """Small-file compaction as a VERSION: read the live snapshot,
     rewrite it as ``n_files`` files, publish with ``overwrite`` — the
@@ -510,12 +514,35 @@ def compact(
     keep their (untouched) files and a concurrent writer turns this
     into a clean CommitConflict instead of lost data. Streaming appends
     (one small directory per micro-batch) make this the table's
-    standing maintenance job."""
+    standing maintenance job.
+
+    ``zorder_cols`` makes this OPTIMIZE-ZORDER as a time-travelable
+    lifecycle op: the rewrite range-partitions and locally sorts on the
+    Morton code of the given columns (sources/layout.zorder_expr — one
+    range exchange, codegen-only row path), so the compacted version's
+    parquet footers prune selective filters on EVERY interleaved
+    column while older versions' files stay untouched (inode-proved in
+    tests/test_zorder.py). Note: either compaction publishes an
+    UNBUCKETED manifest — a subsequent streaming CDC batch re-buckets
+    with one full merge, then resumes pruned rewrites."""
     base = table.current_version()
-    df = table.read(spark, version=base).coalesce(n_files)
+    df = table.read(spark, version=base)
+    if zorder_cols:
+        from anti_ddos_spark.sources.layout import zorder_expr
+
+        df = (
+            df.withColumn("_z", zorder_expr(zorder_cols, bits=zorder_bits))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        mode = "compact:zorder"
+    else:
+        df = df.coalesce(n_files)
+        mode = "compact"
     new_files = table._write_data_dir(df)
     try:
-        return table._publish(new_files, "compact", base)
+        return table._publish(new_files, mode, base)
     except CommitConflict:
         _remove_data_dir(table, new_files)
         raise

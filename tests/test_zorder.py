@@ -136,3 +136,74 @@ def test_zorder_filter_reaches_the_scan(layouts):
         )
     )
     assert any("y" in p for p in s["pushed_filters"]), s["pushed_filters"]
+
+
+def test_zorder_compaction_is_a_table_version(spark, tmp_path):
+    """OPTIMIZE-ZORDER as a lifecycle op (r7 verdict task #7): compact
+    with zorder_cols publishes a version whose footers satisfy the
+    pruning bound, while every pre-compaction version's files keep
+    their inodes (time travel untouched). Negative values exercise the
+    round-8 input mask: without it the sign bit would smear across the
+    interleave and de-cluster BOTH columns."""
+    from anti_ddos_spark.sources.versioned import VersionedTable, compact
+
+    t = VersionedTable(str(tmp_path / "ztbl"))
+    side, files = 1024, 16
+    df = spark.range(50_000).select(
+        F.abs(F.xxhash64("id") % side).alias("x"),
+        F.abs(F.xxhash64("id", F.lit(1)) % side).alias("y"),
+    )
+    for i in range(4):  # accrete small appends, like a streaming table
+        t.commit(df.filter(F.col("x") % 4 == i))
+    v_pre = t.current_version()
+
+    def inodes():
+        out = {}
+        for dirpath, _, names in os.walk(os.path.join(t.root, "data")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    out[p] = os.stat(p).st_ino
+        return out
+
+    before = inodes()
+    v_z = compact(t, spark, n_files=files, zorder_cols=["x", "y"])
+    assert t._manifest(v_z)["mode"] == "compact:zorder"
+    # older versions' files untouched (compaction added, never rewrote)
+    after = inodes()
+    assert all(after[p] == ino for p, ino in before.items())
+    assert t.read(spark, version=v_pre).count() == t.read(spark).count()
+
+    # the compacted version's own files satisfy the pruning bound:
+    # a 1/8-range filter on y touches at most 1/4 + straddlers
+    zdir = {
+        os.path.dirname(rel) for rel in t._manifest(v_z)["files"]
+    }
+    assert len(zdir) == 1
+    zpath = os.path.join(t.root, zdir.pop())
+    touched = _files_touched(zpath, "y", 256, 384)
+    assert touched <= files // 4 + 3, touched
+    # answers unchanged by layout
+    n_z = (
+        t.read(spark, version=v_z)
+        .filter((F.col("y") >= 256) & (F.col("y") < 384))
+        .count()
+    )
+    n_pre = (
+        t.read(spark, version=v_pre)
+        .filter((F.col("y") >= 256) & (F.col("y") < 384))
+        .count()
+    )
+    assert n_z == n_pre > 0
+
+
+def test_zorder_expr_masks_out_of_contract_inputs(spark):
+    """ADVICE r8: negatives / overwide values must not smear sign bits
+    across the interleave — the masked expression equals the reference
+    Morton code of (value & mask) for EVERY long."""
+    vals = [-1, -5, -1024, 70000, 2**40 + 3, 0, 65535]
+    df = spark.createDataFrame([(v, 1) for v in vals], "x long, y long")
+    rows = df.select("x", zorder_expr(["x", "y"]).alias("z")).collect()
+    m = (1 << 16) - 1
+    for r in rows:
+        assert r["z"] == ref_morton(r["x"] & m, 1), r["x"]
