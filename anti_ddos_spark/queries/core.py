@@ -767,3 +767,20 @@ for _extra in (_ANALYTICS_EXTRA, _WINDOWS_EXTRA):
 # Round-7 third rotation: the mergeable-sketch contract takes q05's
 # slot (see the demotion note above EXTRA_QUERIES).
 QUERIES["q126_mergeable_hll"] = EXTRA_QUERIES.pop("q126_mergeable_hll")
+
+# Round-8 rotation (r7 verdict task #2): promote the round-7 lifecycle
+# family into driver rows — q125 (freqItems no-false-negative band),
+# q130 (row-level CDC merge), q131 (versioned-table time-travel delta;
+# its doc_id split fixed this round to be source-independent, so the
+# row carries ~20 real rows instead of a silent empty match), q132
+# (z-order pruning contract as in-band booleans). Slots come from
+# long-stable textops/media rows demoted in their modules (q36, q38,
+# q47, q48, q61, q62 — all transitively exercised and still
+# oracle-checked via full_registry()).
+for _name in (
+    "q125_heavy_hitters",
+    "q130_cdc_merge",
+    "q131_snapshot_diff",
+    "q132_layout_pruning",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)

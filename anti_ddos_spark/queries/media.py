@@ -168,3 +168,12 @@ EXTRA_QUERIES: dict[str, Query] = {
         "resize planning: integer aspect fit + stride thumbnail signature",
     ),
 }
+
+# Round-8 rotation (r7 verdict task #2): q61/q62 — the mapInPandas
+# Arrow decode and binary frame sampling are plan-pinned in
+# tests/test_multimodal.py and stable since round 2; q60 keeps the
+# media family's driver presence. Their slots go to the round-7
+# lifecycle family (see queries/core.py). Both keep full DuckDB hash
+# oracles via full_registry().
+for _name in ("q61_media_features", "q62_frame_sample"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

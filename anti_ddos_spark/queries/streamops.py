@@ -1363,3 +1363,11 @@ EXTRA_QUERIES["q129_stream_stream_full_join"] = Query(
     "null-padded rows from BOTH sides gated on their watermark-sealed "
     "match windows (REAL run vs the three-row-class batch SQL)",
 )
+
+# Round-8 rotation (r7 verdict task #2): promote the round-7 streaming
+# additions to driver rows — q128 (HLL++ sketch state inside a windowed
+# agg, REAL run, in-band bound vs exact) and q129 (stream-stream FULL
+# OUTER interval join, the last member of the outer family next to the
+# q93/q118 driver rows). Slots come from textops/media demotions.
+for _name in ("q128_streaming_distinct_users", "q129_stream_stream_full_join"):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)

@@ -1142,3 +1142,18 @@ for _extra in (_PREP_EXTRA, _CLEANUP_EXTRA, _GOV_EXTRA):
 for _name in ("q103_curriculum_order", "q104_epoch_shuffle", "q123_jaccard_capped",
               "q127_split_leakage_audit"):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+# Round-8 rotation (r7 verdict task #2): q36/q38/q47/q48 — stable since
+# rounds 1-2 and transitively exercised (SimHash by q33's local oracle
+# and the q39 cluster path, hash-stratified sampling by q103/q104/q106,
+# vocabulary and tf-idf by q124's BPE histogram and q48's local oracle)
+# — yield their driver slots to the round-7 lifecycle family promoted
+# in queries/core.py and queries/streamops.py. All four keep full
+# DuckDB hash oracles via full_registry().
+for _name in (
+    "q36_simhash64",
+    "q38_stratified_hash_sample",
+    "q47_vocabulary",
+    "q48_tfidf_top_term",
+):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
