@@ -4,6 +4,8 @@ result and unit tests assert metric thresholds instead)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from anti_ddos_spark.queries.base import Query, t
@@ -106,7 +108,66 @@ def q122_oracle_sql(spark: SparkSession, sf: str) -> str:
     return _fitted_rf(spark, sf)[2]
 
 
-QUERIES: dict[str, Query] = {}
+# --- q133: the FROZEN forest — real-model scoring as a driver row ---------
+
+ARTIFACT_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+# One load per session: MLlib models die with their session, and the
+# driver sweep / bench call the query repeatedly (registry memo
+# discipline, see _RF_MEMO above).
+_FROZEN_MEMO: dict[str, object] = {}
+
+
+def _frozen_model(spark: SparkSession):
+    key = spark.sparkContext.applicationId
+    if key not in _FROZEN_MEMO:
+        from pyspark.ml import PipelineModel
+
+        _FROZEN_MEMO[key] = PipelineModel.load(
+            os.path.join(ARTIFACT_DIR, "rf_frozen_model")
+        )
+    return _FROZEN_MEMO[key]
+
+
+def q133_rf_frozen_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Score flows with the COMMITTED RandomForest artifact
+    (anti_ddos_spark/artifacts/rf_frozen_model — trained once at a
+    pinned seed by scripts/freeze_rf.py) and emit the actual
+    ``model.transform`` predictions per flow. Unlike q122 (whose
+    oracle is generated from a query-time fit and therefore can't be a
+    driver row), the oracle here is the STATIC nested-CASE SQL frozen
+    next to the model — so the real RF decision function is finally
+    visible in CORRECTNESS_r{N} (r7 verdict task #3; closes reference
+    spark_app/main.py:1087-1090 by driver-checked value).
+    tests/test_rf_frozen.py pins model ↔ SQL: recompiling the committed
+    model reproduces the committed text byte-exact.
+
+    Scale: one sessionize shuffle + a transform projection; the model
+    broadcast is KBs. Scoring is the production path — the forest
+    evaluates as codegen'd conditionals, no Python in the row loop."""
+    flows = flow_features(
+        events_as_packets(t(spark, sf, "events")),
+        gap_s=FLOW_GAP_S,
+        mode="faithful",
+    )
+    scored = _frozen_model(spark).transform(
+        flows.select("flow_id", *RF_FEATURES)
+    )
+    return scored.select("flow_id", "prediction")
+
+
+with open(os.path.join(ARTIFACT_DIR, "rf_frozen.sql")) as _f:
+    Q133_SQL = _f.read()
+
+
+QUERIES: dict[str, Query] = {
+    "q133_rf_frozen_scores": Query(
+        q133_rf_frozen_scores,
+        Q133_SQL,
+        "frozen RandomForest artifact scoring: committed fitted model "
+        "vs its committed compiled nested-CASE SQL (static oracle)",
+    ),
+}
 
 # Demoted in round 5 (judge brief): rows-only (RandomForest training has
 # no SQL oracle; the real evidence is the metric assertions in

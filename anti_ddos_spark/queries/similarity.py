@@ -641,3 +641,9 @@ EXTRA_QUERIES["q84_semantic_search"] = Query(
     Q84_SQL,
     "ANN top-k + broadcast metadata fetch from the documents table",
 )
+
+# Round-8 rotation: q41's IVF centroid assignment is fully subsumed by
+# the q45 driver row (multiprobe top-k must build the same IVF index
+# first) — its slot goes to q133_rf_frozen_scores, the committed-model
+# scoring row (r7 verdict task #3). Oracle kept via full_registry().
+EXTRA_QUERIES["q41_ivf_clusters"] = QUERIES.pop("q41_ivf_clusters")
