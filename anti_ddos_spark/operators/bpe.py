@@ -24,17 +24,21 @@ Scale posture (the part that matters at 100 TB):
   word array: pure JVM expressions, zero Python in the row path, zero
   shuffles (plan-pinned in tests/test_bpe.py).
 
-Why one left-to-right pass per merge, in rank order, equals the
-reference algorithm's repeated min-rank rescan: a learned rule's two
-symbols always predate the rule, and symbols are only ever concatenated
-— never split — so applying a LATER merge can never create a new
-adjacency of two EARLIER symbols (any merge touching a neighbor of
-``a`` yields a symbol different from ``b``). Hence by the time pass i
-runs, every (a_i, b_i) adjacency that will ever exist is already
-present, and one greedy left-to-right pass fuses them all exactly as
-the rescan would. Pinned against a pure-Python reference
-implementation (including hypothesis-generated corpora) in
-tests/test_bpe.py.
+Application convention: ONE left-to-right pass per merge, in rank
+order — the convention this module pins by test, on BOTH sides of the
+oracle (the DuckDB twin replays the same folds, so cross-engine hash
+parity holds by construction). This usually coincides with the
+reference algorithm's repeated min-rank rescan — a rule's operand
+symbols predate the rule, and fusions can't recreate a short operand —
+but it is NOT a theorem: a LATER merge's output STRING can coincide
+with an EARLIER merge's operand through a different derivation (e.g.
+'abc' reachable via (ab,c) and via (a,bc)), recreating an adjacency
+the single-pass applier never revisits (ADVICE r8; divergence
+demonstrated concretely in tests/test_bpe.py::
+test_rank_order_pass_vs_min_rank_rescan_boundary). On fixture-learned
+merge lists the two conventions agree (hypothesis-checked in the same
+test file); treat the single-pass convention as the contract, not an
+equivalence claim.
 
 Determinism contract: pair argmax ties break lexically on (a, b)
 ascending; counts are exact longs; the merge list for a given corpus is
@@ -122,51 +126,151 @@ def bpe_learn(
     (V-bounded shuffle), collect the single argmax row (count desc,
     then (a, b) lexically — the determinism contract), and fuse the
     pair across the histogram. Stops early when the best pair's count
-    falls below ``min_count``. The histogram is persisted per iteration
-    so iteration i+1 scans materialized symbols, not an i-deep
-    expression lineage.
+    falls below ``min_count``.
+
+    The per-iteration frame is ``localCheckpoint``ed, not persisted:
+    persist() caches DATA but keeps the LOGICAL plan, so iteration i's
+    analysis still walks i nested fold lambdas — measured superlinear
+    (5.8 s at 10 merges → 44.7 s at 15 on the sf0.01 fixture, round 8).
+    localCheckpoint truncates the lineage, making per-iteration planning
+    O(1); the remaining ~2 job round-trips per merge are the floor of
+    the distributed loop — ``bpe_learn_local`` below removes those too
+    and is the production trainer for real (30k+) vocabulary sizes.
     """
-    cur = hist.select(F.split("word", "").alias("syms"), "cnt").persist()
+    cur = hist.select(
+        F.split("word", "").alias("syms"), "cnt"
+    ).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(num_merges):
-            top = (
-                cur.select(
-                    F.explode(
-                        F.zip_with(
-                            F.slice("syms", 1, F.size("syms") - 1),
-                            F.slice("syms", 2, F.size("syms") - 1),
-                            lambda a, b: F.struct(
-                                a.alias("a"), b.alias("b")
-                            ),
-                        )
-                    ).alias("p"),
-                    "cnt",
-                )
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("cnt").alias("n"))
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
+    for _ in range(num_merges):
+        top = (
+            cur.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(
+                            a.alias("a"), b.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
             )
-            if not top or top[0]["n"] < min_count:
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        cur = cur.select(
+            merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_learn_local(
+    hist: DataFrame | list, num_merges: int = 12, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """Queue-based exact BPE trainer over the collected word histogram —
+    the fast-BPE technique (incremental pair-count maintenance with a
+    lazy-deletion heap; public: Sennrich's learn_bpe.py and every
+    production trainer work this way) that removes ``bpe_learn``'s
+    2-Spark-jobs-per-merge round-trip constant.
+
+    EXACTLY the same merge list as ``bpe_learn`` (same argmax, same
+    (count desc, (a, b) lexical asc) tie-break, same min_count stop,
+    same left-to-right overlap convention) — pinned by
+    tests/test_bpe.py::test_local_trainer_matches_distributed. The
+    amortized cost per merge is microseconds (only words containing
+    the fused pair are touched), vs ~2 job round-trips in the
+    distributed loop — the difference between 12 merges and a 30k-merge
+    production vocabulary (measured ladder: scripts/bpe_ladder.py,
+    PERF.md round 8).
+
+    Scale posture: this does NOT abandon the cluster — the corpus-sized
+    pass is still the distributed ``word_histogram`` (one shuffle); only
+    the V-bounded iteration moves driver-side, exactly like the k-means
+    centroid loop and every real-world subword trainer (the histogram
+    is Heaps-bounded: ~n^0.5 rows; at 100 TB of text, V ≈ tens of
+    millions of (word, cnt) rows ≈ low GBs — driver-sized, and 30k
+    merges over it are minutes, not the cluster's problem). Accepts the
+    histogram DataFrame (collected here) or pre-collected (word, cnt)
+    rows.
+    """
+    import heapq
+    from collections import defaultdict
+
+    rows = hist if isinstance(hist, list) else [
+        (r[0], r[1]) for r in hist.select("word", "cnt").collect()
+    ]
+    words: list[list[str]] = [list(w) for w, _ in rows]
+    cnts: list[int] = [c for _, c in rows]
+
+    pair_n: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+
+    def add_word(i: int, sign: int) -> list[tuple[str, str]]:
+        touched = []
+        syms = words[i]
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            pair_n[p] += sign * cnts[i]
+            if sign > 0:
+                pair_words[p].add(i)
+            touched.append(p)
+        return touched
+
+    heap: list[tuple[int, str, str]] = []
+    for i in range(len(words)):
+        add_word(i, +1)
+    for (a, b), n in pair_n.items():
+        heap.append((-n, a, b))
+    heapq.heapify(heap)
+
+    def fold(syms: list[str], a: str, b: str) -> list[str]:
+        # identical convention to merge_fold: greedy left-to-right,
+        # overlaps resolve left-first
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        return out
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        # lazy-deletion pop: an entry is live iff it matches the current
+        # count; (-n, a, b) ordering reproduces the distributed
+        # (count desc, a asc, b asc) argmax exactly
+        while heap:
+            negn, a, b = heap[0]
+            if pair_n.get((a, b), 0) == -negn and -negn > 0:
                 break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = cur.select(
-                merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
-            ).persist()
-            try:
-                nxt.count()
-            except Exception:
-                # don't strand the freshly pinned frame if
-                # materialization fails mid-learn
-                nxt.unpersist()
-                raise
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+            heapq.heappop(heap)
+        if not heap:
+            break
+        negn, a, b = heapq.heappop(heap)
+        if -negn < min_count:
+            break
+        merges.append((a, b))
+        changed: set[tuple[str, str]] = set()
+        for i in list(pair_words.get((a, b), ())):
+            # subtract the word's old adjacencies, fold, re-add — O(|w|)
+            # per touched word; pair_words membership is pruned lazily
+            # (a stale index nets to zero on the subtract/re-add)
+            changed.update(add_word(i, -1))
+            words[i] = fold(words[i], a, b)
+            changed.update(add_word(i, +1))
+        pair_words.pop((a, b), None)
+        pair_n.pop((a, b), None)
+        for p in changed:
+            n = pair_n.get(p, 0)
+            if n > 0:
+                heapq.heappush(heap, (-n, p[0], p[1]))
     return merges
 
 

@@ -680,9 +680,18 @@ _BPE_MEMO: dict[str, list[tuple[str, str]]] = {}
 
 def _bpe_merges(spark: SparkSession, sf: str) -> list[tuple[str, str]]:
     if sf not in _BPE_MEMO:
-        from anti_ddos_spark.operators.bpe import bpe_learn, word_histogram
+        from anti_ddos_spark.operators.bpe import (
+            bpe_learn_local,
+            word_histogram,
+        )
 
-        _BPE_MEMO[sf] = bpe_learn(
+        # round 8: the exact fast trainer (queue-based pair maintenance
+        # over the collected V-bounded histogram) replaces the 2-jobs-
+        # per-merge distributed loop — SAME merge list (pinned by
+        # tests/test_bpe.py::test_local_trainer_matches_distributed),
+        # so the oracle hash is unchanged; learn cost drops from ~10 s
+        # to the histogram pass.
+        _BPE_MEMO[sf] = bpe_learn_local(
             word_histogram(t(spark, sf, "documents")), BPE_NUM_MERGES
         )
     return _BPE_MEMO[sf]

@@ -392,6 +392,121 @@ def build_zipf_documents(
     )
 
 
+# --- graded-cosine embedding fixture (round-8: r7 verdict task #4) --------
+#
+# The MinHash family got its s-curve measured in round 7; the embedding
+# family (hyperplane-LSH q42/q44, SemDeDup q51) still rested on
+# planted-CLUSTER units, which only exercise the s≈1 corner. This
+# builder plants PAIRS at graded target cosines so detection can be
+# measured across the whole curve against Charikar's sign-bit theory
+# (P[one plane agrees] = 1 - θ/π). Construction per planted pair
+# (vec_id % 20 == 19 pairs with vec_id - 1, the documents convention):
+#
+#   b = s · â  +  sqrt(1 - s²) · ŵ⊥
+#
+# where â is the partner's unit vector and ŵ⊥ a fresh Gaussian
+# orthogonalized against â — so cos(a, b) = s EXACTLY (up to float),
+# not merely in expectation. Gaussians are hash-seeded Box-Muller
+# (xxhash64 → uniform → sqrt(-2 ln u1)·cos(2π u2)): no RNG state,
+# identical fixture on every run/executor, fully columnar.
+
+EMBED_GRADES = (0.50, 0.70, 0.80, 0.90, 0.95, 0.99)
+EMBED_DIM = 32
+
+
+def build_graded_embeddings(
+    spark, out_dir: str, n_vectors: int, dim: int = EMBED_DIM
+) -> None:
+    import math
+
+    from pyspark.sql import functions as F
+
+    def gauss(seed_col: str, salt: str) -> str:
+        """array<double> of `dim` hash-seeded standard normals."""
+        u = (
+            f"(pmod(xxhash64({seed_col}, '{salt}', j), 1048575) + 1) "
+            "/ 1048576.0d"
+        )
+        u2 = (
+            f"(pmod(xxhash64({seed_col}, '{salt}2', j), 1048576)) "
+            "/ 1048576.0d"
+        )
+        return (
+            f"transform(sequence(0, {dim - 1}), j -> "
+            f"sqrt(-2.0d * ln({u})) * cos({2 * math.pi!r} * {u2}))"
+        )
+
+    grades = ", ".join(repr(g) for g in EMBED_GRADES)
+    raw_path = os.path.join(out_dir, "_raw_gauss.parquet")
+    # STAGE 1 — materialize the raw hash-Gaussians. The derivation below
+    # nests â inside ŵ⊥ inside b; Catalyst collapses projections by
+    # substitution, so if g/w were still the (large) hash expressions
+    # the codegen tree would blow up exponentially (measured: Java-heap
+    # OOM at 20k×32). With g/w as READ columns the nesting is a few
+    # hundred ops.
+    (
+        spark.range(n_vectors)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "is_pair",
+            (F.col("vec_id") % 20 == 19) & (F.col("vec_id") > 0),
+        )
+        .withColumn(
+            "base_id",
+            F.when(F.col("is_pair"), F.col("vec_id") - 1).otherwise(
+                F.col("vec_id")
+            ),
+        )
+        .withColumn("g", F.expr(gauss("base_id", "base")))
+        .withColumn("w", F.expr(gauss("vec_id", "w")))
+        .withColumn(
+            "s",
+            F.expr(
+                f"element_at(array({grades}), "
+                "cast(pmod(vec_id div 20, "
+                f"{len(EMBED_GRADES)}) as int) + 1)"
+            ),
+        )
+        .select("vec_id", "is_pair", "g", "w", "s")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(raw_path)
+    )
+    # STAGE 2 — b = s·â + √(1-s²)·ŵ⊥ from materialized columns
+    df = spark.read.parquet(raw_path)
+    unit = "transform({v}, x -> x / sqrt(aggregate({v}, 0.0d, (acc, y) -> acc + y * y)))"
+    a_hat = unit.format(v="g")
+    w_dot_a = f"aggregate(zip_with(w, {a_hat}, (wi, ai) -> wi * ai), 0.0d, (acc, y) -> acc + y)"
+    w_perp = f"zip_with(w, {a_hat}, (wi, ai) -> wi - ({w_dot_a}) * ai)"
+    w_hat = unit.format(v=f"({w_perp})")
+    paired = (
+        f"zip_with({a_hat}, {w_hat}, "
+        "(ai, wi) -> s * ai + sqrt(1.0d - s * s) * wi)"
+    )
+    emb = F.when(F.col("is_pair"), F.expr(paired)).otherwise(
+        F.expr(a_hat)
+    )
+    (
+        df.withColumn("emb", emb)
+        .select(
+            "vec_id",
+            F.expr("transform(emb, x -> cast(x as float))").alias(
+                "embedding"
+            ),
+            F.when(F.col("is_pair"), F.col("s"))
+            .otherwise(F.lit(None))
+            .alias("target_cos"),
+        )
+        .withColumn("label", F.lit("graded"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
+    import shutil
+
+    shutil.rmtree(raw_path, ignore_errors=True)
+
+
 def time_query(spark, fn, sf_dir: str, runs: int) -> float:
     from pyspark.sql import functions as F
 

@@ -202,3 +202,132 @@ def test_vocab_join_apply_matches_fold_apply(spark):
         # row-for-row faithful, INCLUDING docs with zero alphanumeric
         # words (re-joined with an empty token array)
         assert got == want, bc
+
+
+# --- round 8: the exact local trainer and the rescan boundary -------------
+
+
+def test_local_trainer_matches_distributed(spark):
+    """bpe_learn_local (queue-based pair maintenance over the collected
+    histogram — the production trainer) must produce the EXACT merge
+    list of the distributed loop and the textbook reference, including
+    tie-breaks and the min_count stop."""
+    from anti_ddos_spark.operators.bpe import bpe_learn_local
+
+    words = {
+        "lower": 5, "lowest": 3, "newer": 6, "wider": 2, "low": 7,
+        "aaa": 3, "abab": 4, "a0b1": 1, "banana": 2,
+    }
+    want = ref_learn(words, 25)
+    assert bpe_learn_local(list(words.items()), 25) == want
+    assert bpe_learn(spark_hist(spark, words), 25) == want
+    # DataFrame input path too
+    assert bpe_learn_local(spark_hist(spark, words), 25) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc01", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_local_trainer_matches_reference_hypothesis(words):
+    from anti_ddos_spark.operators.bpe import bpe_learn_local
+
+    assert bpe_learn_local(list(words.items()), 8) == ref_learn(words, 8)
+
+
+def rescan_tokenize_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Sennrich-style reference applier: repeatedly find the LOWEST-rank
+    merge applicable anywhere in the word and apply it, until none
+    applies — the min-rank rescan convention."""
+    rank = {m: i for i, m in enumerate(merges)}
+    syms = list(word)
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            return syms
+        syms = ref_merge_word(syms, *merges[best])
+
+
+def single_pass_tokenize_word(word: str, merges) -> list[str]:
+    syms = list(word)
+    for a, b in merges:
+        syms = ref_merge_word(syms, a, b)
+    return syms
+
+
+def _later_output_hits_earlier_operand(merges) -> bool:
+    """The ADVICE r8 boundary: some later merge's OUTPUT string equals
+    an operand of an EARLIER merge — the only way the single-pass
+    convention can miss an adjacency the rescan would fuse."""
+    for i, (a, b) in enumerate(merges):
+        for j in range(i + 1, len(merges)):
+            if merges[j][0] + merges[j][1] in (a, b):
+                return True
+    return False
+
+
+def test_rank_order_pass_vs_min_rank_rescan_boundary():
+    """(1) The conventions DO diverge on a crafted out-of-convention
+    list — the docstring's weakened claim is honest; (2) the divergence
+    requires exactly the later-output-collides-with-earlier-operand
+    boundary condition."""
+    # crafted: rank-0 merge (ab, c) whose operand 'ab' is only CREATED
+    # by the rank-1 merge (a, b) — unreachable by bpe_learn on any
+    # corpus (a learned rule's operands predate it), but legal input
+    merges = [("ab", "c"), ("a", "b")]
+    assert single_pass_tokenize_word("abc", merges) == ["ab", "c"]
+    assert rescan_tokenize_word("abc", merges) == ["abc"]
+    assert _later_output_hits_earlier_operand(merges)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="ab01", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=10,
+    ),
+    st.text(alphabet="ab01", min_size=0, max_size=10),
+)
+def test_learned_lists_agree_or_hit_the_boundary(words, probe_word):
+    """On LEARNED merge lists, any single-pass/rescan divergence must
+    be attributable to the documented boundary condition — agreement
+    everywhere else (hypothesis-checked, per ADVICE r8)."""
+    merges = ref_learn(words, 8)
+    for w in list(words) + [probe_word]:
+        if single_pass_tokenize_word(w, merges) != rescan_tokenize_word(
+            w, merges
+        ):
+            assert _later_output_hits_earlier_operand(merges), (w, merges)
+
+
+def test_local_trainer_ladder_is_fast():
+    """The r7 verdict target: ≤ 0.1 s amortized per merge at 1000
+    merges. The local trainer runs the ladder on a synthetic Zipf-ish
+    histogram in well under that (measured ~µs/merge; the generous
+    bound keeps slow-CI noise out)."""
+    import time
+
+    words = {}
+    for i in range(4000):
+        w = format(i * 2654435761 % (36**6), "06x") + "abc"[i % 3]
+        words[w] = words.get(w, 0) + 1 + (i % 7)
+    from anti_ddos_spark.operators.bpe import bpe_learn_local
+
+    t0 = time.perf_counter()
+    merges = bpe_learn_local(list(words.items()), 1000)
+    dt = time.perf_counter() - t0
+    assert len(merges) >= 500
+    assert dt / max(len(merges), 1) <= 0.1, dt
+    # spot-check exactness at depth on the same histogram
+    assert merges[:120] == ref_learn(words, 120)
