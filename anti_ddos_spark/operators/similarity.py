@@ -564,17 +564,29 @@ def kmeans_train(
 
     seed = emb.orderBy(F.asc(id_col)).limit(1).collect()[0]
     cents = [list(seed["e"])]
+    # Incremental min-distance (round 8): the naive form rebuilds
+    # least(dist2_to(c) for ALL chosen centers) each step — k²·dim fold
+    # expressions by the last step, which is both quadratic work per row
+    # and a codegen tree that OOMs the JVM near k≈40. Folding the new
+    # center into a materialized `mind` column (localCheckpoint truncates
+    # the lineage, same lesson as bpe_learn) is one fold per step and
+    # bit-identical: least() over the same doubles in the same order.
+    state = emb.select(
+        F.col(id_col), F.col("e"), _dist2_to(cents[0]).alias("mind")
+    ).localCheckpoint()
     while len(cents) < k:
-        mind = _dist2_to(cents[0])
-        for c in cents[1:]:
-            mind = F.least(mind, _dist2_to(c))
         far = (
-            emb.select(F.col(id_col), F.col("e"), mind.alias("mind"))
-            .orderBy(F.desc("mind"), F.asc(id_col))
+            state.orderBy(F.desc("mind"), F.asc(id_col))
             .limit(1)
             .collect()[0]
         )
         cents.append(list(far["e"]))
+        if len(cents) < k:
+            state = state.select(
+                F.col(id_col),
+                F.col("e"),
+                F.least(F.col("mind"), _dist2_to(cents[-1])).alias("mind"),
+            ).localCheckpoint()
     dim = len(cents[0])
     history: list[float] = []
 

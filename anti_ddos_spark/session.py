@@ -48,6 +48,49 @@ def use_rocksdb(spark: SparkSession) -> None:
         spark.conf.set(k, v)
 
 
+# Measured on the round-7 streaming cardinality ladder (PERF.md): a
+# stateful task walks its partition's open keys every batch, and
+# ~12.5k groups/task collapsed sustained throughput 20× while ~3.1k
+# groups/task ran at offered rate — so size partitions to hold at most
+# this many open keys each before adding tasks.
+STATE_KEYS_PER_TASK = 3_200
+
+
+def state_partitions_for(
+    n_keys: int,
+    cores: int | None = None,
+    keys_per_task: int = STATE_KEYS_PER_TASK,
+    floor: int = 8,
+) -> int:
+    """Shuffle/state partition count sized from open-key cardinality —
+    the round-7 ladder's lever shipped as a policy instead of a knob
+    (r7 verdict task #6).
+
+    Rationale: for stateful streaming operators, group count — not row
+    count — is the capacity variable; every open key's state is visited
+    every batch, so per-task cost ≈ keys/partitions × group-machinery.
+    Too few partitions strand cores (measured: 8 partitions at 100k
+    flows → 12.5k groups/task → 13.7k rows/s sustained, 24 of 32 cores
+    idle); too many make sub-MB state tasks whose scheduling overhead
+    dominates (why the 1k-flow soak wants 8, not 32). The policy:
+
+        partitions = clamp(ceil(n_keys / keys_per_task), floor, cores)
+
+    ``cores`` defaults to this host's parallelism; on a cluster pass
+    total executor cores (the same arithmetic then divides keys per
+    executor). Set it BEFORE the stream's first start — Structured
+    Streaming pins the state partition count into the checkpoint at
+    query creation and never rescales it.
+    """
+    import math
+
+    if cores is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(cpus) if cpus else (os.cpu_count() or 8)
+    want = math.ceil(max(1, n_keys) / keys_per_task)
+    return min(max(want, floor), max(cores, floor))
+
+
 def get_spark(
     app_name: str = "anti_ddos_spark",
     master: str | None = None,

@@ -72,14 +72,18 @@ def main() -> None:
     # must scale with per-executor key cardinality to amortize it (a
     # cluster additionally divides the keys across executors).
     trigger_s = int(sys.argv[5]) if len(sys.argv) > 5 else 1
-    # state-partition count (6th arg). The 8-partition default is sized
-    # for the 1k-flow soak (sub-MB state, task overhead dominates); at
-    # 100k flows 8 partitions strand 24 of 32 cores while each task
-    # walks 12.5k groups — partitions must scale with key cardinality
-    # (measured 4x recovery in PERF.md's round-7 cardinality ladder).
-    n_parts = int(sys.argv[6]) if len(sys.argv) > 6 else 8
+    # state-partition count (6th arg). Round 8: defaults to the
+    # cardinality-sized POLICY (session.state_partitions_for) instead of
+    # a hand knob — 8 at 1k flows (sub-MB state, task overhead
+    # dominates), 32 at 100k (8 partitions strand 24 of 32 cores while
+    # each task walks 12.5k groups; measured 20x recovery in PERF.md's
+    # round-7 ladder, now automatic). Pass the 6th arg to override.
+    from anti_ddos_spark.session import get_spark, state_partitions_for
 
-    from anti_ddos_spark.session import get_spark
+    n_parts = (
+        int(sys.argv[6]) if len(sys.argv) > 6
+        else state_partitions_for(n_flows)
+    )
     from anti_ddos_spark.sources.packets import rate_packet_stream
     from anti_ddos_spark.streaming.sessionize_stream import streaming_flow_features
     from anti_ddos_spark.streaming.stateful import stateful_flow_features

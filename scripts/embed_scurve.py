@@ -143,9 +143,14 @@ def measure_scurve(spark, emb):
     n = emb.count()
     k_cells = max(8, min(16, int(round(n / 1024))))
     cents, _ = kmeans_train(emb, k=k_cells)
+    from anti_ddos_spark.operators.similarity import as_double
+
     assigned = assign_to_centroids(
-        emb.select("vec_id", "embedding"), cents
-    ).select("vec_id", "centroid_id")
+        emb.select(
+            "vec_id", as_double(F.col("embedding")).alias("e")
+        ),
+        cents,
+    ).select("vec_id", F.col("cid").alias("centroid_id"))
     cell = (
         pairs.join(pair_side(assigned, {"centroid_id": "cid"}, "a"), "id_a")
         .join(pair_side(assigned, {"centroid_id": "cid"}, "b"), "id_b")

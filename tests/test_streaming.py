@@ -120,3 +120,19 @@ def test_streaming_two_pass_emits_everything(spark, packets_df):
         # all original flows must be final now (flush key excluded)
         got_n = got.filter("source_ip != '99.99.99.99'").count()
         assert got_n == want.count()
+
+
+def test_state_partitions_policy_matches_the_measured_ladder():
+    """r7 verdict task #6: the round-7 cardinality ladder's lever as a
+    policy. Pin the three measured ladder points (1k/10k/100k flows on
+    the 32-core box) and the clamp behavior."""
+    from anti_ddos_spark.session import state_partitions_for
+
+    assert state_partitions_for(1_000, cores=32) == 8     # task overhead regime
+    assert state_partitions_for(10_000, cores=32) == 8    # still fine at 8 (measured)
+    assert state_partitions_for(100_000, cores=32) == 32  # the recovery point
+    # cluster arithmetic: 10M keys over 512 cores → capped at cores
+    assert state_partitions_for(10_000_000, cores=512) == 512
+    # in between: grows with keys, never below the floor
+    assert state_partitions_for(50_000, cores=64) == 16
+    assert state_partitions_for(1, cores=4) == 8  # floor wins on tiny hosts
