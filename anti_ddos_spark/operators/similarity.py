@@ -650,6 +650,7 @@ def semantic_dedup_flags(
     vec_col: str = "embedding",
     centroids: list[list[float]] | str | None = None,
     round_dp: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication flags (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
@@ -673,6 +674,18 @@ def semantic_dedup_flags(
     form is semantic_dedup_flags_indexed below: materialize the
     assignment once with ivf_build_index, then each join side is a plain
     (and, per cell group, partition-pruned) scan, not a recompute.
+
+    ``nprobe`` (round 8): single-cell bounding is a measured recall
+    CEILING, not ~1 — τ-eligible s=0.95 pairs co-locate only ~74% of
+    the time at 16 cells over 20k graded vectors (PERF.md round-8
+    s-curve). The standard IVF fix applies to dedup too: each vector is
+    a candidate in its ``nprobe`` nearest cells, so a near-pair split
+    by a cell boundary still meets in the runner-up cell (measured
+    recovery to ~0.95+ at nprobe=2). Cost is ≤ nprobe× membership rows
+    in the pair join — still cell-bounded, never corpus-quadratic. The
+    output's ``centroid_id`` stays the PRIMARY cell and the dropped
+    flag keeps the same smaller-id-wins semantics, so nprobe=1 is
+    byte-identical to the original operator (q51's oracle unchanged).
     """
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
     if centroids is None:
@@ -699,28 +712,44 @@ def semantic_dedup_flags(
         id_col, "e", "centroid_id", cosine(F.col("e"), F.col("cvec")).alias("_ccos")
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("centroid_id"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= nprobe
+    )
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        ranked.filter(F.col("_rn") == 1)
         .select(id_col, "e", "centroid_id")
         .withColumn("nrm", norm(F.col("e")))
     )
-    return _semantic_flags_from_assigned(assigned, tau, id_col, round_dp)
+    membership = None
+    if nprobe > 1:
+        membership = ranked.select(id_col, "e", "centroid_id").withColumn(
+            "nrm", norm(F.col("e"))
+        )
+    return _semantic_flags_from_assigned(
+        assigned, tau, id_col, round_dp, membership=membership
+    )
 
 
 def _semantic_flags_from_assigned(
-    assigned: DataFrame, tau: float, id_col: str, round_dp: int
+    assigned: DataFrame,
+    tau: float,
+    id_col: str,
+    round_dp: int,
+    membership: DataFrame | None = None,
 ) -> DataFrame:
     """Shared pair stage of SemDeDup: ``assigned`` is (id, e, centroid_id,
     nrm); within-cell smaller-id neighbor at rounded cosine >= tau marks
     the larger id dropped. Used by both the in-memory form above and the
     materialized-index form below — the input decides whether each join
-    side is a recompute or a plain index scan."""
-    a = assigned.select(
+    side is a recompute or a plain index scan. ``membership`` (the
+    nprobe>1 path) widens the CANDIDATE join to multi-cell membership
+    rows; output rows and cells stay the primary assignment."""
+    cand = assigned if membership is None else membership
+    a = cand.select(
         F.col(id_col).alias("id_a"), "centroid_id",
         F.col("e").alias("ea"), F.col("nrm").alias("na"),
     )
-    b = assigned.select(
+    b = cand.select(
         F.col(id_col).alias("id_b"), "centroid_id",
         F.col("e").alias("eb"), F.col("nrm").alias("nb"),
     )

@@ -143,33 +143,64 @@ def measure_scurve(spark, emb):
     n = emb.count()
     k_cells = max(8, min(16, int(round(n / 1024))))
     cents, _ = kmeans_train(emb, k=k_cells)
-    from anti_ddos_spark.operators.similarity import as_double
+    from pyspark.sql import Window as W
 
-    assigned = assign_to_centroids(
-        emb.select(
-            "vec_id", as_double(F.col("embedding")).alias("e")
-        ),
-        cents,
-    ).select("vec_id", F.col("cid").alias("centroid_id"))
+    from anti_ddos_spark.operators.similarity import (
+        _literal_centroids,
+        as_double,
+        cosine,
+    )
+
+    # top-2 cells per vector (the operator's nprobe path, mirrored):
+    # primary-cell hit = the single-cell recall ceiling; any-shared-
+    # probed-cell hit = the nprobe=2 recovery
+    cdf = _literal_centroids(spark, cents)
+    scored = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            F.col("cid"),
+            cosine(F.col("e"), F.col("cvec")).alias("_ccos"),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_ccos"), F.asc("cid"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 2
+    )
+    primary = ranked.filter(F.col("_rn") == 1).select("vec_id", "cid")
+    probed = ranked.select("vec_id", "cid")
     cell = (
-        pairs.join(pair_side(assigned, {"centroid_id": "cid"}, "a"), "id_a")
-        .join(pair_side(assigned, {"centroid_id": "cid"}, "b"), "id_b")
+        pairs.join(pair_side(primary, {"cid": "cid"}, "a"), "id_a")
+        .join(pair_side(primary, {"cid": "cid"}, "b"), "id_b")
         .select(
             "id_a",
             "id_b",
             (F.col("cid_a") == F.col("cid_b")).cast("int").alias("cell_hit"),
         )
     )
+    probe2 = (
+        pairs.join(pair_side(probed, {"cid": "cid"}, "a"), "id_a")
+        .join(pair_side(probed, {"cid": "cid"}, "b"), "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(
+                (F.col("cid_a") == F.col("cid_b")).cast("int")
+            ).alias("probe2_hit")
+        )
+    )
 
     rows = (
         band_match.join(probe, ["id_a", "id_b"])
         .join(cell, ["id_a", "id_b"])
+        .join(probe2, ["id_a", "id_b"])
         .groupBy("target_cos")
         .agg(
             F.count(F.lit(1)).alias("pairs"),
             F.avg("banded_hit").alias("banded_detect"),
             F.avg("probe_hit").alias("probe_detect"),
             F.avg("cell_hit").alias("same_cell"),
+            F.avg("probe2_hit").alias("same_cell_nprobe2"),
         )
         .orderBy("target_cos")
         .collect()
@@ -186,6 +217,7 @@ def measure_scurve(spark, emb):
                 "probe_detect": round(r["probe_detect"], 4),
                 "probe_theory": round(multiprobe_theory(s), 4),
                 "same_cell": round(r["same_cell"], 4),
+                "same_cell_nprobe2": round(r["same_cell_nprobe2"], 4),
                 "semdedup_flag_eligible": s >= SEMDEDUP_TAU,
                 "k_cells": k_cells,
             }

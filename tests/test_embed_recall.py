@@ -89,3 +89,9 @@ def test_semdedup_cell_recall_ceiling(scurve_rows):
     assert by[0.99]["same_cell"] >= 0.8
     assert by[0.95]["same_cell"] >= 0.6
     assert by[0.50]["same_cell"] <= by[0.99]["same_cell"] - 0.25
+    # nprobe=2 recovery (the shipped fix): strictly dominates the
+    # single-cell ceiling and lifts τ-eligible recall to ~0.95+
+    for r in scurve_rows:
+        assert r["same_cell_nprobe2"] >= r["same_cell"]
+    assert by[0.95]["same_cell_nprobe2"] >= 0.85
+    assert by[0.99]["same_cell_nprobe2"] >= 0.9

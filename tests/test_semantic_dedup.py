@@ -136,3 +136,61 @@ def test_indexed_cell_restriction_prunes_partitions(spark, tmp_path):
     # neither join side recomputes the assignment subtree
     assert "Window" not in plan, "assignment argmax recomputed"
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_nprobe_catches_the_cell_boundary_pair(spark):
+    """Round 8 (s-curve finding): single-cell bounding misses near-dup
+    pairs split by a cell boundary — the measured ~0.74 recall ceiling
+    at s=0.95. nprobe=2 candidates each vector in its two nearest
+    cells, so a straddling pair meets in the runner-up cell. Crafted
+    boundary pair: orthogonal data-mode centroids, two vectors at
+    cos≈0.9996 to each other but assigned to DIFFERENT primary cells."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # centroid seed cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # centroid seed cell 1
+        (2, [0.72, 0.70, 0.0, 0.0]),  # leans cell 0
+        (3, [0.70, 0.72, 0.0, 0.0]),  # leans cell 1 — the straddler
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    f1 = {
+        r["vec_id"]: (r["kept"], r["centroid_id"])
+        for r in semantic_dedup_flags(
+            df, n_centroids=2, tau=0.99, centroids="data"
+        ).collect()
+    }
+    # split across cells: the near-dup pair never meets at nprobe=1
+    assert f1[2][1] != f1[3][1]
+    assert f1[2][0] == 1 and f1[3][0] == 1  # both kept — the miss
+
+    f2 = {
+        r["vec_id"]: (r["kept"], r["centroid_id"])
+        for r in semantic_dedup_flags(
+            df, n_centroids=2, tau=0.99, centroids="data", nprobe=2
+        ).collect()
+    }
+    # primary assignment unchanged (output cells identical) ...
+    assert {k: v[1] for k, v in f2.items()} == {
+        k: v[1] for k, v in f1.items()
+    }
+    # ... but the straddling pair now meets: larger id dropped
+    assert f2[2][0] == 1 and f2[3][0] == 0
+    # dropped set grows monotonically with nprobe
+    assert all(f2[k][0] <= f1[k][0] for k in f1)
+
+
+def test_nprobe_one_is_byte_identical_to_original(spark):
+    df, _bases = _planted(spark)
+    base = sorted(
+        (r["vec_id"], r["centroid_id"], r["kept"])
+        for r in semantic_dedup_flags(
+            df, n_centroids=N_CLUSTERS, tau=0.9, centroids="data"
+        ).collect()
+    )
+    explicit = sorted(
+        (r["vec_id"], r["centroid_id"], r["kept"])
+        for r in semantic_dedup_flags(
+            df, n_centroids=N_CLUSTERS, tau=0.9, centroids="data", nprobe=1
+        ).collect()
+    )
+    assert base == explicit
