@@ -647,3 +647,56 @@ EXTRA_QUERIES["q84_semantic_search"] = Query(
 # first) — its slot goes to q133_rf_frozen_scores, the committed-model
 # scoring row (r7 verdict task #3). Oracle kept via full_registry().
 EXTRA_QUERIES["q41_ivf_clusters"] = QUERIES.pop("q41_ivf_clusters")
+
+
+# --- q134: SemDeDup with nprobe=2 (the round-8 recall-ceiling fix) --------
+
+def q134_semantic_dedup_nprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """q51's operator with the round-8 boundary fix: each vector is a
+    dedup CANDIDATE in its two nearest cells, so a near-pair split by a
+    cell boundary still meets (single-cell recall ceiling measured at
+    ~0.74 for τ-eligible pairs — PERF.md round-8 s-curve; nprobe=2
+    recovers ~0.96). Output keeps the primary assignment; only the
+    dropped set can grow. Oracle replicates the top-2 window + widened
+    membership join exactly."""
+    from anti_ddos_spark.operators.similarity import semantic_dedup_flags
+
+    return semantic_dedup_flags(
+        t(spark, sf, "embeddings"),
+        n_centroids=CENTROIDS,
+        tau=NEARDUP_COS,
+        centroids="data",  # oracle mode: DuckDB replicates without RNG
+        nprobe=2,
+    )
+
+
+Q134_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id < {CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, c.centroid_id,
+         {_cos_sql('e.embedding::DOUBLE[]', 'c.cvec')} AS ccos
+  FROM embeddings e, cents c),
+ranked AS (
+  SELECT vec_id, ev, centroid_id, rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, centroid_id ASC) AS rn
+    FROM scored) WHERE rn <= 2),
+assigned AS (SELECT vec_id, ev, centroid_id FROM ranked WHERE rn = 1),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE floor(({_cos_sql('a.ev', 'b.ev')}) * 1000000 + 0.5) / 1000000.0
+        >= {NEARDUP_COS})
+SELECT a.vec_id, a.centroid_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+
+EXTRA_QUERIES["q134_semantic_dedup_nprobe"] = Query(
+    q134_semantic_dedup_nprobe, Q134_SQL,
+    "SemDeDup with nprobe=2 multi-cell candidates (the measured "
+    "recall-ceiling fix; primary assignment unchanged)",
+)
