@@ -1411,3 +1411,99 @@ EXTRA_QUERIES["q132_layout_pruning"] = Query(
     "layout pruning contract: footer-interval file-touch bounds for "
     "random / linear / z-order layouts, pinned as in-band booleans",
 )
+
+
+# --- q135: bucketed streaming-CDC table state (round 8) --------------------
+
+# one live scratch root per sf — same lifecycle as q131
+_CDCTBL_ROOTS: dict[str, str] = {}
+
+
+def q135_bucketed_cdc_state(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-8 bounded-rewrite CDC committer made oracle-visible:
+    two deterministic change batches (inserts of even-key orders, then
+    updates over keys ≡ 4 mod 6 and deletes over keys ≡ 2 mod 6) are
+    applied
+    through ``streaming_cdc_committer`` — the REAL sink fn, key-hash
+    bucket layout, carried-forward untouched buckets, per-app
+    idempotency — and the LIVE snapshot is read back through the
+    manifest. The oracle reconstructs the same final state relationally
+    (insert set, minus deletes, with updates applied), so a committer
+    that dropped a carried bucket's files, double-applied a batch, or
+    leaked a deleted key breaks the hash. Batch 2 touches a strict
+    subset of buckets — the pruned path, not the bootstrap, is what the
+    hash covers."""
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b1 = o.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "op", F.lit("I")
+    ).withColumn("seq", F.col("o_orderkey"))
+    is_upd = F.col("o_orderkey") % 6 == 4
+    b2 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .filter((F.col("o_orderkey") % 6 == 4) | (F.col("o_orderkey") % 6 == 2))
+        .withColumn("op", F.when(is_upd, "U").otherwise("D"))
+        .withColumn(
+            "o_totalprice",
+            F.when(is_upd, F.col("o_totalprice") * 3).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn("seq", F.col("o_orderkey") + 1_000_000)
+    )
+    root = tempfile.mkdtemp(prefix="ad_cdctbl_")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", seq_col="seq", txn_app_id="q135"
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # re-delivery: must be a no-op (idempotency in-band)
+    prev = _CDCTBL_ROOTS.get(sf)
+    if prev is not None and prev != root:
+        shutil.rmtree(prev, ignore_errors=True)
+    _CDCTBL_ROOTS[sf] = root
+    snap = tbl.read(spark)
+    # exact integer cents: a double sum's partial-merge order differs
+    # across engines (the avg-of-floats class) — cents are exact longs
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return snap.groupBy(F.col("o_custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).alias("total_cents"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+Q135_SQL = """
+WITH ins AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0),
+final AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 6 = 4 THEN o_totalprice * 3
+              ELSE o_totalprice END AS o_totalprice
+  FROM ins WHERE o_orderkey % 6 != 2)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       max(o_orderkey) AS max_key
+FROM final GROUP BY o_custkey
+"""
+
+EXTRA_QUERIES["q135_bucketed_cdc_state"] = Query(
+    q135_bucketed_cdc_state,
+    Q135_SQL,
+    "bucket-bounded streaming CDC state: two batches + a re-delivery "
+    "through the real committer, live snapshot hash-checked against "
+    "the relational reconstruction",
+)

@@ -482,9 +482,19 @@ def streaming_cdc_committer(
                 # one full merge re-establishes the bucket layout
                 snapshot = table.read(spark, version=base)
                 carried = {}
-            merged = apply_cdc(
-                snapshot, batch_df, key, op_col=op_col, seq_col=seq_col
-            ).withColumn("_bucket", _bucket_of(F.col(key)))
+            # one hash exchange on the bucket id so every bucket's rows
+            # land in one task → ONE file per touched bucket per version
+            # (without it each bucket dir gets shuffle_partitions-many
+            # tiny files and the table accretes 30x the file count;
+            # row→partition routing is a pure function of the bucket
+            # value, so a fetch-failure rerun is stable — SPARK-23207)
+            merged = (
+                apply_cdc(
+                    snapshot, batch_df, key, op_col=op_col, seq_col=seq_col
+                )
+                .withColumn("_bucket", _bucket_of(F.col(key)))
+                .repartition(F.col("_bucket"))
+            )
             new_buckets, created_dir = _bucketed_data_dir(table, merged)
             bucket_files = {**carried, **new_buckets}
             files = [
