@@ -746,3 +746,66 @@ EXTRA_QUERIES["q124_bpe_tokenize"] = Query(
     "generated DuckDB lambda SQL (corpus-dependent oracle)",
     sql_fn=q124_oracle_sql,
 )
+
+
+# --- q136: tokenize with the COMMITTED vocabulary (round 8) ----------------
+
+def _frozen_bpe_merges() -> list[tuple[str, str]]:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "artifacts", "bpe_merges.json"
+    )
+    with open(path) as f:
+        return [tuple(m) for m in json.load(f)["merges"]]
+
+
+def q136_bpe_frozen_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """q124's production complement: tokenize with the COMMITTED merge
+    list (anti_ddos_spark/artifacts/bpe_merges.json — learned once from
+    the sf0.01 fixture by scripts/freeze_bpe.py, exactly how a shipped
+    tokenizer vocabulary works) instead of re-learning per query. The
+    oracle is therefore STATIC SQL (generated from the artifact at
+    import) — driver-row eligible, closing the q124 sql_fn gap the way
+    q133 closed q122's. tests/test_bpe.py pins that re-learning from
+    the fixture (Spark histogram + exact local trainer) reproduces the
+    committed list byte-exact. Zero-shuffle fold apply; the V-bounded
+    vocab-join twin remains the saturated-corpus path."""
+    from anti_ddos_spark.operators.bpe import tokens_expr, words_expr
+
+    merges = _frozen_bpe_merges()
+    d = t(spark, sf, "documents")
+    toks = tokens_expr(F.col("text"), merges)
+    return d.select(
+        "doc_id",
+        F.size(words_expr(F.col("text"))).alias("n_words"),
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("head_tokens"),
+    )
+
+
+def _q136_sql() -> str:
+    from anti_ddos_spark.operators.bpe import WORD_SPLIT_RE, bpe_sql_tokens
+
+    merges = _frozen_bpe_merges()
+    toks = bpe_sql_tokens("text", merges)
+    words = (
+        f"list_filter(regexp_split_to_array(lower(text), "
+        f"'{WORD_SPLIT_RE}'), wq -> len(wq) > 0)"
+    )
+    return f"""
+SELECT doc_id,
+       len({words}) AS n_words,
+       len({toks}) AS n_tokens,
+       array_to_string(({toks})[1:8], ' ') AS head_tokens
+FROM documents
+"""
+
+
+EXTRA_QUERIES["q136_bpe_frozen_vocab"] = Query(
+    q136_bpe_frozen_vocab,
+    _q136_sql(),
+    "tokenization under the COMMITTED BPE vocabulary artifact — static "
+    "SQL oracle (driver-row eligible), regen-pinned to the fixture",
+)

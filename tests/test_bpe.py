@@ -331,3 +331,34 @@ def test_local_trainer_ladder_is_fast():
     assert dt / max(len(merges), 1) <= 0.1, dt
     # spot-check exactness at depth on the same histogram
     assert merges[:120] == ref_learn(words, 120)
+
+
+def test_frozen_vocab_artifact_regenerates_byte_exact(spark):
+    """The committed BPE vocabulary (artifacts/bpe_merges.json) must be
+    exactly what re-learning from its pinned fixture produces — the
+    q133-style drift pin, applied to the tokenizer artifact behind
+    q136's static oracle."""
+    import hashlib
+    import json
+    import os
+
+    from anti_ddos_spark.operators.bpe import (
+        bpe_learn_local,
+        word_histogram,
+    )
+
+    art = os.path.join(
+        os.path.dirname(__file__), "..", "anti_ddos_spark", "artifacts",
+        "bpe_merges.json",
+    )
+    with open(art) as f:
+        meta = json.load(f)
+    docs = spark.read.parquet(
+        os.path.join(meta["train_fixture"], "documents.parquet")
+    )
+    relearned = bpe_learn_local(
+        word_histogram(docs), meta["num_merges_requested"]
+    )
+    assert [list(m) for m in relearned] == meta["merges"]
+    canon = "\n".join(f"{a} {b}" for a, b in relearned)
+    assert hashlib.sha256(canon.encode()).hexdigest() == meta["merges_sha256"]
