@@ -419,3 +419,46 @@ def test_txn_app_id_scopes_idempotency(table):
     assert t.read(spark).count() == 3
     a(df(6), 6)
     assert t.read(spark).count() == 4
+
+
+def test_vacuum_respects_carried_bucket_files(table):
+    """Bucketed-CDC versions reference files across MANY data dirs
+    (carried buckets keep their original dirs). vacuum must treat a dir
+    as live if ANY retained manifest references ANY file inside it —
+    and still collect dirs that fell wholly out of retention."""
+    import os
+
+    from anti_ddos_spark.sources.versioned import (
+        streaming_cdc_committer,
+        vacuum,
+    )
+
+    spark, t = table
+    schema = "k long, v string, op string, seq long"
+    sink = streaming_cdc_committer(t, "k", seq_col="seq")
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(40)], schema
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(7, "X", "U", 100)], schema), 1)
+    sink(spark.createDataFrame([(13, "Y", "U", 101)], schema), 2)
+    n_dirs_before = len(os.listdir(os.path.join(t.root, "data")))
+    assert n_dirs_before == 3
+
+    stats = vacuum(t, keep_versions=1, min_age_s=0)
+    # v0/v1 manifests expire; but the batch-0 dir still holds CARRIED
+    # bucket files referenced by the live v2 manifest — it must survive.
+    assert stats["dropped_manifests"] == 2
+    live = t._manifest(t.current_version())
+    live_dirs = {rel.split(os.sep)[1] for rel in live["files"]}
+    remaining = set(os.listdir(os.path.join(t.root, "data")))
+    assert live_dirs <= remaining
+    for rel in live["files"]:
+        assert os.path.exists(os.path.join(t.root, rel))
+    rows = _rows(t.read(spark))
+    assert len(rows) == 40 and (7, "X") in rows and (13, "Y") in rows
+    # and the table keeps merging after GC
+    sink(spark.createDataFrame([(2, "Z", "U", 102)], schema), 3)
+    assert (2, "Z") in _rows(t.read(spark))
