@@ -365,6 +365,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | str | None = None,
+    membership_nprobe: int = 1,
 ) -> None:
     """Materialize the IVF index: vectors written as parquet PARTITIONED
     BY centroid_id, plus a tiny ``<path>_centroids`` sidecar holding the
@@ -388,7 +389,15 @@ def ivf_build_index(
     - a list of k vectors: explicit (e.g. a previous kmeans_train run).
     Assignment stays max-cosine either way (on the unit-normalized
     corpora embeddings live on, euclidean k-means centers rank
-    identically by cosine — spherical k-means)."""
+    identically by cosine — spherical k-means).
+
+    ``membership_nprobe`` (round 8): >1 writes DUPLICATED POSTINGS —
+    each vector lands in its top-N cells' partitions with an
+    ``is_primary`` flag (rank 1 = the classic assignment). That is the
+    standard multi-probe materialization: the near-dup membership join
+    and a probed search stay PARTITION-PRUNED (a boundary vector is
+    physically present in the runner-up cell), at ×N index size. The
+    default 1 keeps today's layout and schema byte-compatible."""
     emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
     if centroids is None:
         from anti_ddos_spark.config import QUALITY_DEFAULTS
@@ -412,11 +421,19 @@ def ivf_build_index(
         "_ccos", cosine(F.col("_e"), F.col("cvec"))
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*vectors.columns, F.col("cid").alias("centroid_id"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= membership_nprobe
     )
+    if membership_nprobe == 1:
+        assigned = ranked.select(
+            *vectors.columns, F.col("cid").alias("centroid_id")
+        )
+    else:
+        assigned = ranked.select(
+            *vectors.columns,
+            (F.col("_rn") == 1).alias("is_primary"),
+            F.col("cid").alias("centroid_id"),
+        )
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
@@ -799,16 +816,34 @@ def semantic_dedup_flags_indexed(
     how a 100 TB dedup actually executes: cells are independent, so the
     sweep shards into per-cell-group jobs, each touching 1/C of the
     corpus, with results unioned by append.
+
+    An index built with ``membership_nprobe > 1`` (duplicated postings,
+    ``is_primary`` flag) upgrades this to the round-8 multi-cell
+    candidate semantics WITHOUT losing partition pruning: the pair join
+    runs over ALL postings (a boundary pair meets in its shared
+    runner-up cell — physically co-partitioned), while output rows and
+    cells come from the primary postings only. Flags match the
+    in-memory ``semantic_dedup_flags(nprobe=N)`` exactly
+    (parity unit in tests/test_semantic_dedup.py); per-cell sharding
+    via ``cells`` still covers every pair — a pair is examined in each
+    shared probed cell, so any shard containing one of them emits it.
     """
     idx = spark.read.parquet(path)
     if cells is not None:
         idx = idx.filter(F.col("centroid_id").isin([int(c) for c in cells]))
-    assigned = idx.select(
+    rows = idx.select(
         F.col(id_col),
         F.col("centroid_id"),
         as_double(F.col(vec_col)).alias("e"),
+        *(["is_primary"] if "is_primary" in idx.columns else []),
     ).withColumn("nrm", norm(F.col("e")))
-    return _semantic_flags_from_assigned(assigned, tau, id_col, round_dp)
+    if "is_primary" in rows.columns:
+        assigned = rows.filter(F.col("is_primary")).drop("is_primary")
+        membership = rows.drop("is_primary")
+        return _semantic_flags_from_assigned(
+            assigned, tau, id_col, round_dp, membership=membership
+        )
+    return _semantic_flags_from_assigned(rows, tau, id_col, round_dp)
 
 
 # --- int8 quantization (ANN memory scaling) --------------------------------

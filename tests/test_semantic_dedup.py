@@ -194,3 +194,49 @@ def test_nprobe_one_is_byte_identical_to_original(spark):
         ).collect()
     )
     assert base == explicit
+
+
+def test_indexed_nprobe_matches_in_memory(spark, tmp_path):
+    """Duplicated-postings index (membership_nprobe=2): flags equal the
+    in-memory nprobe=2 form, including the boundary pair that the
+    single-posting index misses; the boundary vector is PHYSICALLY
+    present in its runner-up cell partition."""
+    import os
+
+    from anti_ddos_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_dedup_flags_indexed,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.72, 0.70, 0.0, 0.0]),
+        (3, [0.70, 0.72, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf2")
+    ivf_build_index(
+        df, path, n_centroids=2, centroids="data", membership_nprobe=2
+    )
+    # the straddler's posting exists in BOTH cell partitions
+    parts = {
+        d for d in os.listdir(path) if d.startswith("centroid_id=")
+    }
+    assert parts == {"centroid_id=0", "centroid_id=1"}
+    got = {
+        r["vec_id"]: (r["kept"], r["centroid_id"])
+        for r in semantic_dedup_flags_indexed(
+            spark, path, tau=0.99
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: (r["kept"], r["centroid_id"])
+        for r in semantic_dedup_flags(
+            df, n_centroids=2, tau=0.99, centroids="data", nprobe=2
+        ).collect()
+    }
+    assert got == want
+    assert got[3][0] == 0  # the boundary dup IS caught
+    # one output row per vector (primary posting only)
+    assert sorted(got) == [0, 1, 2, 3]
