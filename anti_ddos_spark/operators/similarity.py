@@ -443,6 +443,15 @@ def ivf_build_index(
     cents.withColumnRenamed("cvec", "cvec_d").write.mode("overwrite").parquet(
         path + "_centroids"
     )
+    if membership_nprobe > 1:
+        # layout marker for ivf_append_index: an append to a
+        # duplicated-postings index must write matching postings, or
+        # its rows would carry a null is_primary and silently drop out
+        # of the primary side
+        import json as _json
+
+        with open(path + "_layout.json", "w") as f:
+            _json.dump({"membership_nprobe": membership_nprobe}, f)
 
 
 def ivf_append_index(
@@ -461,11 +470,24 @@ def ivf_append_index(
     parquet files. Existing files are untouched, partition pruning keeps
     working, and search parity with a full rebuild is exact because
     assignment is the same max-cosine argmax against the same centroids
-    (unit: tests/test_ivf_index.py)."""
+    (unit: tests/test_ivf_index.py).
+
+    An index built with ``membership_nprobe > 1`` is detected via its
+    ``_layout.json`` marker and appended with MATCHING duplicated
+    postings (rank ≤ N + is_primary) — without that, appended rows
+    would carry a null is_primary and silently vanish from the dedup's
+    primary side."""
+    import json as _json
+    import os as _os
+
     spark = vectors_new.sparkSession
     cents = spark.read.parquet(path + "_centroids").withColumnRenamed(
         "cvec_d", "cvec"
     )
+    nprobe = 1
+    if _os.path.exists(path + "_layout.json"):
+        with open(path + "_layout.json") as f:
+            nprobe = int(_json.load(f).get("membership_nprobe", 1))
     emb = vectors_new.withColumn("_e", as_double(F.col(vec_col)))
     from pyspark.sql import Window as W
 
@@ -473,11 +495,19 @@ def ivf_append_index(
         "_ccos", cosine(F.col("_e"), F.col("cvec"))
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*vectors_new.columns, F.col("cid").alias("centroid_id"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= nprobe
     )
+    if nprobe == 1:
+        assigned = ranked.select(
+            *vectors_new.columns, F.col("cid").alias("centroid_id")
+        )
+    else:
+        assigned = ranked.select(
+            *vectors_new.columns,
+            (F.col("_rn") == 1).alias("is_primary"),
+            F.col("cid").alias("centroid_id"),
+        )
     (
         assigned.repartition("centroid_id")
         .write.mode("append")

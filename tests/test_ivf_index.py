@@ -137,3 +137,45 @@ def test_kmeans_centers_build_recalls_planted_clusters(spark, tmp_path):
         hits += len(want & got)
         total += len(want)
     assert hits / total >= 0.9, (hits, total)
+
+
+def test_append_to_duplicated_postings_index_keeps_layout(spark, tmp_path):
+    """Appending to a membership_nprobe=2 index must write MATCHING
+    duplicated postings (detected via the _layout.json marker): the new
+    vectors appear on the primary side of the indexed dedup and a new
+    boundary straddler lands in both cells — without the layout match,
+    appended rows carry a null is_primary and silently vanish."""
+    from anti_ddos_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_build_index,
+        semantic_dedup_flags_indexed,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.72, 0.70, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "ivf_np2")
+    ivf_build_index(
+        base, path, n_centroids=2, centroids="data", membership_nprobe=2
+    )
+    # append the straddler AFTER the build
+    ivf_append_index(
+        spark.createDataFrame(
+            [(3, [0.70, 0.72, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        ),
+        path,
+    )
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup_flags_indexed(spark, path, tau=0.99).collect()
+    }
+    # every vector (incl. the appended one) has a primary-side row...
+    assert sorted(got) == [0, 1, 2, 3]
+    # ...and the appended straddler is caught by the cross-cell pair
+    assert got[3] == 0 and got[2] == 1
