@@ -462,3 +462,54 @@ def test_vacuum_respects_carried_bucket_files(table):
     # and the table keeps merging after GC
     sink(spark.createDataFrame([(2, "Z", "U", 102)], schema), 3)
     assert (2, "Z") in _rows(t.read(spark))
+
+
+def test_bucketed_cdc_random_sequences_match_dict_reference(table):
+    """Property test for the round-8 committer: any sequence of CDC
+    batches (hash-derived ops/keys/values, 3 deterministic scenarios x
+    4 batches) must leave the table equal to a plain Python dict replay
+    — upsert on U/I, delete on D, latest-seq-wins inside a batch —
+    regardless of which buckets each batch touches or how often the
+    layout carries files forward."""
+    from anti_ddos_spark.sources.versioned import streaming_cdc_committer
+
+    spark, t_ = table
+    schema = "k long, v string, op string, seq long"
+    import hashlib
+
+    def h(*parts) -> int:
+        return int.from_bytes(
+            hashlib.md5("|".join(map(str, parts)).encode()).digest()[:4],
+            "big",
+        )
+
+    for scenario in range(3):
+        import shutil
+        import tempfile
+
+        from anti_ddos_spark.sources.versioned import VersionedTable
+
+        root = tempfile.mkdtemp(prefix=f"cdc_prop_{scenario}_")
+        t = VersionedTable(root)
+        sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+        ref: dict[int, str] = {}
+        seq = 0
+        for bid in range(4):
+            rows = []
+            staged: dict[int, tuple[int, str, str]] = {}
+            for i in range(25):
+                k = h(scenario, bid, i, "k") % 30
+                op = "UID"[h(scenario, bid, i, "op") % 3]
+                v = f"s{scenario}b{bid}i{i}"
+                seq += 1
+                rows.append((k, v, op, seq))
+                staged[k] = (seq, op, v)  # latest seq per key wins
+            for k, (_s, op, v) in staged.items():
+                if op == "D":
+                    ref.pop(k, None)
+                else:
+                    ref[k] = v
+            sink(spark.createDataFrame(rows, schema), bid)
+        got = dict(_rows(t.read(spark)))
+        assert got == ref, (scenario, got, ref)
+        shutil.rmtree(root, ignore_errors=True)
