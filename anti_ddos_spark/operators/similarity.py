@@ -547,6 +547,15 @@ def ivf_search_index(
     scored = cells.select(
         F.col(id_col), cosine(as_double(F.col(vec_col)), qarr).alias("cos")
     )
+    if "is_primary" in idx.columns:
+        # duplicated-postings layout (membership_nprobe>1 build): a
+        # vector physically present in several probed cells would
+        # otherwise appear that many times in the top-k, silently
+        # shrinking effective k. Collapse by id BEFORE the top-k (the
+        # score is a pure function of the vector, so max == the value);
+        # the extra exchange only ever runs over the probed cells'
+        # rows, and only on indexes that actually duplicate.
+        scored = scored.groupBy(id_col).agg(F.max("cos").alias("cos"))
     return scored.orderBy(F.desc("cos"), F.asc(id_col)).limit(k)
 
 
@@ -777,6 +786,39 @@ def semantic_dedup_flags(
     )
 
 
+def _semantic_dup_ids(
+    cand: DataFrame, tau: float, id_col: str, round_dp: int
+) -> DataFrame:
+    """The within-cell pair stage alone: ``cand`` is (id, e, centroid_id,
+    nrm) candidate rows (primary assignment or multi-cell membership);
+    returns the DISTINCT ids that have a smaller-id same-cell neighbor
+    at rounded cosine >= tau, as (id, _dup=1). Factored out so the
+    sharded indexed form can emit drop EVIDENCE for ids whose primary
+    cell lives in another shard."""
+    a = cand.select(
+        F.col(id_col).alias("id_a"), "centroid_id",
+        F.col("e").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = cand.select(
+        F.col(id_col).alias("id_b"), "centroid_id",
+        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    raw = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(0.0))
+    p = 10**round_dp
+    cos_r = F.floor(raw * p + F.lit(0.5)) / F.lit(float(p))
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_r >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+
+
 def _semantic_flags_from_assigned(
     assigned: DataFrame,
     tau: float,
@@ -792,28 +834,7 @@ def _semantic_flags_from_assigned(
     nprobe>1 path) widens the CANDIDATE join to multi-cell membership
     rows; output rows and cells stay the primary assignment."""
     cand = assigned if membership is None else membership
-    a = cand.select(
-        F.col(id_col).alias("id_a"), "centroid_id",
-        F.col("e").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = cand.select(
-        F.col(id_col).alias("id_b"), "centroid_id",
-        F.col("e").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    raw = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(0.0))
-    p = 10**round_dp
-    cos_r = F.floor(raw * p + F.lit(0.5)) / F.lit(float(p))
-    dups = (
-        a.join(b, "centroid_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos_r >= tau)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-        .withColumn("_dup", F.lit(1))
-    )
+    dups = _semantic_dup_ids(cand, tau, id_col, round_dp)
     return (
         assigned.select(id_col, "centroid_id")
         .join(dups, id_col, "left")
@@ -854,9 +875,22 @@ def semantic_dedup_flags_indexed(
     runner-up cell — physically co-partitioned), while output rows and
     cells come from the primary postings only. Flags match the
     in-memory ``semantic_dedup_flags(nprobe=N)`` exactly
-    (parity unit in tests/test_semantic_dedup.py); per-cell sharding
-    via ``cells`` still covers every pair — a pair is examined in each
-    shared probed cell, so any shard containing one of them emits it.
+    (parity unit in tests/test_semantic_dedup.py).
+
+    Per-cell sharding via ``cells`` on a duplicated-postings index is a
+    FEDERATED protocol (round 9 — the union-of-owned-rows contract was
+    wrong for nprobe>1): a pair's only shared probed cell can sit in a
+    shard that does NOT own either id's primary cell, so the shard that
+    DISCOVERS the drop may be unable to emit the id's output row. Each
+    shard therefore emits its owned rows (ids whose primary posting is
+    in the shard, with their true centroid_id and locally-computed
+    kept) PLUS drop evidence rows (id, centroid_id=NULL, kept=0) for
+    dup ids whose primary cell lies elsewhere. The caller unions the
+    shards and folds with ``semantic_dedup_merge_shards`` — a tiny
+    (id, min(kept), max(centroid_id)) aggregate, the only cross-shard
+    exchange. Each shard still scans ONLY its cells' files (partition
+    pruning intact); sharded-vs-full parity incl. a cross-shard
+    boundary pair is unit-proved in tests/test_semantic_dedup.py.
     """
     idx = spark.read.parquet(path)
     if cells is not None:
@@ -870,10 +904,42 @@ def semantic_dedup_flags_indexed(
     if "is_primary" in rows.columns:
         assigned = rows.filter(F.col("is_primary")).drop("is_primary")
         membership = rows.drop("is_primary")
-        return _semantic_flags_from_assigned(
+        flags = _semantic_flags_from_assigned(
             assigned, tau, id_col, round_dp, membership=membership
         )
+        if cells is None:
+            return flags
+        # sharded: a dup discovered here may belong (primary cell) to
+        # another shard — emit it as evidence the merge step folds in
+        dups = _semantic_dup_ids(membership, tau, id_col, round_dp)
+        ctype = dict(flags.dtypes)["centroid_id"]
+        foreign = (
+            dups.join(assigned.select(id_col), id_col, "left_anti")
+            .select(
+                F.col(id_col),
+                F.lit(None).cast(ctype).alias("centroid_id"),
+                F.lit(0).alias("kept"),
+            )
+        )
+        return flags.unionByName(foreign)
     return _semantic_flags_from_assigned(rows, tau, id_col, round_dp)
+
+
+def semantic_dedup_merge_shards(
+    shard_union: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Fold the union of per-shard ``semantic_dedup_flags_indexed``
+    outputs into final flags: every id's owned row (exactly one shard
+    holds its primary cell → non-null centroid_id) joined with any drop
+    evidence other shards discovered. min(kept) is the federation rule
+    — a drop found anywhere wins; max(centroid_id) just recovers the
+    single non-null primary cell (nulls ignored by max). One tiny
+    aggregate over (id, cell, kept) rows — the shards' pair joins, the
+    actual cost, never re-run."""
+    return shard_union.groupBy(id_col).agg(
+        F.max("centroid_id").alias("centroid_id"),
+        F.min("kept").alias("kept"),
+    )
 
 
 # --- int8 quantization (ANN memory scaling) --------------------------------

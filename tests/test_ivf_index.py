@@ -179,3 +179,43 @@ def test_append_to_duplicated_postings_index_keeps_layout(spark, tmp_path):
     assert sorted(got) == [0, 1, 2, 3]
     # ...and the appended straddler is caught by the cross-cell pair
     assert got[3] == 0 and got[2] == 1
+
+
+def test_search_over_duplicated_postings_dedups_ids(spark, tmp_path):
+    """Round 9 (ADVICE): searching a membership_nprobe=2 index with
+    nprobe>=2 probes cells that each hold a posting for the same
+    boundary vector — without an id collapse before the top-k, that
+    vector occupies several of the k slots and effective k shrinks.
+    The search must return DISTINCT ids and match brute force."""
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.72, 0.70, 0.0, 0.0]),   # straddler: postings in 0 AND 1
+        (3, [0.70, 0.72, 0.0, 0.0]),   # straddler: postings in 1 AND 0
+        (4, [0.95, 0.10, 0.0, 0.0]),
+        (5, [0.10, 0.95, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_np2_search")
+    ivf_build_index(
+        df, path, n_centroids=2, centroids="data", membership_nprobe=2
+    )
+    qvec = [0.71, 0.71, 0.0, 0.0]
+    got = [
+        (r["vec_id"], round(r["cos"], 6))
+        for r in ivf_search_index(spark, path, qvec, k=4, nprobe=2).collect()
+    ]
+    ids = [i for i, _ in got]
+    # k distinct ids — the duplicated postings must collapse
+    assert len(ids) == len(set(ids)) == 4, got
+    q = np.array(qvec)
+    want = sorted(
+        (
+            (i, round(float(np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q))), 6))
+            for i, v in ((i, np.array(v)) for i, v in rows)
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:4]
+    assert got == want

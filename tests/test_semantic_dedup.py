@@ -240,3 +240,64 @@ def test_indexed_nprobe_matches_in_memory(spark, tmp_path):
     assert got[3][0] == 0  # the boundary dup IS caught
     # one output row per vector (primary posting only)
     assert sorted(got) == [0, 1, 2, 3]
+
+
+def test_sharded_indexed_nprobe_matches_full(spark, tmp_path):
+    """Round 9 (ADVICE): with duplicated postings, a pair's ONLY shared
+    probed cell can sit in a shard owning neither id's primary cell —
+    the shard that discovers the drop cannot emit the id's output row,
+    so a plain union of owned rows loses the flag. The federated
+    protocol (owned rows + drop-evidence rows, folded by
+    semantic_dedup_merge_shards) must equal the unsharded run.
+
+    Geometry: data centroids e0,e1,e2; ids 3 and 4 are near-identical
+    (cos≈0.999995) but primary in cells 0 and 1 respectively, and their
+    only SHARED membership cell is 2 — owned by a third shard."""
+    from anti_ddos_spark.operators.similarity import (
+        ivf_build_index,
+        semantic_dedup_flags_indexed,
+        semantic_dedup_merge_shards,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.578, 0.576, 0.5770, 0.0]),  # cells {0,2}, primary 0
+        (4, [0.576, 0.578, 0.5769, 0.0]),  # cells {1,2}, primary 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_shard")
+    ivf_build_index(
+        df, path, n_centroids=3, centroids="data", membership_nprobe=2
+    )
+
+    full = {
+        r["vec_id"]: (r["kept"], r["centroid_id"])
+        for r in semantic_dedup_flags_indexed(spark, path, tau=0.99).collect()
+    }
+    assert full[4][0] == 0 and full[3][0] == 1  # the cross-cell dup IS caught
+
+    shards = [
+        semantic_dedup_flags_indexed(spark, path, tau=0.99, cells=[c])
+        for c in (0, 1, 2)
+    ]
+    union = shards[0].unionByName(shards[1]).unionByName(shards[2])
+
+    # the old union-of-owned-rows contract WAS the bug: id 4's owned row
+    # (shard 1, where its dup partner has no posting) says kept=1
+    owned_only = {
+        r["vec_id"]: r["kept"]
+        for r in union.filter("centroid_id is not null").collect()
+    }
+    assert owned_only[4] == 1
+
+    # shard 2 discovers the drop it cannot own and emits it as evidence
+    ev = union.filter("centroid_id is null").collect()
+    assert [(r["vec_id"], r["kept"]) for r in ev] == [(4, 0)]
+
+    merged = {
+        r["vec_id"]: (r["kept"], r["centroid_id"])
+        for r in semantic_dedup_merge_shards(union).collect()
+    }
+    assert merged == full
