@@ -256,9 +256,23 @@ class VersionedTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError("table has no committed version")
-        files = [
-            os.path.join(self.root, rel) for rel in self._manifest(v)["files"]
-        ]
+        m = self._manifest(v)
+        files = [os.path.join(self.root, rel) for rel in m["files"]]
+        if not files:
+            # a CDC batch that deleted every remaining row publishes an
+            # empty file list (partitionBy writes no files for an empty
+            # frame — SPARK-23271's schema-bearing empty file only
+            # covers unpartitioned writes). The snapshot is a valid,
+            # EMPTY table; serve it from the schema the committer
+            # recorded rather than handing zero paths to the reader.
+            sch = m.get("schema")
+            if sch is None:
+                raise FileNotFoundError(
+                    f"version {v} has no files and no recorded schema"
+                )
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(sch))
         return spark.read.parquet(*files)
 
 
@@ -435,6 +449,7 @@ def streaming_cdc_committer(
     instead of corrupting on them.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     from anti_ddos_spark.sources.maintenance import apply_cdc
 
@@ -500,7 +515,15 @@ def streaming_cdc_committer(
             files = [
                 f for b in sorted(bucket_files) for f in bucket_files[b]
             ]
-            extra = {"bucket_files": bucket_files, "n_buckets": n_buckets}
+            extra = {
+                "bucket_files": bucket_files,
+                "n_buckets": n_buckets,
+                # recorded so a delete-everything batch (files=[]) stays
+                # readable as an empty snapshot — see VersionedTable.read
+                "schema": StructType(
+                    [f for f in merged.schema.fields if f.name != "_bucket"]
+                ).jsonValue(),
+            }
             return files, extra, created_dir
 
         _retrying_publish(

@@ -513,3 +513,39 @@ def test_bucketed_cdc_random_sequences_match_dict_reference(table):
         got = dict(_rows(t.read(spark)))
         assert got == ref, (scenario, got, ref)
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_cdc_delete_everything_leaves_readable_empty_snapshot(table):
+    """Round 9 (ADVICE): a CDC batch that deletes ALL remaining rows
+    writes no parquet files (partitionBy on an empty frame), so the
+    published manifest has files=[] — the live snapshot must still read
+    as an EMPTY table with the recorded schema, not raise; time travel
+    to the pre-delete version keeps working; and a following insert
+    batch revives the table."""
+    from anti_ddos_spark.sources.versioned import streaming_cdc_committer
+
+    spark, t = table
+    schema = "k long, v string, op string, seq long"
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=4)
+    sink(
+        spark.createDataFrame([(1, "a", "I", 1), (2, "b", "I", 2)], schema),
+        0,
+    )
+    v_full = t.current_version()
+    sink(
+        spark.createDataFrame(
+            [(1, None, "D", 3), (2, None, "D", 4)], schema
+        ),
+        1,
+    )
+    live = t.read(spark)
+    assert live.count() == 0
+    assert live.columns == ["k", "v"]
+    assert dict(live.dtypes) == {"k": "bigint", "v": "string"}
+    # empty snapshot still composes with the normal reader-side ops
+    assert live.filter(F.col("k") > 0).count() == 0
+    # time travel is unaffected
+    assert _rows(t.read(spark, version=v_full)) == [(1, "a"), (2, "b")]
+    # and the table revives on the next insert batch
+    sink(spark.createDataFrame([(5, "e", "I", 5)], schema), 2)
+    assert _rows(t.read(spark)) == [(5, "e")]
