@@ -365,7 +365,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | str | None = None,
-    membership_nprobe: int = 1,
+    membership_nprobe: int | None = None,
 ) -> None:
     """Materialize the IVF index: vectors written as parquet PARTITIONED
     BY centroid_id, plus a tiny ``<path>_centroids`` sidecar holding the
@@ -396,12 +396,20 @@ def ivf_build_index(
     ``is_primary`` flag (rank 1 = the classic assignment). That is the
     standard multi-probe materialization: the near-dup membership join
     and a probed search stay PARTITION-PRUNED (a boundary vector is
-    physically present in the runner-up cell), at ×N index size. The
-    default 1 keeps today's layout and schema byte-compatible."""
-    emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
-    if centroids is None:
-        from anti_ddos_spark.config import QUALITY_DEFAULTS
+    physically present in the runner-up cell), at ×N index size.
 
+    Default (round 9): ``None`` resolves to 2 under
+    config.QUALITY_DEFAULTS — the round-8 s-curve measured single-cell
+    membership as a RECALL CEILING (~0.74 for τ-eligible s=0.95 pairs
+    at 16 cells) that nprobe=2 recovers to ~0.96, so the index a bare
+    call ships is the measured-better one; pass 1 explicitly for the
+    single-posting layout (what the oracle fixtures pin)."""
+    emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
+    from anti_ddos_spark.config import QUALITY_DEFAULTS
+
+    if membership_nprobe is None:
+        membership_nprobe = 2 if QUALITY_DEFAULTS else 1
+    if centroids is None:
         centroids = "learned" if QUALITY_DEFAULTS else "data"
     if centroids == "learned":
         centroids, _inertia = kmeans_train(
@@ -706,7 +714,7 @@ def semantic_dedup_flags(
     vec_col: str = "embedding",
     centroids: list[list[float]] | str | None = None,
     round_dp: int = 6,
-    nprobe: int = 1,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication flags (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, compare pairs ONLY
@@ -741,12 +749,21 @@ def semantic_dedup_flags(
     in the pair join — still cell-bounded, never corpus-quadratic. The
     output's ``centroid_id`` stays the PRIMARY cell and the dropped
     flag keeps the same smaller-id-wins semantics, so nprobe=1 is
-    byte-identical to the original operator (q51's oracle unchanged).
+    byte-identical to the original operator (q51's oracle pins it
+    explicitly).
+
+    Default (round 9): ``nprobe=None`` resolves to 2 under
+    config.QUALITY_DEFAULTS — the measured-better posture ships on
+    bare calls, like the Gaussian-planes/learned-centroids defaults of
+    round 4; pass 1 for the single-cell original (flag-off parity
+    pinned in tests/test_quality_defaults.py).
     """
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
-    if centroids is None:
-        from anti_ddos_spark.config import QUALITY_DEFAULTS
+    from anti_ddos_spark.config import QUALITY_DEFAULTS
 
+    if nprobe is None:
+        nprobe = 2 if QUALITY_DEFAULTS else 1
+    if centroids is None:
         centroids = "learned" if QUALITY_DEFAULTS else "data"
     if centroids == "learned":
         centroids, _inertia = kmeans_train(

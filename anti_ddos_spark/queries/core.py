@@ -784,3 +784,16 @@ for _name in (
     "q132_layout_pruning",
 ):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+# Round-9 rotation (r8 verdict task #1): q19 (exact percentiles — the
+# distribution contract is also carried by q91's quartiles and q18's
+# sketch-vs-exact band locally) and q27 (cube — grouping sets exercised
+# by q10/q77 locals and the rollup path) yield their driver slots to
+# the round-8 artifact family: q135 pins the bucketed-CDC committer's
+# END STATE (real committer, two batches + re-delivery, snapshot hash
+# vs relational reconstruction) — the r7 scale-killer's fix made
+# driver-visible. Both evicted rows keep full DuckDB hash oracles via
+# full_registry().
+for _name in ("q19_percentiles", "q27_cube"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+QUERIES["q135_bucketed_cdc_state"] = EXTRA_QUERIES.pop("q135_bucketed_cdc_state")

@@ -346,8 +346,10 @@ def q51_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Semantic dedup via cluster-bounded pairwise cosine (SemDeDup,
     Abbas et al. 2023): assign to cells, drop any vector with a same-cell
     smaller-id neighbor at rounded cosine >= tau. Oracle mode pins the
-    deterministic data-centroids; production lifts of the operator get
-    k-means cells via config.QUALITY_DEFAULTS."""
+    deterministic data-centroids AND nprobe=1 (single-cell original;
+    the round-9 QUALITY_DEFAULTS posture for bare calls is nprobe=2 —
+    that form is the q134 driver row); production lifts of the operator
+    get k-means cells + nprobe=2 via config.QUALITY_DEFAULTS."""
     from anti_ddos_spark.operators.similarity import semantic_dedup_flags
 
     return semantic_dedup_flags(
@@ -355,6 +357,7 @@ def q51_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         n_centroids=CENTROIDS,
         tau=NEARDUP_COS,
         centroids="data",  # oracle mode: DuckDB replicates without RNG
+        nprobe=1,  # oracle pin — the hash predates the quality default
     )
 
 
@@ -700,3 +703,13 @@ EXTRA_QUERIES["q134_semantic_dedup_nprobe"] = Query(
     "SemDeDup with nprobe=2 multi-cell candidates (the measured "
     "recall-ceiling fix; primary assignment unchanged)",
 )
+
+# Round-9 rotation (r8 verdict task #1): q40's brute-force top-k is the
+# BASELINE the whole ANN family is measured against — its exact-cosine
+# ranking is transitively exercised by q42's verify stage, q45's
+# in-cell scoring and q44's probe scoring, all driver rows — so its
+# slot goes to q134, the round-8 recall-ceiling fix, making the driver
+# hash pin the nprobe=2 membership semantics. q40 keeps its full DuckDB
+# hash oracle via full_registry().
+EXTRA_QUERIES["q40_cosine_topk"] = QUERIES.pop("q40_cosine_topk")
+QUERIES["q134_semantic_dedup_nprobe"] = EXTRA_QUERIES.pop("q134_semantic_dedup_nprobe")

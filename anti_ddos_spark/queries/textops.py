@@ -1157,3 +1157,12 @@ for _name in (
     "q48_tfidf_top_term",
 ):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+# Round-9 rotation (r8 verdict task #1): q136 promotes the committed
+# frozen-BPE vocabulary to a driver row — STATIC SQL over the
+# bpe_merges.json artifact (byte-exact regen pin in tests/test_bpe.py),
+# so the driver hash pins the committed tokenizer's segmentation, the
+# same artifact pattern as q133's frozen RF. Its slot is the one freed
+# by core.py's q19/q27 demotions (net module counts: core −1, textops
+# +1, similarity ±0 — registry stays exactly at the 50-row cap).
+QUERIES["q136_bpe_frozen_vocab"] = EXTRA_QUERIES.pop("q136_bpe_frozen_vocab")

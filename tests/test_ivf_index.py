@@ -27,7 +27,14 @@ def _emb(spark):
 def test_index_search_matches_ivf_topk(spark, tmp_path):
     emb = _emb(spark)
     path = str(tmp_path / "ivf_idx")
-    ivf_build_index(emb, path, n_centroids=8, centroids="data")
+    # membership_nprobe=1 pinned: this test proves the CLASSIC
+    # single-posting layout is search-equivalent to the join-based
+    # ivf_topk (whose corpus side is primary-assignment only); the
+    # round-9 quality default (2) adds runner-up postings the join
+    # form deliberately doesn't see.
+    ivf_build_index(
+        emb, path, n_centroids=8, centroids="data", membership_nprobe=1
+    )
 
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
     got = ivf_search_index(spark, path, qvec, k=10, nprobe=3)

@@ -67,3 +67,20 @@ def test_default_index_centroids_are_learned(spark, tmp_path):
     }
     assert side != leading
     assert len(side) == 4
+
+
+def test_default_index_layout_is_duplicated_postings(spark, tmp_path, monkeypatch):
+    """Round 9: a bare ivf_build_index ships the recall-fixed
+    duplicated-postings layout (membership_nprobe=2 → is_primary
+    column present); with the flag off it writes the classic
+    single-posting layout. Oracle fixtures pin membership_nprobe=1
+    explicitly, so their hashes never depended on the flag."""
+    df = _vecs(spark)
+    path = str(tmp_path / "idx_np")
+    ivf_build_index(df, path, n_centroids=4)
+    assert "is_primary" in spark.read.parquet(path).columns
+
+    monkeypatch.setattr(config, "QUALITY_DEFAULTS", False)
+    path2 = str(tmp_path / "idx_np_off")
+    ivf_build_index(df, path2, n_centroids=4, centroids="data")
+    assert "is_primary" not in spark.read.parquet(path2).columns

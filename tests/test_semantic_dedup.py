@@ -119,7 +119,13 @@ def test_indexed_cell_restriction_prunes_partitions(spark, tmp_path):
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     path = str(tmp_path / "sem_idx2")
-    ivf_build_index(emb, path, n_centroids=8, centroids="data")
+    # single-posting layout pinned: cells=[...] over it is the plain
+    # union-by-append sweep (each id entirely inside its one cell); the
+    # duplicated-postings layout shards via the federated protocol
+    # instead (test_sharded_indexed_nprobe_matches_full)
+    ivf_build_index(
+        emb, path, n_centroids=8, centroids="data", membership_nprobe=1
+    )
 
     cells = [2, 5]
     sub = semantic_dedup_flags_indexed(spark, path, tau=TAU, cells=cells)
@@ -156,7 +162,7 @@ def test_nprobe_catches_the_cell_boundary_pair(spark):
     f1 = {
         r["vec_id"]: (r["kept"], r["centroid_id"])
         for r in semantic_dedup_flags(
-            df, n_centroids=2, tau=0.99, centroids="data"
+            df, n_centroids=2, tau=0.99, centroids="data", nprobe=1
         ).collect()
     }
     # split across cells: the near-dup pair never meets at nprobe=1
@@ -179,21 +185,28 @@ def test_nprobe_catches_the_cell_boundary_pair(spark):
     assert all(f2[k][0] <= f1[k][0] for k in f1)
 
 
-def test_nprobe_one_is_byte_identical_to_original(spark):
+def test_bare_nprobe_default_resolves_by_quality_flag(spark, monkeypatch):
+    """Round 9: a bare call ships the measured-better nprobe=2 under
+    QUALITY_DEFAULTS (the r4 Gaussian-planes pattern); with the flag
+    off it is byte-identical to the single-cell original. Oracle
+    queries (q51) pin nprobe=1 explicitly, so their hashes never
+    depended on the flag."""
+    from anti_ddos_spark import config
+
     df, _bases = _planted(spark)
-    base = sorted(
-        (r["vec_id"], r["centroid_id"], r["kept"])
-        for r in semantic_dedup_flags(
-            df, n_centroids=N_CLUSTERS, tau=0.9, centroids="data"
-        ).collect()
-    )
-    explicit = sorted(
-        (r["vec_id"], r["centroid_id"], r["kept"])
-        for r in semantic_dedup_flags(
-            df, n_centroids=N_CLUSTERS, tau=0.9, centroids="data", nprobe=1
-        ).collect()
-    )
-    assert base == explicit
+
+    def run(**kw):
+        return sorted(
+            (r["vec_id"], r["centroid_id"], r["kept"])
+            for r in semantic_dedup_flags(
+                df, n_centroids=N_CLUSTERS, tau=0.9, centroids="data", **kw
+            ).collect()
+        )
+
+    assert config.QUALITY_DEFAULTS  # env default
+    assert run() == run(nprobe=2)
+    monkeypatch.setattr(config, "QUALITY_DEFAULTS", False)
+    assert run() == run(nprobe=1)
 
 
 def test_indexed_nprobe_matches_in_memory(spark, tmp_path):
