@@ -50,6 +50,16 @@ pointer is one rename, and every data write is the engine's normal
 distributed parquet write — nothing serializes through the driver
 except the file LISTING of the just-written directory and the flocked
 pointer flip.
+
+Round 9 — manifests scale in FILE COUNT and VERSION COUNT too:
+streaming commits (append sink, bucketed CDC) publish DELTA manifests
+that carry unchanged buckets/files BY REFERENCE to their base, with a
+full materialization every MANIFEST_DELTA_DEPTH_MAX commits (the
+manifest-list/checkpoint design real table formats use), so per-commit
+manifest bytes are O(batch + touched buckets), not O(table files); and
+version allocation inside the lock is a counter read off the live
+manifest (O_EXCL skips crashed-publish orphans), not a directory
+listing of every manifest ever written.
 """
 
 from __future__ import annotations
@@ -64,6 +74,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitConflict(RuntimeError):
     """Another writer published a version after this commit's base."""
+
+
+# A streaming sink at a 5 s trigger publishes ~17k versions/day; if every
+# manifest re-serialized the full file list, commit cost would be O(table
+# files) per commit (~100 MB of JSON per 5 s at 10^6 files). Streaming
+# commits therefore publish DELTA manifests that carry unchanged state BY
+# REFERENCE to their base (resolved at read time), and every
+# MANIFEST_DELTA_DEPTH_MAX-th commit materializes a full manifest — the
+# same checkpoint cadence real table formats use — so a snapshot resolve
+# walks at most this many KB-sized deltas and amortized manifest bytes
+# per commit stay O(table/depth_max + touched).
+MANIFEST_DELTA_DEPTH_MAX = 64
 
 
 class VersionedTable:
@@ -108,6 +130,39 @@ class VersionedTable:
             v = m["base"]
         return out
 
+    def _resolved(self, version: int) -> dict:
+        """Resolve a (possibly delta) manifest to the full snapshot
+        state: ``{"files": [...], "bucket_files": {...},
+        "bucket_rows": {...}}``. Delta manifests (streaming commits)
+        carry only their touched buckets / appended files plus a base
+        link; the walk ends at the nearest FULL manifest — bounded by
+        MANIFEST_DELTA_DEPTH_MAX KB-sized reads, never O(versions)."""
+        chain: list[dict] = []
+        m = self._manifest(version)
+        while "files" not in m:
+            chain.append(m)
+            m = self._manifest(m["base"])
+        buckets = dict(m.get("bucket_files", {}))
+        rows = dict(m.get("bucket_rows", {}))
+        extra_files: list[str] = []
+        bucketed = False
+        for d in reversed(chain):  # oldest delta first
+            if "delta" in d:
+                bucketed = True
+                for b in d["delta"]["touched"]:
+                    buckets.pop(b, None)
+                    rows.pop(b, None)
+                buckets.update(d["delta"]["bucket_files_new"])
+                rows.update(d["delta"].get("bucket_rows_new", {}))
+            else:
+                extra_files.extend(d["delta_append"]["files_new"])
+        if chain and bucketed:
+            files = [f for b in sorted(buckets) for f in buckets[b]]
+            files += extra_files
+        else:
+            files = list(m["files"]) + extra_files
+        return {"files": files, "bucket_files": buckets, "bucket_rows": rows}
+
     def last_batch_id(self, app_id: str | None = None) -> int | None:
         """Highest streaming batch id on the committed chain — O(1):
         every manifest carries the running max. With ``app_id`` the
@@ -137,7 +192,7 @@ class VersionedTable:
 
     def _publish(
         self,
-        new_files: list[str],
+        new_files: list[str] | None,
         mode: str,
         base: int | None,
         batch_id: int | None = None,
@@ -148,6 +203,13 @@ class VersionedTable:
         allocate the next manifest number (O_EXCL create — never
         clobbers), flip the pointer. Raises CommitConflict if the base
         moved; the caller decides whether to rebase-and-retry.
+
+        ``new_files=None`` publishes a DELTA manifest: no ``files``
+        key; the snapshot content is the ``delta``/``delta_append``
+        payload in ``extra``, resolved against the base chain at read
+        time (see _resolved). That keeps streaming commit cost O(batch)
+        — a full manifest here would re-serialize the whole table's
+        file list every 5 s trigger.
 
         ``app_id`` scopes the batch-id idempotency counter to one
         transactional writer (manifest key ``last_batch_ids``); without
@@ -162,23 +224,20 @@ class VersionedTable:
             live = self.current_version()
             if live != base:
                 raise CommitConflict(f"base moved: {base} -> {live}")
-            files = list(new_files)
             prev_last_bid = None
             prev_app_bids: dict = {}
             if base is not None:
                 bm = self._manifest(base)
                 prev_last_bid = bm.get("last_batch_id")
                 prev_app_bids = dict(bm.get("last_batch_ids", {}))
-                if mode == "append":
-                    files = bm["files"] + files
-            existing = self.versions()
-            new_version = (existing[-1] + 1) if existing else 0
-            manifest = {
-                "version": new_version,
-                "base": base,
-                "mode": mode,
-                "files": files,
-            }
+            manifest = {"base": base, "mode": mode}
+            if new_files is not None:
+                files = list(new_files)
+                if mode == "append" and base is not None:
+                    # full-materialization append: resolve the base
+                    # chain (bounded delta walk, not a listdir)
+                    files = self._resolved(base)["files"] + files
+                manifest["files"] = files
             if extra:
                 manifest.update(extra)
             if app_id is not None and batch_id is not None:
@@ -199,12 +258,25 @@ class VersionedTable:
                 )
             if batch_id is not None:
                 manifest["batch_id"] = batch_id
-            mpath = os.path.join(
-                self.root, "manifests", f"v{new_version}.json"
-            )
-            # O_EXCL: a concurrent claim of the same number is impossible
-            # under the lock, but never-clobber is cheap insurance
-            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            # Allocation is a counter read off the live manifest, NOT a
+            # directory listing (round 9: versions() listdir'd every
+            # manifest inside the lock — O(versions) per commit at a
+            # 17k-versions/day streaming cadence). Orphans from crashed
+            # publishes can hold numbers above the live version; O_EXCL
+            # skips them (never reused, never clobbered) in O(orphans).
+            new_version = 0 if base is None else base + 1
+            while True:
+                mpath = os.path.join(
+                    self.root, "manifests", f"v{new_version}.json"
+                )
+                try:
+                    fd = os.open(
+                        mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL
+                    )
+                    break
+                except FileExistsError:
+                    new_version += 1
+            manifest["version"] = new_version
             with os.fdopen(fd, "w") as f:
                 json.dump(manifest, f)
             tmp = self._pointer() + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -240,10 +312,24 @@ class VersionedTable:
     def rollback(self, to_version: int) -> int:
         """Publish a NEW version whose file list is ``to_version``'s —
         history stays intact (a rollback is itself audit-visible), no
-        data moves."""
-        old_files = self._manifest(to_version)["files"]
+        data moves. The rollback manifest is always FULL (files plus,
+        if the target was bucketed, its resolved bucket layout — so a
+        streaming CDC writer resumes pruned rewrites after one)."""
+        res = self._resolved(to_version)
+        tm = self._manifest(to_version)
+        extra = None
+        if res["bucket_files"]:
+            extra = {
+                "bucket_files": res["bucket_files"],
+                "bucket_rows": res["bucket_rows"],
+            }
+            for k in ("n_buckets", "schema"):
+                if k in tm:
+                    extra[k] = tm[k]
         base = self.current_version()
-        return self._publish(old_files, f"rollback:{to_version}", base)
+        return self._publish(
+            res["files"], f"rollback:{to_version}", base, extra=extra
+        )
 
     # -- read -----------------------------------------------------------
 
@@ -257,7 +343,10 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError("table has no committed version")
         m = self._manifest(v)
-        files = [os.path.join(self.root, rel) for rel in m["files"]]
+        files = [
+            os.path.join(self.root, rel)
+            for rel in self._resolved(v)["files"]
+        ]
         if not files:
             # a CDC batch that deleted every remaining row publishes an
             # empty file list (partitionBy writes no files for an empty
@@ -365,12 +454,26 @@ def foreach_batch_committer(
     own idempotency counter in the manifest (the (appId, version) txn
     key real table formats use). Without it, one table supports
     exactly one streaming query with a stable checkpoint.
+
+    Round 9: append commits publish DELTA manifests (only this batch's
+    files + a base link — O(batch), resolved at read time) with a full
+    materialization every MANIFEST_DELTA_DEPTH_MAX commits; a full
+    manifest here would re-serialize the whole table's file list each
+    5 s trigger.
     """
 
     def _commit(batch_df: DataFrame, batch_id: int) -> None:
         def build(base):
             files = table._write_data_dir(batch_df)
             created = os.path.dirname(files[0]) if files else None
+            if base is not None:
+                depth = table._manifest(base).get("delta_depth", 0)
+                if depth < MANIFEST_DELTA_DEPTH_MAX:
+                    extra = {
+                        "delta_append": {"files_new": files},
+                        "delta_depth": depth + 1,
+                    }
+                    return None, extra, created
             return files, None, created
 
         _retrying_publish(
@@ -379,6 +482,40 @@ def foreach_batch_committer(
         )
 
     return _commit
+
+
+# The round-8 cdc_probe operating point: 64 buckets at 800k rows kept the
+# per-batch rewrite 56x under a full-snapshot rewrite. Rewrite volume per
+# key-local batch is ~table/buckets, so the policy holds rows-per-bucket
+# near this constant as the table grows (state_partitions_for's lesson
+# applied to storage).
+CDC_TARGET_ROWS_PER_BUCKET = 12_500
+
+
+def buckets_for(n_rows: int) -> int:
+    """Key-hash bucket count for a CDC table of ``n_rows``: the next
+    power of two holding ~CDC_TARGET_ROWS_PER_BUCKET rows per bucket,
+    clamped to [16, 4096]. Power of two keeps pmod routing stable-ish
+    across resizes; the clamp floors tiny tables (16 buckets ≈ free)
+    and caps manifest width at 100 TB scale. A table that outgrows its
+    layout 4x is re-bucketed by the committer via one full merge — the
+    same fallback that already handles compact()'s unbucketed
+    manifests."""
+    import math
+
+    if n_rows <= 0:
+        return 16
+    raw = n_rows / CDC_TARGET_ROWS_PER_BUCKET
+    return int(min(4096, max(16, 2 ** math.ceil(math.log2(max(raw, 1.0))))))
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet FOOTER — a driver-local metadata read
+    (no scan), used to keep per-bucket row counts in the manifest so
+    the bucket policy can see table size without counting."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def _bucketed_data_dir(table: VersionedTable, df: DataFrame) -> tuple:
@@ -410,7 +547,7 @@ def streaming_cdc_committer(
     op_col: str = "op",
     seq_col: str | None = None,
     max_retries: int = 5,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
     txn_app_id: str | None = None,
 ):
     """Transactional streaming MERGE with a BOUNDED rewrite: each
@@ -440,21 +577,33 @@ def streaming_cdc_committer(
 
     Per-batch cost is therefore O(touched buckets' data + batch), not
     O(table): at 100 TB with 1024 buckets a key-local batch rewrites
-    ~0.1 % of the table instead of all of it. Every version is still a
-    complete time-travelable snapshot (the manifest's flat ``files``
-    list is carried + new). A base version without bucket metadata
-    (a plain commit, a compact, or a different ``n_buckets``) is
-    handled by one full-table re-bucketing merge, after which pruning
-    resumes — so the committer composes with the other lifecycle ops
-    instead of corrupting on them.
+    ~0.1 % of the table instead of all of it. A base version without
+    bucket metadata (a plain commit, a compact, or a different
+    ``n_buckets``) is handled by one full-table re-bucketing merge,
+    after which pruning resumes — so the committer composes with the
+    other lifecycle ops instead of corrupting on them.
+
+    Round 9 — the MANIFEST is bounded too, not just the data: a pruned
+    batch publishes a DELTA manifest carrying only the touched
+    buckets' new file lists (O(touched), resolved against the base
+    chain at read time); every MANIFEST_DELTA_DEPTH_MAX-th commit
+    materializes a full manifest so resolves stay bounded. Without
+    this, each 5 s commit re-serialized the full file list —
+    O(table files) JSON per commit at production file counts.
+
+    ``n_buckets=None`` (default) sizes the layout by POLICY:
+    ``buckets_for(rows)`` at first bucketing, and when per-bucket
+    row counts show the table has outgrown its layout 4x, the next
+    batch re-buckets via the existing full-merge fallback. Pass an
+    int to pin the layout (the oracle fixtures do).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     from anti_ddos_spark.sources.maintenance import apply_cdc
 
-    def _bucket_of(col):
-        return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+    def _bucket_of(col, nb: int):
+        return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -462,19 +611,40 @@ def streaming_cdc_committer(
         valid = batch_df.filter(F.col(op_col).isin("U", "I", "D"))
 
         def build_files(base):
-            base_buckets: dict[str, list[str]] = {}
-            if base is not None:
-                bm = table._manifest(base)
-                if bm.get("n_buckets") == n_buckets:
-                    base_buckets = bm.get("bucket_files", {})
+            bm = table._manifest(base) if base is not None else {}
+            base_nb = bm.get("n_buckets")
+            pruned_path = base_nb is not None and (
+                n_buckets is None or base_nb == n_buckets
+            )
+            res = (
+                table._resolved(base)
+                if (base is not None and pruned_path)
+                else {"bucket_files": {}, "bucket_rows": {}}
+            )
+            base_buckets = res["bucket_files"]
+            if pruned_path and n_buckets is None:
+                # policy: re-bucket (full merge) once the layout is
+                # outgrown 4x — only decidable when row counts exist
+                known = res["bucket_rows"]
+                if len(known) == len(base_buckets) and base_buckets:
+                    total = sum(known.values())
+                    if (
+                        total > 4 * CDC_TARGET_ROWS_PER_BUCKET * base_nb
+                        and buckets_for(total) > base_nb
+                    ):
+                        pruned_path = False
+                        base_buckets = {}
             if base is None:
+                nb = n_buckets or buckets_for(valid.count())
                 snapshot = batch_df.drop(*drop).limit(0)
                 carried: dict[str, list[str]] = {}
-            elif base_buckets:
+                carried_rows: dict[str, int] = {}
+            elif pruned_path and base_buckets:
+                nb = base_nb
                 touched = {
                     str(r[0])
                     for r in valid.select(
-                        _bucket_of(F.col(key)).alias("b")
+                        _bucket_of(F.col(key), nb).alias("b")
                     ).distinct().collect()
                 }
                 pruned = [
@@ -492,11 +662,20 @@ def streaming_cdc_committer(
                     for b, fs in base_buckets.items()
                     if b not in touched
                 }
+                carried_rows = {
+                    b: n
+                    for b, n in res["bucket_rows"].items()
+                    if b not in touched
+                }
             else:
-                # unbucketed base (plain commit / compact / resized):
-                # one full merge re-establishes the bucket layout
+                # unbucketed base (plain commit / compact) or resize:
+                # one full merge (re-)establishes the bucket layout
                 snapshot = table.read(spark, version=base)
+                nb = n_buckets or buckets_for(
+                    sum(res["bucket_rows"].values()) or snapshot.count()
+                )
                 carried = {}
+                carried_rows = {}
             # one hash exchange on the bucket id so every bucket's rows
             # land in one task → ONE file per touched bucket per version
             # (without it each bucket dir gets shuffle_partitions-many
@@ -507,22 +686,47 @@ def streaming_cdc_committer(
                 apply_cdc(
                     snapshot, batch_df, key, op_col=op_col, seq_col=seq_col
                 )
-                .withColumn("_bucket", _bucket_of(F.col(key)))
+                .withColumn("_bucket", _bucket_of(F.col(key), nb))
                 .repartition(F.col("_bucket"))
             )
             new_buckets, created_dir = _bucketed_data_dir(table, merged)
+            new_rows = {
+                b: sum(
+                    _parquet_rows(os.path.join(table.root, rel))
+                    for rel in fs
+                )
+                for b, fs in new_buckets.items()
+            }
+            # recorded so a delete-everything batch (files=[]) stays
+            # readable as an empty snapshot — see VersionedTable.read
+            schema_json = StructType(
+                [f for f in merged.schema.fields if f.name != "_bucket"]
+            ).jsonValue()
+            depth = bm.get("delta_depth", 0)
+            if carried and depth < MANIFEST_DELTA_DEPTH_MAX:
+                # bounded manifest: only the touched buckets travel
+                extra = {
+                    "delta": {
+                        "touched": sorted(
+                            set(new_buckets) | (set(base_buckets) - set(carried))
+                        ),
+                        "bucket_files_new": new_buckets,
+                        "bucket_rows_new": new_rows,
+                    },
+                    "delta_depth": depth + 1,
+                    "n_buckets": nb,
+                    "schema": schema_json,
+                }
+                return None, extra, created_dir
             bucket_files = {**carried, **new_buckets}
             files = [
                 f for b in sorted(bucket_files) for f in bucket_files[b]
             ]
             extra = {
                 "bucket_files": bucket_files,
-                "n_buckets": n_buckets,
-                # recorded so a delete-everything batch (files=[]) stays
-                # readable as an empty snapshot — see VersionedTable.read
-                "schema": StructType(
-                    [f for f in merged.schema.fields if f.name != "_bucket"]
-                ).jsonValue(),
+                "bucket_rows": {**carried_rows, **new_rows},
+                "n_buckets": nb,
+                "schema": schema_json,
             }
             return files, extra, created_dir
 
@@ -622,13 +826,27 @@ def vacuum(
         keep_numbers = {m["version"] for m in keep}
         keep_dirs = set()
         for m in keep:
-            for rel in m["files"]:
+            # resolve delta manifests: their carried-by-reference files
+            # are just as live as materialized ones
+            for rel in table._resolved(m["version"])["files"]:
                 keep_dirs.add(rel.split(os.sep)[1])
         # re-root FIRST (atomically), so the chain stays walkable no
-        # matter where a crash lands
+        # matter where a crash lands. A delta oldest-kept manifest is
+        # MATERIALIZED here (full files + bucket state): its base — the
+        # rest of its resolve chain — is about to be deleted.
         oldest = keep[-1]
         if oldest["base"] is not None and oldest["base"] not in keep_numbers:
-            rooted = {**oldest, "base": None}
+            res = table._resolved(oldest["version"])
+            rooted = {
+                k: v
+                for k, v in oldest.items()
+                if k not in ("delta", "delta_append", "delta_depth")
+            }
+            rooted["base"] = None
+            rooted["files"] = res["files"]
+            if res["bucket_files"]:
+                rooted["bucket_files"] = res["bucket_files"]
+                rooted["bucket_rows"] = res["bucket_rows"]
             mpath = os.path.join(
                 table.root, "manifests", f"v{rooted['version']}.json"
             )

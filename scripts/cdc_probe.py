@@ -14,7 +14,19 @@ bucket size = N/buckets), so the ratio widens with N — at 100 TB with
 1024 buckets the same arithmetic is a ~0.1 % rewrite per batch instead
 of 100 %.
 
+Round 9 adds the MANIFEST-layer ladder (--versions N): the r8 design
+rewrote the full file list into every manifest and listdir'd all
+manifests inside the publish lock, so commit cost grew with table file
+count AND version count. The ladder drives N delta publishes straight
+through _publish (no Spark — this isolates exactly the metadata cost)
+against a table of --files synthetic files and reports publish latency
++ manifest bytes at the start vs the end of the chain (flat = fixed),
+what the old full-list design would have written per commit, and the
+snapshot resolve time at the chain head (bounded by the delta depth
+cap, not the version count).
+
 Usage: python scripts/cdc_probe.py [--rows 200000 --batches 5]
+       python scripts/cdc_probe.py --versions 10000 --files 20000
 """
 
 from __future__ import annotations
@@ -30,11 +42,104 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def versions_ladder(n_versions: int, n_files: int) -> None:
+    """Manifest-layer ladder: no Spark, no data — just the publish
+    protocol, which is exactly what task r8#2 bounded."""
+    from anti_ddos_spark.sources.versioned import VersionedTable
+
+    root = tempfile.mkdtemp(prefix="cdc_vladder_")
+    tbl = VersionedTable(root)
+    n_buckets = 256
+    bucket_files = {
+        str(b): [
+            f"data/d-seed/part-{b:04d}-{i}.parquet"
+            for i in range(n_files // n_buckets)
+        ]
+        for b in range(n_buckets)
+    }
+    files = [f for b in sorted(bucket_files) for f in bucket_files[b]]
+    tbl._publish(
+        files, "overwrite", None,
+        extra={"bucket_files": bucket_files, "n_buckets": n_buckets},
+    )
+    full_manifest_bytes = os.path.getsize(
+        os.path.join(root, "manifests", "v0.json")
+    )
+
+    from anti_ddos_spark.sources.versioned import MANIFEST_DELTA_DEPTH_MAX
+
+    def delta_publish(i: int) -> float:
+        """One committer-shaped publish: delta below the depth cap, a
+        full materialization at it (the amortized checkpoint — its cost
+        is part of the honest ladder)."""
+        base = tbl.current_version()
+        depth = tbl._manifest(base).get("delta_depth", 0)
+        b = str(i % n_buckets)
+        new_entry = {b: [f"data/d-{i}/part-0.parquet"]}
+        t0 = time.perf_counter()
+        if depth < MANIFEST_DELTA_DEPTH_MAX:
+            tbl._publish(
+                None, "overwrite", base,
+                extra={
+                    "delta": {
+                        "touched": [b],
+                        "bucket_files_new": new_entry,
+                        "bucket_rows_new": {b: 1},
+                    },
+                    "delta_depth": depth + 1,
+                    "n_buckets": n_buckets,
+                },
+            )
+        else:
+            res = tbl._resolved(base)
+            bf = {**res["bucket_files"], **new_entry}
+            tbl._publish(
+                [f for k in sorted(bf) for f in bf[k]], "overwrite", base,
+                extra={"bucket_files": bf, "n_buckets": n_buckets},
+            )
+        return time.perf_counter() - t0
+
+    head, tail_ = [], []
+    for i in range(n_versions):
+        dt = delta_publish(i)
+        if i < 100:
+            head.append(dt)
+        elif i >= n_versions - 100:
+            tail_.append(dt)
+    v = tbl.current_version()
+    mbytes = os.path.getsize(os.path.join(root, "manifests", f"v{v}.json"))
+    t0 = time.perf_counter()
+    res = tbl._resolved(v)
+    resolve_s = time.perf_counter() - t0
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    print(
+        json.dumps(
+            {
+                "versions": n_versions,
+                "publish_ms_first100_med": round(med(head) * 1e3, 3),
+                "publish_ms_last100_med": round(med(tail_) * 1e3, 3),
+                "delta_manifest_bytes": mbytes,
+                "full_manifest_bytes_old_design": full_manifest_bytes,
+                "manifest_bytes_ratio": round(full_manifest_bytes / mbytes, 1),
+                "resolve_head_s": round(resolve_s, 4),
+                "resolved_files": len(res["files"]),
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, nargs="*", default=[50_000, 200_000, 800_000])
     ap.add_argument("--batches", type=int, default=5)
+    ap.add_argument("--versions", type=int, default=0)
+    ap.add_argument("--files", type=int, default=20_000)
     args = ap.parse_args()
+    if args.versions:
+        versions_ladder(args.versions, args.files)
+        return
 
     from pyspark.sql import functions as F
 
@@ -72,16 +177,17 @@ def main() -> None:
                 bucket pruning exists to bound."""
                 m = tbl._manifest(tbl.current_version())
                 base = m["base"]
+                cur_files = tbl._resolved(m["version"])["files"]
                 prev = set(
-                    tbl._manifest(base)["files"]
+                    tbl._resolved(base)["files"]
                 ) if base is not None else set()
-                new = [f for f in m["files"] if f not in prev]
+                new = [f for f in cur_files if f not in prev]
                 return {
                     "files": len(new),
                     "bytes": sum(
                         os.path.getsize(os.path.join(root, f)) for f in new
                     ),
-                    "carried": len(prev & set(m["files"])),
+                    "carried": len(prev & set(cur_files)),
                 }
 
             # steady state: K single-key update batches

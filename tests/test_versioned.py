@@ -330,23 +330,30 @@ def test_streaming_cdc_rewrite_is_bucket_bounded(table, tmp_path):
     m_new, m_old = chain[0], chain[1]
     assert m_old["n_buckets"] == 16 and m_new["n_buckets"] == 16
 
+    # round 9: batch 2 is a DELTA manifest — only its touched bucket
+    # travels; the carried buckets exist by reference to the base
+    assert "files" not in m_new and "delta" in m_new
+    assert len(m_new["delta"]["touched"]) == 1
+    r_old = t._resolved(m_old["version"])
+    r_new = t._resolved(m_new["version"])
+
     changed = {
         b
-        for b in set(m_old["bucket_files"]) | set(m_new["bucket_files"])
-        if m_old["bucket_files"].get(b) != m_new["bucket_files"].get(b)
+        for b in set(r_old["bucket_files"]) | set(r_new["bucket_files"])
+        if r_old["bucket_files"].get(b) != r_new["bucket_files"].get(b)
     }
     assert len(changed) == 1  # exactly key 7's bucket
-    untouched = set(m_old["bucket_files"]) - changed
+    untouched = set(r_old["bucket_files"]) - changed
     assert len(untouched) >= 10  # 40 keys spread over 16 buckets
     for b in untouched:
-        for rel in m_old["bucket_files"][b]:
-            assert rel in m_new["files"]
+        for rel in r_old["bucket_files"][b]:
+            assert rel in r_new["files"]
             assert os.path.exists(os.path.join(t.root, rel))
     # inode proof: carried files are the SAME files, not rewrites
     inodes_v1 = {
         rel: os.stat(os.path.join(t.root, rel)).st_ino
         for b in untouched
-        for rel in m_old["bucket_files"][b]
+        for rel in r_old["bucket_files"][b]
     }
     for rel, ino in inodes_v1.items():
         assert os.stat(os.path.join(t.root, rel)).st_ino == ino
@@ -549,3 +556,141 @@ def test_cdc_delete_everything_leaves_readable_empty_snapshot(table):
     # and the table revives on the next insert batch
     sink(spark.createDataFrame([(5, "e", "I", 5)], schema), 2)
     assert _rows(t.read(spark)) == [(5, "e")]
+
+
+def test_delta_manifest_size_is_o_touched_not_o_table(table, monkeypatch):
+    """Round 9 (r8 verdict task #2): a pruned CDC commit's manifest
+    carries ONLY the touched buckets (carried state travels by
+    reference to the base), so manifest bytes per commit are O(touched
+    buckets), not O(table files); every MANIFEST_DELTA_DEPTH_MAX-th
+    commit materializes a full manifest so resolves stay bounded; and
+    resolution at every depth equals the relational truth."""
+    import json
+    import os
+
+    from anti_ddos_spark.sources import versioned as V
+    from anti_ddos_spark.sources.versioned import streaming_cdc_committer
+
+    monkeypatch.setattr(V, "MANIFEST_DELTA_DEPTH_MAX", 3)
+    spark, t = table
+    schema = "k long, v string, op string, seq long"
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=16)
+    # seed: fills many buckets → FULL manifest (base None)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(64)], schema
+        ),
+        0,
+    )
+    m0 = t._manifest(t.current_version())
+    assert "files" in m0 and len(m0["bucket_files"]) >= 12
+
+    def msize(v):
+        return os.path.getsize(
+            os.path.join(t.root, "manifests", f"v{v}.json")
+        )
+
+    full_size = msize(t.current_version())
+    # single-key batches → delta manifests with exactly 1 touched bucket
+    for bid in (1, 2, 3):
+        sink(
+            spark.createDataFrame([(7, f"c{bid}", "U", 100 + bid)], schema),
+            bid,
+        )
+        m = t._manifest(t.current_version())
+        assert "files" not in m and len(m["delta"]["touched"]) == 1
+        assert m["delta_depth"] == bid
+        # O(touched): the delta manifest is a fraction of the full one
+        assert msize(t.current_version()) < full_size / 2
+    # depth cap: the 4th pruned commit materializes a full manifest
+    sink(spark.createDataFrame([(7, "c4", "U", 200)], schema), 4)
+    m4 = t._manifest(t.current_version())
+    assert "files" in m4 and "delta" not in m4
+    assert len(m4["bucket_files"]) == len(m0["bucket_files"])
+    # correctness across the whole chain: live state + time travel
+    rows = _rows(t.read(spark))
+    assert len(rows) == 64 and (7, "c4") in rows
+    chain = t.committed_chain()
+    assert (7, "c2") in _rows(t.read(spark, version=chain[2]["version"]))
+    # version allocation came off the counter, not a listdir
+    assert [m["version"] for m in chain] == [4, 3, 2, 1, 0]
+
+
+def test_append_sink_publishes_bounded_delta_manifests(table, monkeypatch):
+    """The plain append sink gets the same manifest bound: each batch's
+    manifest carries only that batch's files; reads resolve the chain;
+    the depth cap rematerializes."""
+    from anti_ddos_spark.sources import versioned as V
+    from anti_ddos_spark.sources.versioned import foreach_batch_committer
+
+    monkeypatch.setattr(V, "MANIFEST_DELTA_DEPTH_MAX", 2)
+    spark, t = table
+    sink = foreach_batch_committer(t)
+    for bid in range(4):
+        sink(
+            spark.createDataFrame([(bid, f"b{bid}")], "k long, v string"),
+            bid,
+        )
+    ms = {m["version"]: m for m in t.committed_chain()}
+    assert "files" in ms[0]                       # first commit: full
+    assert "delta_append" in ms[1] and "delta_append" in ms[2]
+    assert len(ms[1]["delta_append"]["files_new"]) >= 1
+    assert "files" in ms[3] and len(ms[3]["files"]) >= 4  # cap: full again
+    assert _rows(t.read(spark)) == [(0, "b0"), (1, "b1"), (2, "b2"), (3, "b3")]
+    assert _rows(t.read(spark, version=2)) == [(0, "b0"), (1, "b1"), (2, "b2")]
+
+
+def test_buckets_for_policy_and_growth_rebucket(table, monkeypatch):
+    """buckets_for sizes the layout from rows (power of two, clamped;
+    the r8 probe's 800k→64 operating point pinned); with n_buckets
+    unset the committer re-buckets via one full merge when per-bucket
+    row counts show the table outgrew its layout 4x, then resumes
+    pruned deltas on the new layout."""
+    from anti_ddos_spark.sources import versioned as V
+    from anti_ddos_spark.sources.versioned import (
+        buckets_for,
+        streaming_cdc_committer,
+    )
+
+    assert buckets_for(0) == 16
+    assert buckets_for(100) == 16
+    assert buckets_for(800_000) == 64        # the measured operating point
+    assert buckets_for(10_000_000) == 1024
+    assert buckets_for(10**12) == 4096       # clamped
+    # monotone in rows
+    assert buckets_for(2_000_000) >= buckets_for(200_000)
+
+    # shrink the target so growth triggers at unit scale
+    monkeypatch.setattr(V, "CDC_TARGET_ROWS_PER_BUCKET", 1)
+    spark, t = table
+    schema = "k long, v string, op string, seq long"
+    sink = streaming_cdc_committer(t, "k", seq_col="seq")  # policy mode
+    sink(
+        spark.createDataFrame([(i, "a", "I", i) for i in range(20)], schema),
+        0,
+    )
+    nb0 = t._manifest(t.current_version())["n_buckets"]
+    assert nb0 == buckets_for(20) == 32
+    # grow the table 5x past the 4x threshold; the growth batch itself
+    # still lands on the old layout (the policy reads BASE-state row
+    # counts) ...
+    sink(
+        spark.createDataFrame(
+            [(i, "b", "I", 1000 + i) for i in range(20, 700)], schema
+        ),
+        1,
+    )
+    assert t._manifest(t.current_version())["n_buckets"] == nb0
+    # ... and the NEXT batch re-buckets via one full merge
+    sink(spark.createDataFrame([(3, "z", "U", 9999)], schema), 2)
+    m = t._manifest(t.current_version())
+    assert m["n_buckets"] > nb0 == 32
+    assert "files" in m          # the re-bucketing commit is FULL
+    rows = dict(_rows(t.read(spark)))
+    assert rows[3] == "z" and len(rows) == 700
+    # and pruned deltas resume on the new layout
+    sink(spark.createDataFrame([(5, "w", "U", 10000)], schema), 3)
+    m2 = t._manifest(t.current_version())
+    assert "delta" in m2 and m2["n_buckets"] == m["n_buckets"]
+    rows = dict(_rows(t.read(spark)))
+    assert rows[5] == "w" and len(rows) == 700
