@@ -713,3 +713,192 @@ EXTRA_QUERIES["q134_semantic_dedup_nprobe"] = Query(
 # hash oracle via full_registry().
 EXTRA_QUERIES["q40_cosine_topk"] = QUERIES.pop("q40_cosine_topk")
 QUERIES["q134_semantic_dedup_nprobe"] = EXTRA_QUERIES.pop("q134_semantic_dedup_nprobe")
+
+
+# --- q137: ANN recall CONTRACT on planted graded ground truth (round 9) ----
+#
+# The r8 s-curve study (scripts/embed_scurve.py, PERF.md round 8) measured
+# the ANN family's recall on planted graded pairs — but only as a script.
+# q137 moves the measurement in-band: it plants a graded twin next to every
+# 4th corpus vector (beta-mixed with its own reversal — deterministic, no
+# RNG, replicated exactly by the oracle), runs the production IVF
+# multiprobe search (q45's nprobe=3-of-8 configuration) for every planted
+# base, and emits PER-GRADE recall next to its contracted floor as a
+# boolean the driver hash pins. A regression in assignment, probe ranking
+# or in-cell scoring now flips a driver-checked bit instead of only moving
+# a script's numbers.
+
+# beta grades: cos(e, e + beta*reverse(e)) ≈ 1/sqrt(1+beta²) on the
+# near-orthogonal fixture → ≈ .99 / .94 / .86 / .71 / .45
+GRADE_BETAS = (0.15, 0.35, 0.6, 1.0, 2.0)
+# floors: measured at sf0.001/0.01/0.1 and set below the weakest reading
+# with margin (measured per-grade minima across the three SFs:
+# 96/98/92/64/64). High grades ride the same-cell path; the beta≥1
+# grades are genuinely cross-cell — their misses are the single-probe
+# boundary effect the r8 s-curve quantified, so their floors contract
+# "most survive", not perfection.
+GRADE_FLOORS = (90, 90, 85, 50, 40)
+
+
+def q137_ann_recall_contract(spark: SparkSession, sf: str) -> DataFrame:
+    from anti_ddos_spark.operators.similarity import as_double, cosine
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    off = emb.agg((F.max("vec_id") + 1).alias("off"))
+    grade = ((F.col("vec_id") / 4) % 5).cast("int")
+    beta = F.element_at(
+        F.array(*[F.lit(float(b)) for b in GRADE_BETAS]), grade + 1
+    )
+    bases = (
+        emb.filter(F.col("vec_id") % 4 == 1)
+        .crossJoin(F.broadcast(off))
+        .select(
+            F.col("vec_id").alias("base_id"),
+            F.col("e").alias("be"),
+            grade.alias("grade_id"),
+            beta.alias("beta"),
+            (F.col("vec_id") + F.col("off")).alias("twin_id"),
+            F.zip_with(
+                "e", F.reverse("e"), lambda x, y: x + beta * y
+            ).alias("m"),
+        )
+    )
+    aug = emb.unionByName(
+        bases.select(F.col("twin_id").alias("vec_id"), F.col("m").alias("e"))
+    )
+    cents = emb.filter(F.col("vec_id") < CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("cvec")
+    )
+    from pyspark.sql import Window as W
+
+    # every augmented vector → its argmax-cosine cell (ivf_assign semantics)
+    aw = W.partitionBy("vec_id").orderBy(F.desc("acos"), F.asc("centroid_id"))
+    assigned = (
+        aug.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "e", "centroid_id",
+            cosine(F.col("e"), F.col("cvec")).alias("acos"),
+        )
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "centroid_id")
+    )
+    # per base: its NPROBE nearest cells (q45's probe ranking)
+    pw = W.partitionBy("base_id").orderBy(F.desc("pcos"), F.asc("centroid_id"))
+    probes = (
+        bases.crossJoin(F.broadcast(cents))
+        .select(
+            "base_id", "centroid_id",
+            cosine(F.col("be"), F.col("cvec")).alias("pcos"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= NPROBE)
+        .select("base_id", "centroid_id")
+    )
+    # exact cosine inside probed cells, top-k per base
+    kw = W.partitionBy("base_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    topk = (
+        probes.join(assigned, "centroid_id")
+        .join(
+            bases.select("base_id", "be", "twin_id"), "base_id"
+        )
+        .filter(F.col("vec_id") != F.col("base_id"))
+        .select(
+            "base_id", "twin_id",
+            F.col("vec_id").alias("cand_id"),
+            cosine(F.col("e"), F.col("be")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(kw))
+        .filter(F.col("rn") <= TOPK)
+    )
+    found = topk.groupBy("base_id").agg(
+        F.max(
+            F.when(F.col("cand_id") == F.col("twin_id"), 1).otherwise(0)
+        ).alias("found")
+    )
+    floor_pct = F.element_at(
+        F.array(*[F.lit(f) for f in GRADE_FLOORS]), F.col("grade_id") + 1
+    )
+    recall = F.floor(F.sum("found") * 100.0 / F.count(F.lit(1)) + F.lit(0.5)).cast("int")
+    return (
+        bases.join(found, "base_id", "left")
+        .fillna(0, ["found"])
+        .groupBy("grade_id", "beta")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("found").cast("long").alias("n_found"),
+            recall.alias("recall_pct"),
+        )
+        .select(
+            "grade_id", "beta", "n_pairs", "n_found", "recall_pct",
+            floor_pct.cast("int").alias("floor_pct"),
+            (F.col("recall_pct") >= floor_pct).cast("int").alias("meets_floor"),
+        )
+    )
+
+
+_BETA_SQL = "[" + ",".join(str(b) for b in GRADE_BETAS) + "]"
+_FLOOR_SQL = "[" + ",".join(str(f) for f in GRADE_FLOORS) + "]"
+
+Q137_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bases AS (
+  SELECT vec_id AS base_id, e AS be,
+         CAST((vec_id // 4) % 5 AS INT) AS grade_id,
+         {_BETA_SQL}[CAST((vec_id // 4) % 5 AS INT) + 1] AS beta,
+         vec_id + (SELECT max(vec_id) + 1 FROM base) AS twin_id,
+         list_transform(range(1, len(e) + 1),
+           i -> e[i] + {_BETA_SQL}[CAST((vec_id // 4) % 5 AS INT) + 1]
+                       * e[len(e) + 1 - i]) AS m
+  FROM base WHERE vec_id % 4 = 1),
+aug AS (SELECT vec_id, e FROM base
+        UNION ALL SELECT twin_id, m FROM bases),
+cents AS (SELECT vec_id AS centroid_id, e AS cvec
+          FROM base WHERE vec_id < {CENTROIDS}),
+assigned AS (
+  SELECT vec_id, e, centroid_id FROM (
+    SELECT a.vec_id, a.e, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_cos_sql('a.e', 'c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM aug a, cents c) WHERE rn = 1),
+probes AS (
+  SELECT base_id, centroid_id FROM (
+    SELECT b.base_id, c.centroid_id,
+           row_number() OVER (PARTITION BY b.base_id
+             ORDER BY {_cos_sql('b.be', 'c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM bases b, cents c) WHERE rn <= {NPROBE}),
+topk AS (
+  SELECT base_id, twin_id, cand_id FROM (
+    SELECT p.base_id, b.twin_id, a.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY p.base_id
+             ORDER BY {_cos_sql('a.e', 'b.be')} DESC, a.vec_id ASC) AS rn
+    FROM probes p
+    JOIN assigned a USING (centroid_id)
+    JOIN bases b ON b.base_id = p.base_id
+    WHERE a.vec_id != p.base_id) WHERE rn <= {TOPK}),
+found AS (
+  SELECT base_id,
+         max(CASE WHEN cand_id = twin_id THEN 1 ELSE 0 END) AS found
+  FROM topk GROUP BY base_id),
+per_base AS (
+  SELECT b.grade_id, b.beta, COALESCE(f.found, 0) AS found
+  FROM bases b LEFT JOIN found f ON f.base_id = b.base_id)
+SELECT grade_id, beta,
+       count(*)::BIGINT AS n_pairs,
+       sum(found)::BIGINT AS n_found,
+       CAST(floor(sum(found) * 100.0 / count(*) + 0.5) AS INT) AS recall_pct,
+       CAST({_FLOOR_SQL}[grade_id + 1] AS INT) AS floor_pct,
+       CAST(CAST(floor(sum(found) * 100.0 / count(*) + 0.5) AS INT)
+            >= {_FLOOR_SQL}[grade_id + 1] AS INT) AS meets_floor
+FROM per_base GROUP BY grade_id, beta
+"""
+
+EXTRA_QUERIES["q137_ann_recall_contract"] = Query(
+    q137_ann_recall_contract,
+    Q137_SQL,
+    "per-grade ANN recall vs contracted floors on planted graded ground "
+    "truth (IVF multiprobe, q45 config) — static SQL, driver-row "
+    "eligible; rotation candidate for r10",
+)

@@ -95,3 +95,29 @@ def test_semdedup_cell_recall_ceiling(scurve_rows):
         assert r["same_cell_nprobe2"] >= r["same_cell"]
     assert by[0.95]["same_cell_nprobe2"] >= 0.85
     assert by[0.99]["same_cell_nprobe2"] >= 0.9
+
+
+def test_q137_recall_contract_holds_in_band(spark):
+    """q137 moves the recall measurement into a driver-hashable row: per
+    planted grade, measured IVF-multiprobe recall must sit at or above
+    its contracted floor, with the floors set under the weakest reading
+    across sf0.001/0.01/0.1 (module literal). Every grade plants the
+    same pair count (corpus/4/5) and the booleans must all be 1 — this
+    is the contract the driver hash will pin once the row rotates in."""
+    from anti_ddos_spark.queries.similarity import (
+        GRADE_BETAS,
+        GRADE_FLOORS,
+        q137_ann_recall_contract,
+    )
+
+    rows = q137_ann_recall_contract(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == len(GRADE_BETAS) == len(GRADE_FLOORS)
+    by = {r["grade_id"]: r for r in rows}
+    n0 = by[0]["n_pairs"]
+    for g in range(len(GRADE_BETAS)):
+        assert by[g]["n_pairs"] == n0 > 0
+        assert by[g]["floor_pct"] == GRADE_FLOORS[g]
+        assert by[g]["meets_floor"] == 1, (g, by[g])
+    # the curve is a curve: the near-identical grade dominates the
+    # cross-cell grade by a wide margin
+    assert by[0]["recall_pct"] >= by[4]["recall_pct"] + 20
