@@ -354,21 +354,44 @@ def bpe_tokenize_via_vocab(
         .distinct()
         .select("word", segment_expr(F.col("word"), merges).alias("word_toks"))
     )
+    return _join_word_tokens(docs, word_toks, text_col, broadcast_vocab)
+
+
+def _join_word_tokens(
+    docs: DataFrame,
+    word_toks: DataFrame,
+    text_col: str,
+    broadcast_vocab: bool,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join a (word, word_toks) vocabulary mapping back onto the
+    positional token stream, re-assembling per-document order (shared by
+    the fold-segmented and UDF-segmented vocab-apply forms).
+
+    ``key_cols``: when the caller can name a unique document key, the
+    positional shuffle carries ONLY (key, pos, word_toks) — the wide
+    payload columns (text itself, metadata) rejoin doc-level AFTER the
+    reassembly instead of riding every word row through the exchange.
+    Measured on the 50k-doc Zipf fixture: the full-row group-by shuffles
+    ~400 B of text per word occurrence; keying halves the wall clock
+    (PERF.md round 9). Falls back to grouping by the full row (the
+    original row-uniqueness precondition) when no key is given.
+    """
     if broadcast_vocab:
         word_toks = F.broadcast(word_toks)
+    carry = list(key_cols) if key_cols else list(docs.columns)
     # posexplode_OUTER keeps documents with zero alphanumeric words as a
     # single (pos=null, word=null) row, so the twin is row-for-row
     # faithful to bpe_tokenize without a second corpus join: the null
     # word left-joins to a null mapping, flatten propagates the null,
     # and the coalesce lands the empty token array.
     pos = docs.select(
-        *docs.columns,
+        *carry,
         F.posexplode_outer(words_expr(F.col(text_col))).alias("pos", "word"),
     )
-    other = [c for c in docs.columns]
-    return (
+    assembled = (
         pos.join(word_toks, "word", "left")
-        .groupBy(*other)
+        .groupBy(*carry)
         .agg(
             F.coalesce(
                 F.flatten(
@@ -382,4 +405,133 @@ def bpe_tokenize_via_vocab(
                 F.expr("CAST(array() AS array<string>)"),
             ).alias("bpe_tokens")
         )
+    )
+    if not key_cols or set(docs.columns) == set(carry):
+        return assembled
+    return docs.join(assembled, list(key_cols)).select(
+        *docs.columns, "bpe_tokens"
+    )
+
+
+# --- production-size vocabularies (round 9) --------------------------------
+#
+# The fold apply compiles one ArrayAggregate per merge into the plan, so
+# a PRODUCTION vocabulary (30k+ merges) is out of its reach twice over:
+# the expression tree itself breaks Catalyst far below 30k (measured
+# ladder: scripts/bpe30k_ladder.py — codegen/analysis collapse is the
+# recorded boundary), and even where it compiles the work per word is
+# O(k·|w|) — every word pays every merge, present or not. The standard
+# answer (every production tokenizer) is per-word segmentation that only
+# touches merges whose pair actually occurs: O(|w| log |w|) amortized.
+# ``segment_word`` implements it EXACTLY on the module's single-pass
+# rank-order convention (parity with the merge_fold chain is pinned in
+# tests/test_bpe.py), and ``bpe_tokenize_large_vocab`` runs it over the
+# DISTINCT vocabulary only — V-bounded Arrow-batched Python, never
+# corpus-bounded — then reuses the same positional join-back as the fold
+# twin. This is one of the documented deliberate Python sites (the
+# multimodal Arrow decode rule): built-in expressions genuinely cannot
+# express a 30k-rule priority segmentation.
+
+
+def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    """Pair → rank lookup for ``segment_word`` (build once, reuse)."""
+    return {pair: r for r, pair in enumerate(merges)}
+
+
+def segment_word(
+    word: str,
+    merges: list[tuple[str, str]],
+    ranks: dict[tuple[str, str], int] | None = None,
+) -> list[str]:
+    """Segment one word under the single-pass rank-order convention,
+    byte-equal to chaining ``merge_fold`` over all ``merges`` — but in
+    O(|w| log |w|) amortized instead of O(k·|w|).
+
+    Equivalence argument: the fold chain applies rank r's left-to-right
+    pass exactly once, at ordinal position r; passes whose pair is not
+    present in the word at that moment are identity. Popping queued
+    ranks from a min-heap applies the SAME passes in the SAME relative
+    order and merely skips identities: a pair first created by rank r's
+    fusion is queued only if its own rank exceeds r (in the chain, an
+    earlier-ranked pass has already run and would never see it), and
+    heap contents are always ≥ the last popped rank, so no pass can run
+    out of order or twice. Pinned against the fold chain and the
+    trainer's internal fold in tests/test_bpe.py.
+    """
+    import heapq
+
+    if ranks is None:
+        ranks = merge_ranks(merges)
+    syms = list(word)
+    queued = {
+        ranks[p] for p in zip(syms, syms[1:]) if p in ranks
+    }
+    heap = sorted(queued)
+    while heap:
+        r = heapq.heappop(heap)
+        a, b = merges[r]
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = a + b
+            else:
+                out.append(s)
+        syms = out
+        for p in zip(syms, syms[1:]):
+            rr = ranks.get(p)
+            if rr is not None and rr > r and rr not in queued:
+                queued.add(rr)
+                heapq.heappush(heap, rr)
+    return syms
+
+
+def segmented_vocab(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """(word, word_toks) mapping for a distinct-word frame, segmented by
+    an Arrow-batched ``mapInPandas`` over ``segment_word``. The input is
+    the VOCABULARY (V rows, Heaps-bounded), not the corpus — the only
+    place Python touches the token path, and only V times."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(word_col, StringType()),
+            StructField("word_toks", ArrayType(StringType())),
+        ]
+    )
+    ranks = merge_ranks(merges)
+
+    def seg_batches(batches):
+        for pdf in batches:
+            pdf = pdf[[word_col]].copy()
+            pdf["word_toks"] = [
+                segment_word(w, merges, ranks) for w in pdf[word_col]
+            ]
+            yield pdf
+
+    return words.select(word_col).mapInPandas(seg_batches, out_schema)
+
+
+def bpe_tokenize_large_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """``bpe_tokenize_via_vocab`` for production-size merge lists (30k+):
+    identical output contract and join-back, but the distinct vocabulary
+    is segmented by ``segment_word`` (V-bounded Arrow batches) instead
+    of a k-deep fold expression Catalyst cannot hold at this k. Same
+    row-uniqueness precondition as the fold twin; pass ``key_cols`` (a
+    unique doc key) to keep wide payload columns out of the positional
+    shuffle."""
+    word_toks = segmented_vocab(
+        docs.select(F.explode(words_expr(F.col(text_col))).alias("word"))
+        .distinct(),
+        merges,
+    )
+    return _join_word_tokens(
+        docs, word_toks, text_col, broadcast_vocab, key_cols
     )

@@ -88,7 +88,14 @@ def run_scale10x() -> None:
     from anti_ddos_spark.session import get_spark
 
     out_dir = os.environ.get("SPARK_GRAFT_10X_DIR", "/tmp/spark_graft_10x")
-    spark = get_spark(app_name="anti_ddos_spark_bench_10x")
+    # UI on: the decade blocks carry an engine-invariant BYTES axis
+    # (input read + shuffle written per query, via the status REST API)
+    # next to the cache-state-sensitive wall clock — r8 verdict task #5.
+    spark = get_spark(
+        app_name="anti_ddos_spark_bench_10x",
+        extra_conf={"spark.ui.enabled": "true",
+                    "spark.ui.retainedStages": "20000"},
+    )
     done = all(
         os.path.exists(os.path.join(out_dir, f"{t}.parquet", "_SUCCESS"))
         for t in ("events", "documents", "embeddings")
@@ -101,15 +108,20 @@ def run_scale10x() -> None:
     ]
     # min-of-2 after warm: the spill-bound q42 decade point varies ~1.5x
     # run-to-run on a shared-disk box; min is the steady-state claim
-    timings = {
-        name: round(scale_probe.time_query(spark, fn, out_dir, 2), 3)
+    detail = {
+        name: scale_probe.time_query_with_bytes(spark, fn, out_dir, 2)
         for name, fn in probes
     }
+    timings = {name: d["sec"] for name, d in detail.items()}
     block = {
         "sf": "1.0 (10x replication of sf0.1)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "bytes": {
+            name: {k: v for k, v in d.items() if k != "sec"}
+            for name, d in detail.items()
+        },
         "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(SCALE10X_RESULT, "w") as f:
@@ -127,7 +139,11 @@ def run_scale100x() -> None:
     from anti_ddos_spark.session import get_spark
 
     out_dir = os.environ.get("SPARK_GRAFT_100X_DIR", "/tmp/spark_graft_100x")
-    spark = get_spark(app_name="anti_ddos_spark_bench_100x")
+    spark = get_spark(
+        app_name="anti_ddos_spark_bench_100x",
+        extra_conf={"spark.ui.enabled": "true",
+                    "spark.ui.retainedStages": "20000"},
+    )
     tables = {"documents", "embeddings"}
     done = all(
         os.path.exists(os.path.join(out_dir, f"{t}.parquet", "_SUCCESS"))
@@ -139,15 +155,20 @@ def run_scale100x() -> None:
     probes = [(n, reg[n].fn) for n in SCALE100X_QUERIES] + [
         ("neardup_adaptive_params", scale_probe.EXTRA_PROBES["neardup_adaptive_params"])
     ]
-    timings = {
-        name: round(scale_probe.time_query(spark, fn, out_dir, 2), 3)
+    detail = {
+        name: scale_probe.time_query_with_bytes(spark, fn, out_dir, 2)
         for name, fn in probes
     }
+    timings = {name: d["sec"] for name, d in detail.items()}
     block = {
         "sf": "10.0 (100x replication of sf0.1, documents+embeddings)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "bytes": {
+            name: {k: v for k, v in d.items() if k != "sec"}
+            for name, d in detail.items()
+        },
         "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(SCALE100X_RESULT, "w") as f:

@@ -520,6 +520,61 @@ def time_query(spark, fn, sf_dir: str, runs: int) -> float:
     return min(once() for _ in range(runs))
 
 
+# --- engine-invariant byte metrics (round 9, r8 verdict task #5) -----------
+#
+# The decade blocks' wall clock is page-cache-state bound at 100x (the
+# identical-code spread measured 86.8-125.7 s in r8), so BENCH_SCALE
+# blocks also record bytes READ and shuffle bytes WRITTEN per query —
+# deterministic functions of the plan and data, immune to cache state —
+# via the Spark status REST API (the session must be built with
+# spark.ui.enabled=true; bench.py's decade runners do).
+
+
+def stage_totals(spark) -> dict[str, int]:
+    """Sum input/shuffle bytes across all completed stages so far."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = json.load(r)
+    out = {"input_bytes": 0, "shuffle_write_bytes": 0, "shuffle_read_bytes": 0}
+    for s in stages:
+        out["input_bytes"] += s.get("inputBytes", 0)
+        out["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+        out["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+    return out
+
+
+def time_query_with_bytes(spark, fn, sf_dir: str, runs: int) -> dict:
+    """``time_query`` + the byte axis: min-of-runs seconds (steady-state
+    wall clock) and the LAST run's byte deltas (bytes are plan-determined
+    and run-invariant, so any run's delta is the number)."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.agg(F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))).collect()
+        return time.perf_counter() - t0
+
+    once()  # warm: codegen + AQE plan at this size
+    secs = [once() for _ in range(max(runs - 1, 0))]
+    before = stage_totals(spark)
+    secs.append(once())
+    after = stage_totals(spark)
+    rec = {"sec": round(min(secs), 3)}
+    if before and after:
+        for k in before:
+            rec[k.replace("_bytes", "_mb")] = round(
+                (after[k] - before[k]) / 1e6, 2
+            )
+    return rec
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(

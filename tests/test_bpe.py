@@ -362,3 +362,151 @@ def test_frozen_vocab_artifact_regenerates_byte_exact(spark):
     assert [list(m) for m in relearned] == meta["merges"]
     canon = "\n".join(f"{a} {b}" for a, b in relearned)
     assert hashlib.sha256(canon.encode()).hexdigest() == meta["merges_sha256"]
+
+
+# --- production-size apply: segment_word / bpe_tokenize_large_vocab -------
+
+
+def chain_segment(word: str, merges) -> list[str]:
+    """The contract: one left-to-right pass per merge, in rank order."""
+    syms = list(word)
+    for a, b in merges:
+        syms = ref_merge_word(syms, a, b)
+    return syms
+
+
+def test_segment_word_matches_fold_chain_fixed():
+    from anti_ddos_spark.operators.bpe import segment_word
+
+    for w in ("", "a", "abab", "aaab", "lowest", "ababa", "abcabc"):
+        assert segment_word(w, MERGES) == chain_segment(w, MERGES), w
+
+
+def test_segment_word_skips_recreated_earlier_rank():
+    """The heap segmenter must implement the single-pass convention, not
+    min-rank rescan: rank-2's fusion recreates rank-0's pair string via
+    a different derivation, and the pass for rank 0 is already spent."""
+    from anti_ddos_spark.operators.bpe import segment_word
+
+    merges = [("b", "c"), ("a", "b"), ("ab", "c")]
+    # chain on "abc": (b,c) makes [a,bc]; (a,b) no-op; (ab,c) no-op.
+    assert chain_segment("abc", merges) == ["a", "bc"]
+    assert segment_word("abc", merges) == ["a", "bc"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="ab", min_size=0, max_size=12),
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=3),
+            st.text(alphabet="ab", min_size=1, max_size=3),
+        ),
+        max_size=8,
+    ),
+)
+def test_segment_word_matches_fold_chain_hypothesis(word, merges):
+    """Adversarial merge lists (NOT learned — arbitrary pairs, duplicate
+    operands, recreated adjacencies) over a 2-letter alphabet, where
+    pair recreation through alternate derivations is as dense as it
+    gets. The heap segmenter must equal the fold chain byte-for-byte."""
+    from anti_ddos_spark.operators.bpe import segment_word
+
+    assert segment_word(word, merges) == chain_segment(word, merges)
+
+
+def test_large_vocab_apply_matches_fold_apply(spark):
+    """bpe_tokenize_large_vocab (UDF-segmented vocabulary) must equal
+    bpe_tokenize (fold chain) row-for-row — the same contract the fold
+    vocab twin pins, now for the path that survives 30k merges."""
+    from anti_ddos_spark.operators.bpe import (
+        bpe_tokenize,
+        bpe_tokenize_large_vocab,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    want = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(df, MERGES).select("doc_id", "bpe_tokens").collect()
+    }
+    for bc in (True, False):
+        for keys in (None, ["doc_id"]):
+            res = bpe_tokenize_large_vocab(
+                df, MERGES, broadcast_vocab=bc, key_cols=keys
+            )
+            assert res.columns == ["doc_id", "text", "bpe_tokens"]
+            got = {
+                r["doc_id"]: r["bpe_tokens"]
+                for r in res.select("doc_id", "bpe_tokens").collect()
+            }
+            assert got == want, f"broadcast_vocab={bc} key_cols={keys}"
+
+
+def test_large_vocab_apply_matches_frozen_artifact(spark):
+    """On the committed 32-merge vocabulary over real fixture documents,
+    the UDF-segmented apply reproduces q136's fold-applied token stream
+    exactly (so the large-vocab path inherits the frozen artifact's
+    cross-engine oracle transitively)."""
+    from anti_ddos_spark.operators.bpe import (
+        bpe_tokenize,
+        bpe_tokenize_large_vocab,
+    )
+    from anti_ddos_spark.queries.textops_prep import _frozen_bpe_merges
+
+    merges = _frozen_bpe_merges()
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    want = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(docs, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize_large_vocab(docs, merges)
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    assert got == want
+
+
+def test_bpe_30k_artifact_pins():
+    """The v2 (production-size) committed vocabulary: 30k merges learned
+    from the 5M-doc Zipf decade (scripts/bpe30k_ladder.py — corpus
+    params recorded in the artifact, deterministic builder, so regen is
+    reproducible offline). Pins: recorded sha256 matches the merge
+    list; the list is DERIVABLE (every multi-char operand is the output
+    of an earlier merge — the structural invariant any real BPE
+    vocabulary satisfies); and the heap segmenter equals the fold-chain
+    contract under the full 30k list on fixture words."""
+    import hashlib
+    import json
+    import os
+
+    from anti_ddos_spark.operators.bpe import merge_ranks, segment_word
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "anti_ddos_spark", "artifacts", "bpe_merges_30k.json",
+    )
+    with open(path) as f:
+        meta = json.load(f)
+    merges = [tuple(m) for m in meta["merges"]]
+    assert len(merges) == meta["learned"] == 30_000
+    canon = "\n".join(f"{a} {b}" for a, b in merges)
+    assert hashlib.sha256(canon.encode()).hexdigest() == meta["merges_sha256"]
+    producible = set("abcdefghijklmnopqrstuvwxyz0123456789")
+    for a, b in merges:
+        assert a in producible and b in producible, (a, b)
+        producible.add(a + b)
+    # apply parity at full production size: heap segmenter == fold chain
+    ranks = merge_ranks(merges)
+    words = [a + b for a, b in merges[:40]] + [
+        "abcd", "zzzz", "a", "", "q0q0q0",
+    ]
+    for w in words:
+        assert segment_word(w, merges, ranks) == chain_segment(w, merges), w
