@@ -323,6 +323,7 @@ def bpe_tokenize_via_vocab(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """The saturated-corpus twin of ``bpe_tokenize``: segmentation is a
     pure function of the WORD, so run the merge folds over the DISTINCT
@@ -354,7 +355,9 @@ def bpe_tokenize_via_vocab(
         .distinct()
         .select("word", segment_expr(F.col("word"), merges).alias("word_toks"))
     )
-    return _join_word_tokens(docs, word_toks, text_col, broadcast_vocab)
+    return _join_word_tokens(
+        docs, word_toks, text_col, broadcast_vocab, key_cols
+    )
 
 
 def _join_word_tokens(

@@ -1,0 +1,80 @@
+"""Same-box DuckDB control for the headline bench (ratio discipline).
+
+Host drift — not engine regression — has been the dominant BENCH noise
+since round 6 (the judge's r8 adjudication: ratio series 0.61/0.67/
+0.69/0.76 across windows whose absolute seconds moved ±40%). The
+discipline: every bench close re-times the SAME headline oracle SQL in
+DuckDB on the same box the same hour, and the regression signal is the
+Spark/DuckDB RATIO, not wall-clock. This script makes that control a
+one-liner instead of an ad-hoc snippet.
+
+Prints one JSON line: {"metric": "duckdb_headline_oracles", "value":
+total_sec, "queries": {...}, "sf": ...}. Method matches bench.py: one
+warm pass per query, then min-of-2 timed runs.
+
+Usage: python scripts/duck_anchor.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    import duckdb
+
+    from bench import HEADLINE
+    from anti_ddos_spark.queries import full_registry
+
+    con = duckdb.connect()
+    for n in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {n} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{n}.parquet')"
+        )
+    reg = full_registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg[name]
+        sql = q.sql if q.sql else q.sql_fn(None, args.sf_dir)
+        con.execute(sql).fetchall()  # warm
+        best = min(
+            _timed(con, sql) for _ in range(max(args.runs, 1))
+        )
+        timings[name] = round(best, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_headline_oracles",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+def _timed(con, sql: str) -> float:
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main()
