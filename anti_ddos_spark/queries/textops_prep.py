@@ -809,3 +809,40 @@ EXTRA_QUERIES["q136_bpe_frozen_vocab"] = Query(
     "tokenization under the COMMITTED BPE vocabulary artifact — static "
     "SQL oracle (driver-row eligible), regen-pinned to the fixture",
 )
+
+
+# --- q138: the PRODUCTION apply path under the same frozen vocabulary ------
+
+def q138_bpe_vocab_join_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """q136's semantics through the PRODUCTION apply machinery
+    (round 9): the distinct vocabulary segmented once by the exact heap
+    segmenter in Arrow batches (``bpe_tokenize_large_vocab`` —
+    V-bounded Python, the path that survives 30k-merge vocabularies
+    where the fold chain fails analysis at ~100, PERF.md round 9), then
+    the keyed positional join-back. Output is token-identical to the
+    fold form by the single-pass rank-order contract, so the oracle IS
+    q136's static SQL — a VALUE oracle over the mapInPandas segmenter
+    and the reassembly shuffle, not just unit parity."""
+    from anti_ddos_spark.operators.bpe import (
+        bpe_tokenize_large_vocab,
+        words_expr,
+    )
+
+    merges = _frozen_bpe_merges()
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    toked = bpe_tokenize_large_vocab(d, merges, key_cols=["doc_id"])
+    return toked.select(
+        "doc_id",
+        F.size(words_expr(F.col("text"))).alias("n_words"),
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.array_join(F.slice("bpe_tokens", 1, 8), " ").alias("head_tokens"),
+    )
+
+
+EXTRA_QUERIES["q138_bpe_vocab_join_apply"] = Query(
+    q138_bpe_vocab_join_apply,
+    _q136_sql(),
+    "the production BPE apply (Arrow-batched vocabulary segmentation + "
+    "keyed positional join-back) under the committed vocabulary — "
+    "value-oracled by the same static SQL as the fold form",
+)
