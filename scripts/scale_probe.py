@@ -530,23 +530,68 @@ def time_query(spark, fn, sf_dir: str, runs: int) -> float:
 # spark.ui.enabled=true; bench.py's decade runners do).
 
 
-def stage_totals(spark) -> dict[str, int]:
-    """Sum input/shuffle bytes across all completed stages so far."""
+def _rest(spark, path: str):
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
     if not ui:
-        return {}
+        return None
     app = spark.sparkContext.applicationId
-    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=10) as r:
-        stages = json.load(r)
-    out = {"input_bytes": 0, "shuffle_write_bytes": 0, "shuffle_read_bytes": 0}
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app}/{path}", timeout=10
+    ) as r:
+        return json.load(r)
+
+
+def stage_totals(spark) -> dict[str, int]:
+    """Sum shuffle bytes across all completed stages so far. (Stage
+    ``inputBytes`` is NOT summed: with the vectorized parquet reader on
+    file:// it underreports ~100× — measured 193 KB for a 21 MB full
+    scan — because the Hadoop FileSystem.Statistics the metric reads
+    are not fed by that path; scan bytes come from the SQL-execution
+    metrics instead, ``sql_scan_bytes``.)"""
+    stages = _rest(spark, "stages?status=complete")
+    if stages is None:
+        return {}
+    out = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0}
     for s in stages:
-        out["input_bytes"] += s.get("inputBytes", 0)
         out["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
         out["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
     return out
+
+
+_SIZE_UNITS = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+
+
+def _parse_size(s: str) -> float:
+    parts = s.strip().split()
+    if len(parts) == 2 and parts[1] in _SIZE_UNITS:
+        return float(parts[0]) * _SIZE_UNITS[parts[1]]
+    try:
+        return float(s.replace(",", ""))
+    except ValueError:
+        return 0.0
+
+
+def max_sql_id(spark) -> int:
+    execs = _rest(spark, "sql?details=false&length=1000") or []
+    return max((e["id"] for e in execs), default=-1)
+
+
+def sql_scan_bytes(spark, after_id: int) -> int:
+    """Sum 'size of files read' over SQL executions newer than
+    ``after_id`` — the scan's own metric, correct where stage
+    inputBytes is not."""
+    execs = _rest(spark, "sql?details=true&planDescription=false&length=1000") or []
+    total = 0.0
+    for e in execs:
+        if e["id"] <= after_id:
+            continue
+        for n in e.get("nodes", []):
+            for m in n.get("metrics", []):
+                if m["name"] == "size of files read":
+                    total += _parse_size(m["value"])
+    return int(total)
 
 
 def time_query_with_bytes(spark, fn, sf_dir: str, runs: int) -> dict:
@@ -564,10 +609,12 @@ def time_query_with_bytes(spark, fn, sf_dir: str, runs: int) -> dict:
     once()  # warm: codegen + AQE plan at this size
     secs = [once() for _ in range(max(runs - 1, 0))]
     before = stage_totals(spark)
+    sql_before = max_sql_id(spark)
     secs.append(once())
     after = stage_totals(spark)
     rec = {"sec": round(min(secs), 3)}
     if before and after:
+        rec["input_mb"] = round(sql_scan_bytes(spark, sql_before) / 1e6, 2)
         for k in before:
             rec[k.replace("_bytes", "_mb")] = round(
                 (after[k] - before[k]) / 1e6, 2
