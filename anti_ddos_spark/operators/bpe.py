@@ -436,9 +436,21 @@ def _join_word_tokens(
 # express a 30k-rule priority segmentation.
 
 
-def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
-    """Pair → rank lookup for ``segment_word`` (build once, reuse)."""
-    return {pair: r for r, pair in enumerate(merges)}
+def merge_ranks(
+    merges: list[tuple[str, str]],
+) -> dict[tuple[str, str], tuple[int, ...]]:
+    """Pair → ALL its ranks (ascending), for ``segment_word``.
+
+    A merge list can legitimately contain the same pair at two ranks:
+    after (a,b) is learned and fused everywhere, a later merge can
+    recreate an a/b adjacency through a different derivation and the
+    trainer (like the textbook reference, which recounts stats each
+    iteration) may learn it again. The chain contract runs BOTH passes,
+    so the lookup must not collapse duplicates to one rank."""
+    out: dict[tuple[str, str], list[int]] = {}
+    for r, pair in enumerate(merges):
+        out.setdefault(pair, []).append(r)
+    return {p: tuple(rs) for p, rs in out.items()}
 
 
 def segment_word(
@@ -466,9 +478,9 @@ def segment_word(
     if ranks is None:
         ranks = merge_ranks(merges)
     syms = list(word)
-    queued = {
-        ranks[p] for p in zip(syms, syms[1:]) if p in ranks
-    }
+    queued: set[int] = set()
+    for p in zip(syms, syms[1:]):
+        queued.update(ranks.get(p, ()))
     heap = sorted(queued)
     while heap:
         r = heapq.heappop(heap)
@@ -481,10 +493,13 @@ def segment_word(
                 out.append(s)
         syms = out
         for p in zip(syms, syms[1:]):
-            rr = ranks.get(p)
-            if rr is not None and rr > r and rr not in queued:
-                queued.add(rr)
-                heapq.heappush(heap, rr)
+            for rr in ranks.get(p, ()):
+                # a pair created by rank r's fusion is runnable only at
+                # ranks AFTER r (the chain's earlier passes are spent);
+                # duplicate ranks of a pair each get their own pass
+                if rr > r and rr not in queued:
+                    queued.add(rr)
+                    heapq.heappush(heap, rr)
     return syms
 
 

@@ -921,14 +921,24 @@ def semantic_dedup_flags_indexed(
     if "is_primary" in rows.columns:
         assigned = rows.filter(F.col("is_primary")).drop("is_primary")
         membership = rows.drop("is_primary")
-        flags = _semantic_flags_from_assigned(
-            assigned, tau, id_col, round_dp, membership=membership
+        # ONE pair join feeds both the owned flags and (sharded) the
+        # foreign evidence — its distinct's exchange is the shared
+        # subtree, so the O(cell²) cosine stage executes once (round-9
+        # review: building dups twice risked doubling the dominant cost)
+        dups = _semantic_dup_ids(membership, tau, id_col, round_dp)
+        flags = (
+            assigned.select(id_col, "centroid_id")
+            .join(dups, id_col, "left")
+            .select(
+                id_col,
+                "centroid_id",
+                F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("kept"),
+            )
         )
         if cells is None:
             return flags
         # sharded: a dup discovered here may belong (primary cell) to
         # another shard — emit it as evidence the merge step folds in
-        dups = _semantic_dup_ids(membership, tau, id_col, round_dp)
         ctype = dict(flags.dtypes)["centroid_id"]
         foreign = (
             dups.join(assigned.select(id_col), id_col, "left_anti")

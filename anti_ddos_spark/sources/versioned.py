@@ -25,9 +25,11 @@ KB-sized publish step serializes):
 2. under ``flock(_lock)``: re-read the pointer — if the base moved,
    release and either raise ``CommitConflict`` (plain commits) or
    rebase and retry (the streaming sink); allocate the next version as
-   ``max(existing manifest numbers) + 1`` (orphans from crashed
-   publishes are skipped, never reused), create the manifest with
-   O_EXCL, and atomically rename the pointer.
+   ``base + 1``, probing upward with O_EXCL creates past any number a
+   crashed publish already holds (orphans are never clobbered; numbers
+   below an orphan CAN be filled by later commits — the chain is the
+   ``base`` links, not the numbering), and atomically rename the
+   pointer.
 
 Crash-safety invariants:
 

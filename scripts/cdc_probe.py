@@ -104,8 +104,8 @@ def versions_ladder(n_versions: int, n_files: int) -> None:
         dt = delta_publish(i)
         if i < 100:
             head.append(dt)
-        elif i >= n_versions - 100:
-            tail_.append(dt)
+        if i >= max(n_versions - 100, 0):
+            tail_.append(dt)  # overlaps head for short ladders (<200)
     v = tbl.current_version()
     mbytes = os.path.getsize(os.path.join(root, "manifests", f"v{v}.json"))
     t0 = time.perf_counter()

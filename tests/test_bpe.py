@@ -510,3 +510,30 @@ def test_bpe_30k_artifact_pins():
     ]
     for w in words:
         assert segment_word(w, merges, ranks) == chain_segment(w, merges), w
+
+
+def test_segment_word_handles_duplicate_pairs():
+    """A merge list can contain the same pair at two ranks (the trainer,
+    like the textbook reference, recounts stats per iteration, so a pair
+    recreated by an alternate derivation can be learned again). The
+    chain runs BOTH passes — the second fuses adjacencies created
+    between the two ranks — and the heap segmenter must too (round-9
+    review finding: a rank lookup that collapsed duplicates returned
+    ['a','bb'] here)."""
+    from anti_ddos_spark.operators.bpe import segment_word
+
+    merges = [("a", "b"), ("b", "b"), ("a", "b")]
+    assert chain_segment("abb", merges) == ["ab", "b"]
+    assert segment_word("abb", merges) == ["ab", "b"]
+    # exhaustive fuzz over the divergence-dense space: all words/lists
+    # small enough to enumerate
+    import itertools
+
+    pool = [("a", "b"), ("b", "a"), ("a", "a"), ("b", "b"), ("ab", "b")]
+    for word in ("abab", "abb", "aabb", "babab"):
+        for n in (2, 3):
+            for ms in itertools.product(pool, repeat=n):
+                ms = list(ms)
+                assert segment_word(word, ms) == chain_segment(word, ms), (
+                    word, ms,
+                )
