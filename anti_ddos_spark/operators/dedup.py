@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from anti_ddos_spark.config import LSH_BANDS, MINHASH_K, SIMHASH_BITS
@@ -234,6 +236,40 @@ def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+SCAN_SPREAD_BYTES_CAP = 1 << 30  # spread-shuffle affordability bound
+_SCAN_TASK_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
+
+
+def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Parallelism guard for a superlinear stage fed by a SMALL
+    compressed scan: snappy text parquet compresses ~10× and the
+    shingle explode multiplies rows ~100×, so a 58 MB input (500k docs)
+    becomes a couple of scan tasks doing ALL of a corpus-sized explode
+    — measured 3× wall on the decade fixture (PERF.md round 9). When
+    the estimated scan task count is below the cluster's parallelism
+    AND the input is small enough that one slim shuffle is noise
+    (≤ SCAN_SPREAD_BYTES_CAP), hash-spread the rows on ``key_col``
+    first. At 100 TB the estimate exceeds any core count and this is a
+    no-op — the guard can never introduce a corpus-sized shuffle;
+    non-local or unlistable inputs are left untouched for the same
+    reason (real deployments have scan parallelism; the starved case is
+    the small-compressed-fixture one)."""
+    sess = df.sparkSession
+    try:
+        total = 0
+        for f in df.inputFiles():
+            if not f.startswith("file:"):
+                return df
+            total += os.path.getsize(f[len("file:"):])
+    except Exception:  # noqa: BLE001 — estimation only, never load-bearing
+        return df
+    cores = sess.sparkContext.defaultParallelism
+    est_tasks = max(1, total // _SCAN_TASK_BYTES)
+    if est_tasks < cores and 0 < total <= SCAN_SPREAD_BYTES_CAP:
+        return df.repartition(cores, F.col(key_col))
+    return df
+
+
 def minhash_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -255,8 +291,12 @@ def minhash_candidates(
     measured: per-(seed,shingle) md5 costs k digests per shingle (26 s
     at k=128/sf0.1 vs ~3 s); the per-row array form additionally
     re-evaluates the shingle lambda k times (no CSE across higher-order
-    lambdas — ~40× on top)."""
-    pre = docs.select(
+    lambdas — ~40× on top). The explode side rides spread_small_scan:
+    a starved scan (tiny compressed fixture) is hash-spread before the
+    ~100× shingle blow-up; a corpus-sized input is never reshuffled."""
+    pre = spread_small_scan(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    ).select(
         F.col(id_col),
         F.col(text_col).alias("_txt"),
         words(F.col(text_col)).alias("_ws"),

@@ -244,7 +244,29 @@ def _build_documents(spark, out_dir: str, rep) -> None:
 
     doc = spark.read.parquet(os.path.join(SF01, "documents.parquet"))
     d_span = doc.agg(F.max("doc_id")).collect()[0][0] + 1
-    text10 = F.concat(F.lit("r"), F.col("replica").cast("string"), F.lit(" "), F.col("text"))
+    # Replica tag on EVERY word, not a one-word prefix (round 9): a
+    # single "r{k} " prefix left cross-replica twins at word-set
+    # Jaccard ≈ 0.97 — far above q35's 0.71 banding threshold — so
+    # duplicate-cluster SIZE grew with the replica count and the
+    # candidate-pair census grew QUADRATICALLY in replicas (the bytes
+    # axis caught it: 63× shuffle for 10× docs, PERF.md round 9),
+    # violating this module's own "cross-replica pairs don't become
+    # spurious near-dups" contract. Prefixing every word applies an
+    # injective per-replica map to the vocabulary: within-replica
+    # word-set relations (and thus the true near-dup pair set) are
+    # preserved EXACTLY, while cross-replica word sets are disjoint.
+    # Replica 0 stays verbatim so the decade dirs still contain sf0.1
+    # itself.
+    tag = F.concat(F.lit("r"), F.col("replica").cast("string"))
+    text10 = F.when(F.col("replica") == 0, F.col("text")).otherwise(
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(tag, w),
+            ),
+            " ",
+        )
+    )
     (
         doc.select("*", rep)
         .select(

@@ -110,3 +110,26 @@ def test_checkpoint_blocks_freed(spark):
     assert added, "localCheckpoint should persist an RDD"
     _unpersist_local_checkpoint(df)
     assert not (pids() & added), "checkpoint blocks must be freed eagerly"
+
+
+def test_spread_small_scan_policy(spark, tmp_path):
+    """The parallelism guard spreads a tiny local scan across the
+    cluster's cores (content unchanged) and leaves inputs it cannot
+    size — or that are big enough to have scan parallelism — untouched."""
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.operators.dedup import spread_small_scan
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = spread_small_scan(df, "doc_id")
+    cores = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= min(cores, 2)
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(1000))
+    # a non-scan frame (no input files) is returned as-is
+    derived = df.groupBy("doc_id").count()
+    assert spread_small_scan(derived, "doc_id") is not None
