@@ -285,6 +285,25 @@ def main() -> None:
         if os.path.exists(path):
             with open(path) as f:
                 out[key] = {**json.load(f), "cached": True}
+    # Same-hour DuckDB control (r8 verdict task #8): host drift is the
+    # dominant bench noise (judge-adjudicated ratio series 0.61/0.67/
+    # 0.69/0.76 across windows whose absolute seconds moved ±40%), so
+    # the artifact carries its own anchor and ratio — the regression
+    # signal is the RATIO moving >15%, not wall-clock.
+    # SPARK_GRAFT_NO_ANCHOR=1 skips the ~25 s control.
+    if not os.environ.get("SPARK_GRAFT_NO_ANCHOR"):
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        try:
+            import duck_anchor
+
+            anchor = duck_anchor.measure(sf_dir)
+            out["duckdb_anchor"] = anchor
+            if anchor["value"]:
+                out["spark_duckdb_ratio"] = round(
+                    out["value"] / anchor["value"], 3
+                )
+        except Exception as ex:  # noqa: BLE001 — the control must never fail the bench
+            out["duckdb_anchor_error"] = f"{type(ex).__name__}: {ex}"[:200]
     print(json.dumps(out))
 
 

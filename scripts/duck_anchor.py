@@ -27,12 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--runs", type=int, default=2)
-    args = ap.parse_args()
-
+def measure(sf_dir: str = "/root/testdata/sf0.1", runs: int = 2) -> dict:
+    """Warm + min-of-``runs`` DuckDB timing of every headline oracle."""
     import duckdb
 
     from bench import HEADLINE
@@ -45,29 +41,31 @@ def main() -> None:
     ).split():
         con.execute(
             f"CREATE VIEW {n} AS SELECT * FROM "
-            f"read_parquet('{args.sf_dir}/{n}.parquet')"
+            f"read_parquet('{sf_dir}/{n}.parquet')"
         )
     reg = full_registry()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        q = reg[name]
-        sql = q.sql if q.sql else q.sql_fn(None, args.sf_dir)
+        sql = reg[name].sql
         con.execute(sql).fetchall()  # warm
-        best = min(
-            _timed(con, sql) for _ in range(max(args.runs, 1))
-        )
+        best = min(_timed(con, sql) for _ in range(max(runs, 1)))
         timings[name] = round(best, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "duckdb_headline_oracles",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
-            }
-        )
-    )
+    con.close()
+    return {
+        "metric": "duckdb_headline_oracles",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+    print(json.dumps(measure(args.sf_dir, args.runs)))
 
 
 def _timed(con, sql: str) -> float:
