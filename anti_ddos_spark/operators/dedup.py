@@ -240,20 +240,40 @@ SCAN_SPREAD_BYTES_CAP = 1 << 30  # spread-shuffle affordability bound
 _SCAN_TASK_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
 
 
+def _should_spread(total_bytes: int, cores: int) -> bool:
+    """Pure decision of spread_small_scan, split out for branch tests:
+    spread iff the scan would open fewer tasks than the cluster has
+    cores (ceil split, matching Spark's file splitting — floor here
+    would inject a shuffle exactly where the scan already parallelizes)
+    AND the input is small enough that the extra shuffle is noise."""
+    if not 0 < total_bytes <= SCAN_SPREAD_BYTES_CAP:
+        return False
+    est_tasks = -(-total_bytes // _SCAN_TASK_BYTES)  # ceil
+    return est_tasks < cores
+
+
 def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     """Parallelism guard for a superlinear stage fed by a SMALL
     compressed scan: snappy text parquet compresses ~10× and the
     shingle explode multiplies rows ~100×, so a 58 MB input (500k docs)
     becomes a couple of scan tasks doing ALL of a corpus-sized explode
     — measured 3× wall on the decade fixture (PERF.md round 9). When
-    the estimated scan task count is below the cluster's parallelism
-    AND the input is small enough that one slim shuffle is noise
-    (≤ SCAN_SPREAD_BYTES_CAP), hash-spread the rows on ``key_col``
-    first. At 100 TB the estimate exceeds any core count and this is a
-    no-op — the guard can never introduce a corpus-sized shuffle;
-    non-local or unlistable inputs are left untouched for the same
-    reason (real deployments have scan parallelism; the starved case is
-    the small-compressed-fixture one)."""
+    ``_should_spread`` says the scan is starved, hash-spread the rows
+    on ``key_col`` first. At 100 TB the task estimate exceeds any core
+    count and this is a no-op — the guard can never introduce a
+    corpus-sized shuffle; non-local or unlistable inputs are left
+    untouched for the same reason (real deployments have scan
+    parallelism; the starved case is the small-compressed-fixture one).
+
+    Contract: pass a COLUMN PROJECTION of a scan. The leaf-file
+    estimate survives joins/aggregates (``inputFiles`` reports leaves
+    through any plan), so a derived frame would be spread based on
+    bytes unrelated to its own cardinality — the one caller
+    (minhash_candidates) passes ``docs.select(id, text)``. The task
+    estimate uses the 128 MB ``maxPartitionBytes`` DEFAULT; a session
+    that lowers that conf gets real scans MORE parallel than the
+    estimate, so the guard can only err toward a redundant — and
+    cap-bounded — slim shuffle, never toward starving."""
     sess = df.sparkSession
     try:
         total = 0
@@ -263,10 +283,10 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
             total += os.path.getsize(f[len("file:"):])
     except Exception:  # noqa: BLE001 — estimation only, never load-bearing
         return df
-    cores = sess.sparkContext.defaultParallelism
-    est_tasks = max(1, total // _SCAN_TASK_BYTES)
-    if est_tasks < cores and 0 < total <= SCAN_SPREAD_BYTES_CAP:
-        return df.repartition(cores, F.col(key_col))
+    if _should_spread(total, sess.sparkContext.defaultParallelism):
+        return df.repartition(
+            sess.sparkContext.defaultParallelism, F.col(key_col)
+        )
     return df
 
 

@@ -255,17 +255,23 @@ def _build_documents(spark, out_dir: str, rep) -> None:
     # injective per-replica map to the vocabulary: within-replica
     # word-set relations (and thus the true near-dup pair set) are
     # preserved EXACTLY, while cross-replica word sets are disjoint.
-    # Replica 0 stays verbatim so the decade dirs still contain sf0.1
-    # itself.
-    tag = F.concat(F.lit("r"), F.col("replica").cast("string"))
-    text10 = F.when(F.col("replica") == 0, F.col("text")).otherwise(
-        F.array_join(
-            F.transform(
-                F.split(F.col("text"), " "),
-                lambda w: F.concat(tag, w),
-            ),
-            " ",
-        )
+    # The tag is FIXED-WIDTH ('r' + 3-digit replica) and applied to
+    # every replica including 0: variable-width 'r'+k is not
+    # prefix-free ('r1'+'2foo' == 'r12'+'foo'), and a verbatim replica
+    # could collide with a tagged one on r-digit-leading words — with
+    # equal-width tags, equal tagged words force equal replica ids for
+    # ANY corpus. A word delimiter would NOT work here: words() splits
+    # on non-alphanumerics, so 'r1_foo' would split back into two
+    # words and re-share 'foo' across replicas.
+    tag = F.concat(F.lit("r"), F.lpad(F.col("replica").cast("string"), 3, "0"))
+    # empty split tokens (leading/double spaces) are dropped, not tagged:
+    # concat(tag, '') would MINT a shared 'r00k' word out of whitespace
+    text10 = F.array_join(
+        F.transform(
+            F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0),
+            lambda w: F.concat(tag, w),
+        ),
+        " ",
     )
     (
         doc.select("*", rep)

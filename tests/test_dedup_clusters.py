@@ -114,11 +114,17 @@ def test_checkpoint_blocks_freed(spark):
 
 def test_spread_small_scan_policy(spark, tmp_path):
     """The parallelism guard spreads a tiny local scan across the
-    cluster's cores (content unchanged) and leaves inputs it cannot
-    size — or that are big enough to have scan parallelism — untouched."""
+    cluster's cores (content unchanged), leaves FILELESS frames
+    untouched (identity — the no-op branch must actually be a no-op),
+    and its pure decision takes every branch correctly."""
     from pyspark.sql import functions as F
 
-    from anti_ddos_spark.operators.dedup import spread_small_scan
+    from anti_ddos_spark.operators.dedup import (
+        SCAN_SPREAD_BYTES_CAP,
+        _SCAN_TASK_BYTES,
+        _should_spread,
+        spread_small_scan,
+    )
 
     p = str(tmp_path / "docs.parquet")
     spark.range(1000).select(
@@ -130,6 +136,16 @@ def test_spread_small_scan_policy(spark, tmp_path):
     cores = spark.sparkContext.defaultParallelism
     assert out.rdd.getNumPartitions() >= min(cores, 2)
     assert sorted(r["doc_id"] for r in out.collect()) == list(range(1000))
-    # a non-scan frame (no input files) is returned as-is
-    derived = df.groupBy("doc_id").count()
-    assert spread_small_scan(derived, "doc_id") is not None
+    # a frame with no input files is returned IDENTICALLY (total=0 path)
+    fileless = spark.range(10).select(F.col("id").alias("doc_id"))
+    assert spread_small_scan(fileless, "doc_id") is fileless
+    # pure decision branches: ceil split (floor would spread a scan
+    # that already opens >= cores tasks), cap, and zero/negative bytes
+    assert _should_spread(1, 8)
+    assert not _should_spread(0, 8)
+    assert not _should_spread(SCAN_SPREAD_BYTES_CAP + 1, 9999)
+    # 900 MB / 128 MB = 7.03 -> ceil 8 tasks: NOT starved on 8 cores...
+    assert not _should_spread(900 << 20, 8)
+    # ...but starved on 32
+    assert _should_spread(900 << 20, 32)
+    assert not _should_spread(8 * _SCAN_TASK_BYTES, 8)
