@@ -1371,3 +1371,69 @@ EXTRA_QUERIES["q129_stream_stream_full_join"] = Query(
 # q93/q118 driver rows). Slots come from textops/media demotions.
 for _name in ("q128_streaming_distinct_users", "q129_stream_stream_full_join"):
     QUERIES[_name] = EXTRA_QUERIES.pop(_name)
+
+
+# --- q139: the committed tokenizer on the ingest path (round 9) ------------
+
+def q139_streaming_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of q136: documents stream through the
+    COMMITTED vocabulary's fold chain (artifacts/bpe_merges.json — the
+    same Catalyst ArrayAggregate folds, stateless, zero shuffle) the
+    way a live ingest tokenizes with a shipped tokenizer. The streaming
+    twin of what q133 does for the frozen RandomForest: the committed
+    artifact scored in-stream, hash-checked against the same STATIC SQL
+    as the batch form (token identity, not just counts). Single-file
+    replay → one availableNow batch, append mode, no state."""
+    from anti_ddos_spark.operators.bpe import tokens_expr, words_expr
+    from anti_ddos_spark.queries.textops_prep import _frozen_bpe_merges
+
+    merges = _frozen_bpe_merges()
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q139_stream_")
+    src = os.path.join(tmp, "docs")
+    docs.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    toks = tokens_expr(F.col("text"), merges)
+    out = stream.select(
+        "doc_id",
+        F.size(words_expr(F.col("text"))).alias("n_words"),
+        F.size(toks).alias("n_tokens"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("head_tokens"),
+    )
+    name = f"q139_toks_{run_id}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q139 streaming tokenization did not finish its availableNow "
+            "run in 240 s"
+        )
+    _finish_stream_run(spark, tmp, name)
+    return spark.table(name)
+
+
+def _q139_sql() -> str:
+    from anti_ddos_spark.queries.textops_prep import _q136_sql
+
+    return _q136_sql()
+
+
+EXTRA_QUERIES["q139_streaming_bpe_tokens"] = Query(
+    q139_streaming_bpe_tokens,
+    _q139_sql(),
+    "the committed BPE vocabulary applied IN-STREAM (stateless fold "
+    "chain, append mode) — token identity vs the same static SQL as "
+    "batch q136; the tokenizer twin of q133's frozen-model scoring",
+)
