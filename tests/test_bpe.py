@@ -537,3 +537,30 @@ def test_segment_word_handles_duplicate_pairs():
                 assert segment_word(word, ms) == chain_segment(word, ms), (
                     word, ms,
                 )
+
+
+def test_large_vocab_apply_matches_fold_apply_with_duplicate_pairs(spark):
+    """Frame-level twin of the duplicate-rank regression: a merge list
+    containing the same pair at two ranks must tokenize identically
+    through the fold chain and the UDF-segmented vocab join."""
+    from anti_ddos_spark.operators.bpe import (
+        bpe_tokenize,
+        bpe_tokenize_large_vocab,
+    )
+
+    merges = [("a", "b"), ("b", "b"), ("a", "b"), ("ab", "b")]
+    df = spark.createDataFrame(
+        [(0, "abb abab babb"), (1, "aab b abbb"), (2, "")],
+        "doc_id long, text string",
+    )
+    want = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize(df, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_tokenize_large_vocab(df, merges, key_cols=["doc_id"])
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    assert got == want
