@@ -379,17 +379,42 @@ def _join_word_tokens(
     ~400 B of text per word occurrence; keying halves the wall clock
     (PERF.md round 9). Falls back to grouping by the full row (the
     original row-uniqueness precondition) when no key is given.
+
+    ``key_cols`` must be UNIQUE and NON-NULL: null keys would collapse
+    into one group in the reassembly and then vanish in the inner
+    join-back (null never equals null in a join), silently breaking the
+    row-for-row contract the no-key path keeps. Since no per-row
+    semantics can be salvaged for a collapsed null group, a null key is
+    made to FAIL LOUDLY: each key expression raises at runtime on a null
+    (r9 ADVICE — the check is part of the grouping key so Catalyst
+    cannot prune it; cost is one null test per word row).
     """
     if broadcast_vocab:
         word_toks = F.broadcast(word_toks)
     carry = list(key_cols) if key_cols else list(docs.columns)
+    if key_cols:
+        guarded = [
+            F.when(
+                F.col(k).isNull(),
+                F.raise_error(
+                    f"_join_word_tokens: null document key in '{k}' — "
+                    "key_cols must be unique and non-null (a null-key "
+                    "corpus would silently lose rows in the join-back)"
+                ),
+            )
+            .otherwise(F.col(k))
+            .alias(k)
+            for k in key_cols
+        ]
+    else:
+        guarded = carry
     # posexplode_OUTER keeps documents with zero alphanumeric words as a
     # single (pos=null, word=null) row, so the twin is row-for-row
     # faithful to bpe_tokenize without a second corpus join: the null
     # word left-joins to a null mapping, flatten propagates the null,
     # and the coalesce lands the empty token array.
     pos = docs.select(
-        *carry,
+        *guarded,
         F.posexplode_outer(words_expr(F.col(text_col))).alias("pos", "word"),
     )
     assembled = (

@@ -281,6 +281,10 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
             if not f.startswith("file:"):
                 return df
             total += os.path.getsize(f[len("file:"):])
+            if total > SCAN_SPREAD_BYTES_CAP:
+                # decision already determined (no-op) — don't pay
+                # O(files) driver stat calls on a large local input
+                return df
     except Exception:  # noqa: BLE001 — estimation only, never load-bearing
         return df
     if _should_spread(total, sess.sparkContext.defaultParallelism):

@@ -94,7 +94,12 @@ def run_scale10x() -> None:
     spark = get_spark(
         app_name="anti_ddos_spark_bench_10x",
         extra_conf={"spark.ui.enabled": "true",
-                    "spark.ui.retainedStages": "20000"},
+                    "spark.ui.retainedStages": "20000",
+                    # r9 ADVICE: the SQL REST endpoint (sql_scan_bytes'
+                    # bytes axis) retains only 1000 executions by
+                    # default — a long decade session can evict the
+                    # measured run's executions and silently report 0
+                    "spark.sql.ui.retainedExecutions": "20000"},
     )
     done = all(
         os.path.exists(os.path.join(out_dir, f"{t}.parquet", "_SUCCESS"))
@@ -142,7 +147,12 @@ def run_scale100x() -> None:
     spark = get_spark(
         app_name="anti_ddos_spark_bench_100x",
         extra_conf={"spark.ui.enabled": "true",
-                    "spark.ui.retainedStages": "20000"},
+                    "spark.ui.retainedStages": "20000",
+                    # r9 ADVICE: the SQL REST endpoint (sql_scan_bytes'
+                    # bytes axis) retains only 1000 executions by
+                    # default — a long decade session can evict the
+                    # measured run's executions and silently report 0
+                    "spark.sql.ui.retainedExecutions": "20000"},
     )
     tables = {"documents", "embeddings"}
     done = all(

@@ -260,9 +260,14 @@ def _build_documents(spark, out_dir: str, rep) -> None:
     # prefix-free ('r1'+'2foo' == 'r12'+'foo'), and a verbatim replica
     # could collide with a tagged one on r-digit-leading words — with
     # equal-width tags, equal tagged words force equal replica ids for
-    # ANY corpus. A word delimiter would NOT work here: words() splits
-    # on non-alphanumerics, so 'r1_foo' would split back into two
-    # words and re-share 'foo' across replicas.
+    # any corpus over THIS FIXTURE'S ALPHABET (alphanumerics + spaces,
+    # which the generated sf-fixture text is). It is NOT
+    # corpus-independent: words() splits on non-alphanumerics, so a
+    # token like '(foo' would become 'r000(foo' and re-split into
+    # 'r000' + 'foo', re-sharing 'foo' across replicas and minting
+    # shared bare 'rNNN' words (r9 ADVICE). A word delimiter would not
+    # fix that either — 'r1_foo' re-splits the same way; a general
+    # corpus would need normalization before tagging.
     tag = F.concat(F.lit("r"), F.lpad(F.col("replica").cast("string"), 3, "0"))
     # empty split tokens (leading/double spaces) are dropped, not tagged:
     # concat(tag, '') would MINT a shared 'r00k' word out of whitespace
@@ -601,8 +606,22 @@ def _parse_size(s: str) -> float:
         return 0.0
 
 
+def _sql_execs(spark, query: str) -> list:
+    """Page the SQL REST endpoint to exhaustion (r9 ADVICE: a fixed
+    length=1000 window truncates once the UI retains more executions
+    than one page — bench.py now raises retainedExecutions, which makes
+    single-page reads WORSE, not better, without this)."""
+    out, offset, page = [], 0, 1000
+    while True:
+        batch = _rest(spark, f"sql?{query}&offset={offset}&length={page}") or []
+        out.extend(batch)
+        if len(batch) < page:
+            return out
+        offset += page
+
+
 def max_sql_id(spark) -> int:
-    execs = _rest(spark, "sql?details=false&length=1000") or []
+    execs = _sql_execs(spark, "details=false")
     return max((e["id"] for e in execs), default=-1)
 
 
@@ -610,7 +629,7 @@ def sql_scan_bytes(spark, after_id: int) -> int:
     """Sum 'size of files read' over SQL executions newer than
     ``after_id`` — the scan's own metric, correct where stage
     inputBytes is not."""
-    execs = _rest(spark, "sql?details=true&planDescription=false&length=1000") or []
+    execs = _sql_execs(spark, "details=true&planDescription=false")
     total = 0.0
     for e in execs:
         if e["id"] <= after_id:

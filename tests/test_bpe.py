@@ -444,6 +444,25 @@ def test_large_vocab_apply_matches_fold_apply(spark):
             assert got == want, f"broadcast_vocab={bc} key_cols={keys}"
 
 
+def test_large_vocab_apply_null_key_fails_loudly(spark):
+    """r9 ADVICE: a null document key would collapse in the positional
+    reassembly and then vanish in the inner join-back — the keyed path
+    must raise instead of silently losing rows (the no-key path, which
+    groups by the full row, keeps them)."""
+    import pytest
+
+    from anti_ddos_spark.operators.bpe import bpe_tokenize_large_vocab
+
+    df = spark.createDataFrame(
+        [(0, "ab ab"), (None, "cd cd")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="null document key|USER_RAISED"):
+        bpe_tokenize_large_vocab(df, MERGES, key_cols=["doc_id"]).collect()
+    # the no-key path still preserves the null-key row
+    rows = bpe_tokenize_large_vocab(df, MERGES).collect()
+    assert len(rows) == 2
+
+
 def test_large_vocab_apply_matches_frozen_artifact(spark):
     """On the committed 32-merge vocabulary over real fixture documents,
     the UDF-segmented apply reproduces q136's fold-applied token stream

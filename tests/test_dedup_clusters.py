@@ -149,3 +149,28 @@ def test_spread_small_scan_policy(spark, tmp_path):
     # ...but starved on 32
     assert _should_spread(900 << 20, 32)
     assert not _should_spread(8 * _SCAN_TASK_BYTES, 8)
+    # r9 ADVICE: once the running total exceeds the cap the decision is
+    # determined — the driver must stop stat-ing files, so a large
+    # local input doesn't pay O(files) getsize calls for a no-op
+    import anti_ddos_spark.operators.dedup as _dd
+
+    calls = {"n": 0}
+    real_getsize = _dd.os.path.getsize
+
+    def counting_getsize(path):
+        calls["n"] += 1
+        return SCAN_SPREAD_BYTES_CAP  # first file alone exceeds the cap
+
+    class _FakeScan:
+        sparkSession = spark
+
+        def inputFiles(self):
+            return [f"file:/fake/{i}.parquet" for i in range(1000)]
+
+    _dd.os.path.getsize = counting_getsize
+    try:
+        fake = _FakeScan()
+        assert _dd.spread_small_scan(fake, "doc_id") is fake
+    finally:
+        _dd.os.path.getsize = real_getsize
+    assert calls["n"] == 2, f"expected early exit after 2 stats, got {calls['n']}"
