@@ -797,3 +797,13 @@ for _name in (
 for _name in ("q19_percentiles", "q27_cube"):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
 QUERIES["q135_bucketed_cdc_state"] = EXTRA_QUERIES.pop("q135_bucketed_cdc_state")
+
+# Round-10 rotation (r9 verdict task #1): q08 (per-group top-k via
+# row_number) — stable since round 1 and transitively covered by the
+# window-family locals (q09 running sum, q95 rank family, q98 value
+# windows, q105 RANGE frames, plus the plan-pinned TakeOrdered q07) —
+# yields its driver slot to the round-9 family promoted in
+# queries/similarity.py (q137), queries/textops.py (q138) and
+# queries/streamops.py (q139). Keeps its full DuckDB hash oracle via
+# full_registry().
+EXTRA_QUERIES["q08_window_rank"] = QUERIES.pop("q08_window_rank")

@@ -899,6 +899,11 @@ EXTRA_QUERIES["q137_ann_recall_contract"] = Query(
     q137_ann_recall_contract,
     Q137_SQL,
     "per-grade ANN recall vs contracted floors on planted graded ground "
-    "truth (IVF multiprobe, q45 config) — static SQL, driver-row "
-    "eligible; rotation candidate for r10",
+    "truth (IVF multiprobe, q45 config) — static SQL",
 )
+
+# Round-10 rotation (r9 verdict task #1): the ANN recall CONTRACT
+# becomes a driver row — the driver hash now pins not just the index's
+# top-k output (q44/q45) but the recall floors the family promises on
+# planted graded twins. Slot freed by core.py's q08 demotion.
+QUERIES["q137_ann_recall_contract"] = EXTRA_QUERIES.pop("q137_ann_recall_contract")

@@ -1437,3 +1437,9 @@ EXTRA_QUERIES["q139_streaming_bpe_tokens"] = Query(
     "chain, append mode) — token identity vs the same static SQL as "
     "batch q136; the tokenizer twin of q133's frozen-model scoring",
 )
+
+# Round-10 rotation (r9 verdict task #1): the committed tokenizer's
+# INGEST path becomes a driver row — a REAL availableNow streaming run
+# whose token stream must hash-match the same static SQL as batch q136.
+# Slot freed by textops' q31 demotion.
+QUERIES["q139_streaming_bpe_tokens"] = EXTRA_QUERIES.pop("q139_streaming_bpe_tokens")

@@ -1166,3 +1166,17 @@ for _name in (
 # by core.py's q19/q27 demotions (net module counts: core −1, textops
 # +1, similarity ±0 — registry stays exactly at the 50-row cap).
 QUERIES["q136_bpe_frozen_vocab"] = EXTRA_QUERIES.pop("q136_bpe_frozen_vocab")
+
+# Round-10 rotation (r9 verdict task #1): q30 (exact dedup — the digest
+# groupBy is transitively exercised by q73's streaming exact dedup and
+# q68's span-hash windows) and q31 (doc profile — its stats/lang-ID/
+# quality components ride q37's curation funnel, q49's repetition
+# profile and q58's datacard locals) yield their driver slots. q138
+# promotes the PRODUCTION tokenizer apply path — the heap-segmented
+# vocabulary join-back under the frozen 32-merge artifact — so the
+# driver hash pins the exact path a 30k-merge vocabulary takes
+# (value-oracled static SQL; the fold twin q136 stays a driver row, so
+# BOTH apply forms are driver-pinned against the same artifact).
+for _name in ("q30_exact_dedup", "q31_doc_profile"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+QUERIES["q138_bpe_vocab_join_apply"] = EXTRA_QUERIES.pop("q138_bpe_vocab_join_apply")
