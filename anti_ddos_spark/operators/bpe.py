@@ -199,13 +199,39 @@ def bpe_learn_local(
     merges over it are minutes, not the cluster's problem). Accepts the
     histogram DataFrame (collected here) or pre-collected (word, cnt)
     rows.
+
+    Web-scale caveat (r9 verdict): V is Heaps-bounded on PROSE, but a
+    web corpus's pretoken long tail (URLs, numbers, typos, unicode
+    junk) carries 10⁸+ singletons — the collect itself can be tens of
+    driver GBs before training starts. ``bpe_learn_capped`` below is
+    the production posture: filter ``cnt >= hist_floor`` BEFORE the
+    collect and certify (or measure) merge-list fidelity.
+    """
+    rows = hist if isinstance(hist, list) else [
+        (r[0], r[1]) for r in hist.select("word", "cnt").collect()
+    ]
+    merges, _, _ = _heap_trainer(rows, num_merges, min_count)
+    return merges
+
+
+def _heap_trainer(
+    rows: list,
+    num_merges: int,
+    min_count: int,
+    track_margins: bool = False,
+) -> tuple[list[tuple[str, str]], list[int], str]:
+    """The shared exact heap trainer core.
+
+    Returns ``(merges, margins, stop_reason)``. ``margins`` (only
+    tracked when asked — the live-second-best peek costs extra stale
+    pops) is the per-step argmax margin ``n(best) - n(second_best)``,
+    one entry per executed merge; ``stop_reason`` is one of
+    ``"num_merges" | "min_count" | "exhausted"`` — both feed the capped
+    trainer's identity certificate.
     """
     import heapq
     from collections import defaultdict
 
-    rows = hist if isinstance(hist, list) else [
-        (r[0], r[1]) for r in hist.select("word", "cnt").collect()
-    ]
     words: list[list[str]] = [list(w) for w, _ in rows]
     cnts: list[int] = [c for _, c in rows]
 
@@ -241,21 +267,32 @@ def bpe_learn_local(
                 out.append(s)
         return out
 
-    merges: list[tuple[str, str]] = []
-    while len(merges) < num_merges:
-        # lazy-deletion pop: an entry is live iff it matches the current
+    def pop_stale() -> None:
+        # lazy-deletion: an entry is live iff it matches the current
         # count; (-n, a, b) ordering reproduces the distributed
         # (count desc, a asc, b asc) argmax exactly
         while heap:
             negn, a, b = heap[0]
             if pair_n.get((a, b), 0) == -negn and -negn > 0:
-                break
+                return
             heapq.heappop(heap)
+
+    merges: list[tuple[str, str]] = []
+    margins: list[int] = []
+    stop_reason = "num_merges"
+    while len(merges) < num_merges:
+        pop_stale()
         if not heap:
+            stop_reason = "exhausted"
             break
         negn, a, b = heapq.heappop(heap)
         if -negn < min_count:
+            stop_reason = "min_count"
             break
+        if track_margins:
+            pop_stale()  # live second-best now sits at heap[0]
+            second = -heap[0][0] if heap else 0
+            margins.append(-negn - second)
         merges.append((a, b))
         changed: set[tuple[str, str]] = set()
         for i in list(pair_words.get((a, b), ())):
@@ -271,7 +308,144 @@ def bpe_learn_local(
             n = pair_n.get(p, 0)
             if n > 0:
                 heapq.heappush(heap, (-n, p[0], p[1]))
-    return merges
+    return merges, margins, stop_reason
+
+
+def collect_histogram_capped(
+    hist: DataFrame, hist_floor: int
+) -> tuple[list[tuple[str, int]], dict]:
+    """Collect ``cnt >= hist_floor`` histogram rows plus the dropped
+    tail's ADJACENCY MASS — the quantity the identity certificate
+    needs — without ever collecting the tail itself.
+
+    The long tail is summarized executor-side in the same V-bounded
+    frame: one aggregate computes (rows dropped, Σ cnt·(|word|−1)).
+    ``Σ cnt·(|word|−1)`` upper-bounds the dropped tail's contribution
+    to ANY pair count at ANY point of training: a dropped word of
+    length L has at most L−1 adjacencies initially, and folding merges
+    into it only ever REDUCES its adjacency count, so its total
+    contribution across all pairs stays ≤ cnt·(L−1) at every step.
+    """
+    kept = [
+        (r[0], r[1])
+        for r in hist.filter(F.col("cnt") >= hist_floor)
+        .select("word", "cnt")
+        .collect()
+    ]
+    tail = (
+        hist.filter(F.col("cnt") < hist_floor)
+        .agg(
+            F.count(F.lit(1)).alias("rows_dropped"),
+            F.coalesce(
+                F.sum(
+                    F.col("cnt")
+                    * (F.length("word") - F.lit(1)).cast("long")
+                ),
+                F.lit(0),
+            ).alias("dropped_adjacency_mass"),
+        )
+        .collect()[0]
+    )
+    stats = {
+        "hist_floor": hist_floor,
+        "rows_kept": len(kept),
+        "rows_dropped": int(tail["rows_dropped"]),
+        "dropped_adjacency_mass": int(tail["dropped_adjacency_mass"]),
+        "collected_bytes_est": sum(len(w) + 12 for w, _ in kept),
+    }
+    return kept, stats
+
+
+def bpe_learn_capped(
+    hist: DataFrame,
+    num_merges: int = 12,
+    min_count: int = 2,
+    hist_floor: int = 2,
+) -> tuple[list[tuple[str, str]], dict]:
+    """``bpe_learn_local`` with the histogram collect BOUNDED by a
+    frequency floor — the web-scale trainer posture (r9 verdict task
+    #2: the exact trainer's ``collect()`` is unbounded in the pretoken
+    long tail; every production trainer cuts it).
+
+    Only rows with ``cnt >= hist_floor`` reach the driver; the dropped
+    tail is summarized (not collected) as its total adjacency mass
+    ``M = Σ_dropped cnt·(|word|−1)``. That yields a per-run IDENTITY
+    CERTIFICATE, not just a hope:
+
+    for any pair p at any step, the exact trainer's count satisfies
+    ``n'(p) ≤ n(p) ≤ n'(p) + M`` where ``n'`` is the capped count
+    (dropped words only ever ADD mass, and a word's lifetime
+    contribution is bounded by its initial adjacency count — see
+    ``collect_histogram_capped``). Every executed merge whose argmax
+    margin exceeds M is therefore PROVABLY the exact trainer's choice
+    too — and since the proof is per-step-given-identical-prefix, the
+    guarantee composes into a PREFIX: ``certified_prefix`` = number of
+    leading merges provably identical to the exact list (the scan
+    stops at the first step whose margin ≤ M — deep merges tie, so an
+    all-or-nothing certificate would be uselessly strict; measured in
+    the round-10 ladder). ``certified=True`` means the WHOLE list is
+    proven: all margins > M and the run stopped on ``num_merges``
+    (exact counts dominate capped counts, so the exact trainer also
+    reaches that step), or trivially M=0. Beyond the certified prefix
+    the lists are not necessarily different, just not proven equal —
+    scripts/bpe_floor_ladder.py measures the actual divergence point
+    against a ground-truth floor=1 run on the Zipf decades.
+
+    Under a Zipf corpus the head pairs' margins are corpus-sized while
+    M is tail-sized, so realistic floors certify a deep prefix —
+    measured on the decade fixture in PERF.md (round 10).
+
+    Returns ``(merges, stats)``; stats carries the collect-side
+    savings (rows/bytes kept vs dropped) and the certificate
+    (``min_margin``, ``certified_prefix``, ``certified``,
+    ``stop_reason``).
+    """
+    if hist_floor <= 1:
+        rows = [
+            (r[0], r[1]) for r in hist.select("word", "cnt").collect()
+        ]
+        stats = {
+            "hist_floor": hist_floor,
+            "rows_kept": len(rows),
+            "rows_dropped": 0,
+            "dropped_adjacency_mass": 0,
+            "collected_bytes_est": sum(len(w) + 12 for w, _ in rows),
+        }
+    else:
+        rows, stats = collect_histogram_capped(hist, hist_floor)
+    merges, margins, stop_reason = _heap_trainer(
+        rows, num_merges, min_count, track_margins=True
+    )
+    m = stats["dropped_adjacency_mass"]
+    # M=0 ⟹ the capped histogram IS the full histogram — trivially
+    # exact, whatever the margins (ties are then resolved identically
+    # by the shared trainer). With M>0: each step's argmax is proven
+    # GIVEN the prefix before it was identical, so certification is a
+    # prefix scan — strict margin > M survives the tail and kills ties
+    # (n' ≤ n ≤ n'+M; a pair absent from the capped histogram has
+    # n ≤ M < n'(best)). Full certification additionally needs the
+    # num_merges stop (exact counts dominate capped counts, so the
+    # exact trainer also reaches that step; a min_count/exhausted stop
+    # could have been continued by tail-carried pairs).
+    if m == 0:
+        certified_prefix = len(merges)
+        certified = True
+    else:
+        certified_prefix = next(
+            (i for i, g in enumerate(margins) if g <= m), len(merges)
+        )
+        certified = (
+            certified_prefix == len(merges) and stop_reason == "num_merges"
+        )
+    stats.update(
+        {
+            "min_margin": min(margins) if margins else None,
+            "certified_prefix": certified_prefix,
+            "stop_reason": stop_reason,
+            "certified": certified,
+        }
+    )
+    return merges, stats
 
 
 def bpe_tokenize(

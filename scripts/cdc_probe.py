@@ -58,9 +58,15 @@ def versions_ladder(n_versions: int, n_files: int) -> None:
         for b in range(n_buckets)
     }
     files = [f for b in sorted(bucket_files) for f in bucket_files[b]]
+    # round 10: every file carries a disjoint key range so the ladder
+    # also measures MANIFEST-stats file skipping at version/file scale
+    file_stats = {
+        f: {"k": [n * 1000, n * 1000 + 999]} for n, f in enumerate(files)
+    }
     tbl._publish(
         files, "overwrite", None,
-        extra={"bucket_files": bucket_files, "n_buckets": n_buckets},
+        extra={"bucket_files": bucket_files, "n_buckets": n_buckets,
+               "file_stats": file_stats},
     )
     full_manifest_bytes = os.path.getsize(
         os.path.join(root, "manifests", "v0.json")
@@ -76,6 +82,10 @@ def versions_ladder(n_versions: int, n_files: int) -> None:
         depth = tbl._manifest(base).get("delta_depth", 0)
         b = str(i % n_buckets)
         new_entry = {b: [f"data/d-{i}/part-0.parquet"]}
+        new_stats = {
+            new_entry[b][0]: {"k": [(n_files + i) * 1000,
+                                    (n_files + i) * 1000 + 999]}
+        }
         t0 = time.perf_counter()
         if depth < MANIFEST_DELTA_DEPTH_MAX:
             tbl._publish(
@@ -85,6 +95,7 @@ def versions_ladder(n_versions: int, n_files: int) -> None:
                         "touched": [b],
                         "bucket_files_new": new_entry,
                         "bucket_rows_new": {b: 1},
+                        "file_stats_new": new_stats,
                     },
                     "delta_depth": depth + 1,
                     "n_buckets": n_buckets,
@@ -95,7 +106,8 @@ def versions_ladder(n_versions: int, n_files: int) -> None:
             bf = {**res["bucket_files"], **new_entry}
             tbl._publish(
                 [f for k in sorted(bf) for f in bf[k]], "overwrite", base,
-                extra={"bucket_files": bf, "n_buckets": n_buckets},
+                extra={"bucket_files": bf, "n_buckets": n_buckets,
+                       "file_stats": {**res["file_stats"], **new_stats}},
             )
         return time.perf_counter() - t0
 
@@ -111,6 +123,14 @@ def versions_ladder(n_versions: int, n_files: int) -> None:
     t0 = time.perf_counter()
     res = tbl._resolved(v)
     resolve_s = time.perf_counter() - t0
+    # round 10: manifest-stats file skipping at this version/file scale
+    # — a point lookup must keep O(1) files, computed without opening
+    # ANY file (there are none; the ladder is metadata-only, which is
+    # exactly the proof that pruning never touches data)
+    probe_key = (n_files + n_versions - 1) * 1000 + 5  # newest file's range
+    t0 = time.perf_counter()
+    kept, skipped = tbl.pruned_files(v, [("k", "==", probe_key)])
+    prune_s = time.perf_counter() - t0
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     print(
         json.dumps(
@@ -123,6 +143,9 @@ def versions_ladder(n_versions: int, n_files: int) -> None:
                 "manifest_bytes_ratio": round(full_manifest_bytes / mbytes, 1),
                 "resolve_head_s": round(resolve_s, 4),
                 "resolved_files": len(res["files"]),
+                "skip_kept_files": len(kept),
+                "skip_skipped_files": skipped,
+                "skip_prune_s": round(prune_s, 4),
             }
         ),
         flush=True,

@@ -240,6 +240,81 @@ def test_local_trainer_matches_reference_hypothesis(words):
     assert bpe_learn_local(list(words.items()), 8) == ref_learn(words, 8)
 
 
+# --- bounded histogram collect (r9 verdict task #2) ------------------------
+
+
+def test_capped_trainer_certified_identity(spark):
+    """On a Zipf-shaped histogram (heavy head, singleton tail) a floor
+    of 2 must (a) collect only the head, (b) certify via the margin
+    bound, and (c) — as the certificate proves — produce the exact
+    trainer's merge list."""
+    from anti_ddos_spark.operators.bpe import bpe_learn_capped, bpe_learn_local
+
+    head = {"ab": 1000, "cd": 600, "ce": 300}
+    tail = {f"zx{i:02d}q": 1 for i in range(50)}  # 50 singleton junk words
+    hist = spark_hist(spark, {**head, **tail})
+    merges, stats = bpe_learn_capped(hist, num_merges=3, hist_floor=2)
+    assert stats["rows_kept"] == len(head)
+    assert stats["rows_dropped"] == len(tail)
+    # Σ cnt·(|w|−1) = 50 · 4
+    assert stats["dropped_adjacency_mass"] == 200
+    assert stats["stop_reason"] == "num_merges"
+    assert stats["min_margin"] > 200
+    assert stats["certified"] is True
+    assert stats["certified_prefix"] == len(merges) == 3
+    assert merges == bpe_learn_local(hist, num_merges=3)
+
+
+def test_capped_trainer_uncertified_when_tail_decides(spark):
+    """When the dropped tail's mass can flip an argmax the certificate
+    must refuse — and here the tail REALLY decides: the exact list
+    diverges from the capped one."""
+    from anti_ddos_spark.operators.bpe import bpe_learn_capped, bpe_learn_local
+
+    # capped view: (a,b)=10 from 'ab', (c,d)=9 from 'cd';
+    # tail: 4 distinct singleton 'cd'-words push true (c,d) to 13
+    words = {"ab": 10, "cd": 9}
+    tail = {f"{x}cd": 1 for x in ("e", "f", "g", "h")}
+    hist = spark_hist(spark, {**words, **tail})
+    capped, stats = bpe_learn_capped(hist, num_merges=1, hist_floor=2)
+    assert stats["certified"] is False
+    # margin (10-9=1) ≤ M (4 words × 2 adjacencies = 8): nothing proven
+    assert stats["certified_prefix"] == 0
+    assert capped == [("a", "b")]
+    assert bpe_learn_local(hist, num_merges=1) == [("c", "d")]
+
+
+def test_capped_floor_one_is_exact_noop(spark):
+    """hist_floor=1 collects everything: zero dropped, certified, and
+    byte-identical merges to bpe_learn_local."""
+    from anti_ddos_spark.operators.bpe import bpe_learn_capped, bpe_learn_local
+
+    words = {"lower": 5, "lowest": 3, "newer": 6, "banana": 2, "q": 1}
+    hist = spark_hist(spark, words)
+    merges, stats = bpe_learn_capped(hist, num_merges=20, hist_floor=1)
+    assert stats["rows_dropped"] == 0
+    assert stats["dropped_adjacency_mass"] == 0
+    assert stats["certified"] is True
+    assert stats["certified_prefix"] == len(merges)
+    assert merges == bpe_learn_local(hist, num_merges=20)
+
+
+def test_capped_min_count_stop_not_certified_with_dropped_mass(spark):
+    """A min_count stop with dropped mass cannot be certified: the
+    exact trainer might have continued on tail-carried pairs."""
+    from anti_ddos_spark.operators.bpe import bpe_learn_capped
+
+    words = {"ab": 10, "cd": 3}
+    tail = {f"{x}xy": 1 for x in ("e", "f", "g")}
+    hist = spark_hist(spark, {**words, **tail})
+    merges, stats = bpe_learn_capped(
+        hist, num_merges=5, min_count=5, hist_floor=2
+    )
+    assert merges == [("a", "b")]
+    assert stats["stop_reason"] == "min_count"
+    assert stats["certified"] is False
+
+
 def rescan_tokenize_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Sennrich-style reference applier: repeatedly find the LOWEST-rank
     merge applicable anywhere in the word and apply it, until none
