@@ -345,7 +345,25 @@ class VersionedTable:
         propagate through EVERY publish (plain commits, compact,
         rollback included) so a maintenance op can't amnesia the sink.
         ``extra`` keys merge into the manifest (the bucketed-CDC layout
-        metadata rides here)."""
+        metadata rides here).
+
+        LOCK CONTRACT (r9 verdict task #5). This critical section is
+        correct for any number of PROCESSES on ONE NODE sharing a
+        filesystem with POSIX semantics: advisory ``flock`` serializes
+        publishers (the OS releases it if a holder dies), ``O_EXCL``
+        makes manifest-number allocation collision-proof even against
+        crashed publishes the lock never saw, and the pointer flip is
+        an atomic ``rename``. Proved at process level (two independent
+        committer processes, interleaved commits, losers retrying
+        through CommitConflict) in tests/test_versioned_multiprocess.py.
+        It is NOT a multi-node protocol: NFS/object stores have no
+        flock. A port to S3/GCS-class storage must replace exactly two
+        primitives — the base-check-then-flip becomes a conditional
+        PUT / compare-and-swap on the pointer object (if-match on the
+        base version), and the O_EXCL manifest create becomes
+        if-none-match — while everything else (immutable data dirs,
+        manifest chain, delta resolve, idempotency counters) is already
+        rename/read-only and carries over unchanged."""
         lock_path = os.path.join(self.root, "_lock")
         with open(lock_path, "w") as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
