@@ -1443,3 +1443,148 @@ EXTRA_QUERIES["q139_streaming_bpe_tokens"] = Query(
 # whose token stream must hash-match the same static SQL as batch q136.
 # Slot freed by textops' q31 demotion.
 QUERIES["q139_streaming_bpe_tokens"] = EXTRA_QUERIES.pop("q139_streaming_bpe_tokens")
+
+
+# --- q140: streaming change-data-feed over the versioned table (round 10) --
+
+def q140_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """The CONSUMER side of the CDC story (r9 verdict task #6): three
+    deterministic change batches (even-key order inserts; ×3 updates of
+    keys ≡4 mod 6 + deletes of keys ≡2 mod 6; odd ≡5 mod 10 inserts +
+    ×2 updates of keys ≡0 mod 6) are committed through the REAL
+    ``streaming_cdc_committer``, then the whole version chain is
+    replayed as a REAL stream through the ``versioned_cdf`` Python data
+    source (offsets = table versions, one diff partition per touched
+    bucket, executor-side Arrow diffs). The change rows — op, payload,
+    version stamp — aggregate per (version, op) and must hash-match the
+    static-SQL derivation of the same feed straight from ``orders``, so
+    a reader that replayed an orphan version, missed a touched bucket,
+    emitted a rewritten-but-unchanged row, or mis-stamped a version
+    breaks the hash."""
+    import shutil
+
+    from anti_ddos_spark.sources.cdf import register_cdf_source
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    is_upd = F.col("o_orderkey") % 6 == 4
+    b2 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .filter((F.col("o_orderkey") % 6 == 4) | (F.col("o_orderkey") % 6 == 2))
+        .withColumn("op", F.when(is_upd, "U").otherwise("D"))
+        .withColumn(
+            "o_totalprice",
+            F.when(is_upd, F.col("o_totalprice") * 3).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn("seq", F.col("o_orderkey") + 1_000_000)
+    )
+    b3 = (
+        o.filter(
+            ((F.col("o_orderkey") % 10 == 5))
+            | (F.col("o_orderkey") % 6 == 0)
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 10 == 5, "I").otherwise("U"),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 6 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn("seq", F.col("o_orderkey") + 2_000_000)
+    )
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q140_cdf_")
+    root = os.path.join(tmp, "tbl")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", seq_col="seq", txn_app_id="q140"
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b3, 2)
+
+    register_cdf_source(spark)
+    name = f"q140_cdf_{run_id}"
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "o_orderkey")
+        .option("start_version", -1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q140 CDF replay did not finish its availableNow run in 240 s"
+        )
+    changes = spark.table(name)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    out = changes.groupBy("_version", "_op").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum(cents).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    # the memory sink's rows are aggregated above; materialize before
+    # the scratch table root goes away
+    rows = out.collect()
+    _finish_stream_run(spark, tmp, name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+Q140_SQL = """
+WITH ev AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0),
+feed AS (
+  SELECT o_orderkey, o_totalprice, 'I' AS _op, 0 AS _version FROM ev
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 3, 'U', 1 FROM ev WHERE o_orderkey % 6 = 4
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'D', 1 FROM ev WHERE o_orderkey % 6 = 2
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, 'I', 2
+  FROM orders WHERE o_orderkey % 10 = 5
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2, 'U', 2
+  FROM ev WHERE o_orderkey % 6 = 0)
+SELECT CAST(_version AS BIGINT) AS _version, _op,
+       count(*) AS n_changes,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM feed GROUP BY _version, _op
+"""
+
+EXTRA_QUERIES["q140_streaming_cdf"] = Query(
+    q140_streaming_cdf,
+    Q140_SQL,
+    "streaming change-data-feed: the version chain replayed as a REAL "
+    "stream (Python data source, offsets = versions, bucket-diff "
+    "partitions) vs the static-SQL derivation of the same feed — "
+    "rotation candidate for r11",
+)

@@ -1,0 +1,379 @@
+"""Streaming CHANGE DATA FEED over a versioned table (round 10, r9
+verdict task #6) — the consumer side of the CDC story the committers
+write.
+
+``streaming_cdc_committer`` turns a CDC stream into table versions;
+this module reads the version chain back AS a stream: each committed
+version becomes one micro-batch of row-level changes ``(payload...,
+_op, _version)`` with ``_op ∈ {'I','U','D'}`` — the standard
+change-data-feed surface real table formats expose (public design:
+Delta's table_changes / CDF, Iceberg's changelog scan).
+
+Spark-first shape: a PySpark 4 **Python Data Source** (public API,
+``pyspark.sql.datasource``) whose stream OFFSETS are table versions —
+``initialOffset``/``latestOffset`` read only the KB-sized pointer and
+manifests on the driver; ``partitions(start, end)`` plans one input
+partition per (version, touched bucket) so the row-level diff runs ON
+EXECUTORS, bucket-parallel; ``read(partition)`` diffs exactly the
+bucket's old/new parquet files (Arrow, footer-pruned columns).
+
+Why the per-bucket diff is CORRECT, not just fast: the CDC layout
+hashes keys to buckets (``pmod(xxhash64(key), n_buckets)``), so a
+key's old and new rows always live in the SAME bucket — diffing bucket
+b's old files against bucket b's new files sees every change to every
+key it owns, and no other bucket can contradict it. The delta manifest
+names the touched buckets, so a micro-batch's work is O(touched
+buckets' data), mirroring the committer's own write bound. At 100 TB:
+a single-key commit yields ONE partition reading one bucket (~0.1 % of
+the table at 1024 buckets), never a table scan.
+
+Version kinds:
+- delta manifests (the pruned CDC path): touched buckets only;
+- the SEED version (base None): every row is an insert, one partition
+  per bucket (or one for an unbucketed seed);
+- full manifests whose bucket layout matches the base: per-bucket diff
+  of buckets whose file lists changed (a depth-cap materialization
+  that rewrote one bucket diffs one bucket);
+- layout changes (re-bucket, compact, rollback, plain commits): one
+  whole-table diff partition — the honest fallback; these are rare
+  maintenance events, and a compact (row-preserving) diffs to zero
+  changes.
+
+Preconditions (the CDC table's own contract): ``key`` is unique per
+snapshot and non-null. Rows are compared by their full payload; an
+unchanged re-write emits nothing.
+
+Reference parity note: the reference engine has no table format and no
+change feed (its sink is an undefined ``foreach_batch_function``,
+``spark_app/main.py:1023-1028``); this module is part of the
+training-data-pipeline family, built on public table-format designs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+CDF_SOURCE_NAME = "versioned_cdf"
+
+
+class _ChangePartition(InputPartition):
+    """One executor task: diff ``old_files`` vs ``new_files`` (absolute
+    paths) on ``key`` and emit (payload..., _op, _version)."""
+
+    def __init__(
+        self,
+        version: int,
+        key: str,
+        fields: list[str],
+        old_files: list[str],
+        new_files: list[str],
+    ):
+        self.version = version
+        self.key = key
+        self.fields = fields
+        self.old_files = old_files
+        self.new_files = new_files
+
+
+def _diff_rows(part: _ChangePartition):
+    """The executor-side diff: pure Arrow/pandas over the partition's
+    file lists — no Spark session, no driver round-trip."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def load(files: list[str]) -> "pd.DataFrame":
+        if not files:
+            return pd.DataFrame(columns=part.fields)
+        frames = [
+            pq.read_table(f, columns=part.fields).to_pandas()
+            for f in files
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    old = load(part.old_files)
+    new = load(part.new_files)
+    cols = part.fields
+
+    def row_map(df: "pd.DataFrame") -> dict:
+        return {
+            r[cols.index(part.key)]: r
+            for r in df[cols].itertuples(index=False, name=None)
+        }
+
+    o, n = row_map(old), row_map(new)
+
+    def same(a: tuple, b: tuple) -> bool:
+        for x, y in zip(a, b):
+            if x is y:
+                continue
+            # NaN-safe equality (pandas renders SQL NULL as NaN/None)
+            if (x != x) and (y != y):  # both NaN
+                continue
+            if x is None or y is None or x != y:
+                return False
+        return True
+
+    for k in sorted(set(o) | set(n), key=repr):
+        if k in o and k not in n:
+            yield (*o[k], "D", part.version)
+        elif k in n and k not in o:
+            yield (*n[k], "I", part.version)
+        elif not same(o[k], n[k]):
+            yield (*n[k], "U", part.version)
+
+
+def _table_schema(root: str) -> StructType:
+    """The payload schema recorded by the CDC committer on the LIVE
+    manifest chain (every CDC manifest carries ``schema``)."""
+    from anti_ddos_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(root)
+    v = t.current_version()
+    while v is not None:
+        m = t._manifest(v)
+        if "schema" in m:
+            return StructType.fromJson(m["schema"])
+        v = m["base"]
+    raise ValueError(
+        f"{root}: no manifest on the live chain records a schema — the "
+        "CDF source reads tables written by streaming_cdc_committer"
+    )
+
+
+class VersionedCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["root"]
+        self.key = options["key"]
+        self.fields = [f.name for f in schema.fields[:-2]]  # drop _op/_version
+        from anti_ddos_spark.sources.versioned import VersionedTable
+
+        self.table = VersionedTable(self.root)
+        sv = options.get("start_version")
+        if sv is None:
+            cur = self.table.current_version()
+            self.start_version = -1 if cur is None else cur
+        else:
+            self.start_version = int(sv)
+
+    # -- offsets: table versions ----------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        cur = self.table.current_version()
+        return {"version": self.start_version if cur is None else cur}
+
+    # -- planning: one partition per (version, touched bucket) -----------
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for v in self._chain_between(start["version"], end["version"]):
+            out.extend(self._version_partitions(v))
+        # Spark requires >= 1 partition per batch; an empty version
+        # range (or a version with no touched buckets) yields one
+        # trivially-empty diff
+        return out or [
+            _ChangePartition(end["version"], self.key, self.fields, [], [])
+        ]
+
+    def _chain_between(self, start_v: int, end_v: int) -> list[int]:
+        """COMMITTED versions after ``start_v`` up to ``end_v``, oldest
+        first — walked over the manifest ``base`` links, NOT the
+        numeric range: crashed publishes leave orphan numbers that were
+        never visible and must not be replayed as changes."""
+        if end_v <= start_v:
+            return []
+        out = []
+        v: int | None = end_v
+        while v is not None and v != start_v:
+            out.append(v)
+            v = self.table._manifest(v)["base"]
+        if v != start_v and start_v != -1:
+            raise ValueError(
+                f"version {start_v} is not on the committed chain below "
+                f"{end_v} (vacuumed past the offset?)"
+            )
+        return list(reversed(out))
+
+    def _version_partitions(self, v: int) -> list:
+        t = self.table
+        m = t._manifest(v)
+        base = m["base"]
+        abs_ = lambda rels: [  # noqa: E731
+            os.path.join(self.root, r) for r in rels
+        ]
+        if base is None:
+            # seed: everything is an insert
+            res = t._resolved(v)
+            if res["bucket_files"]:
+                return [
+                    _ChangePartition(
+                        v, self.key, self.fields, [], abs_(fs)
+                    )
+                    for b, fs in sorted(res["bucket_files"].items())
+                    if fs
+                ]
+            return [
+                _ChangePartition(
+                    v, self.key, self.fields, [], abs_(res["files"])
+                )
+            ]
+        base_res = t._resolved(base)
+        if "delta" in m:
+            # pruned CDC commit: the manifest names the touched buckets
+            d = m["delta"]
+            return [
+                _ChangePartition(
+                    v,
+                    self.key,
+                    self.fields,
+                    abs_(base_res["bucket_files"].get(b, [])),
+                    abs_(d["bucket_files_new"].get(b, [])),
+                )
+                for b in d["touched"]
+            ]
+        res = t._resolved(v)
+        if (
+            res["bucket_files"]
+            and base_res["bucket_files"]
+            and m.get("n_buckets")
+            == t._manifest(base).get("n_buckets")
+        ):
+            # full manifest, same layout: diff buckets whose file
+            # lists changed (depth-cap materializations land here)
+            out = []
+            for b in sorted(
+                set(res["bucket_files"]) | set(base_res["bucket_files"])
+            ):
+                old_fs = base_res["bucket_files"].get(b, [])
+                new_fs = res["bucket_files"].get(b, [])
+                if old_fs != new_fs:
+                    out.append(
+                        _ChangePartition(
+                            v, self.key, self.fields,
+                            abs_(old_fs), abs_(new_fs),
+                        )
+                    )
+            return out
+        # layout change / unbucketed commit: whole-table diff (rare
+        # maintenance path; a row-preserving compact diffs to nothing)
+        return [
+            _ChangePartition(
+                v, self.key, self.fields,
+                abs_(base_res["files"]), abs_(res["files"]),
+            )
+        ]
+
+    # -- executor-side read ----------------------------------------------
+
+    def read(self, partition: _ChangePartition):
+        return _diff_rows(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are table versions; nothing to clean up
+
+    def stop(self) -> None:
+        pass
+
+
+class VersionedCdfDataSource(DataSource):
+    """``spark.readStream.format("versioned_cdf").option("root", ...)
+    .option("key", ...)`` — register with :func:`register_cdf_source`.
+
+    Options: ``root`` (table root), ``key`` (the CDC key column),
+    ``start_version`` (exclusive base version; changes of versions
+    AFTER it are delivered. Default: the live version at query start,
+    i.e. only future commits. ``-1`` replays from the seed)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return CDF_SOURCE_NAME
+
+    def schema(self) -> StructType:
+        base = _table_schema(self.options["root"])
+        return StructType(
+            list(base.fields)
+            + [
+                StructField("_op", StringType(), False),
+                StructField("_version", LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> VersionedCdfStreamReader:
+        return VersionedCdfStreamReader(schema, dict(self.options))
+
+
+def register_cdf_source(spark) -> None:
+    """Idempotent registration of the ``versioned_cdf`` stream source."""
+    spark.dataSource.register(VersionedCdfDataSource)
+
+
+def version_changes(spark, table, key: str, from_version: int, to_version: int):
+    """BATCH reconstruction of the same change feed — the relational
+    twin the streaming source is hash-checked against (and a useful
+    operator on its own: 'what changed between releases v3 and v7').
+
+    One full-outer join per version step on the snapshot reads (which
+    are themselves bucket-pruned manifest resolves), classified to the
+    same (payload..., _op, _version) surface."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    frames = []
+    for v in range(from_version, to_version + 1):
+        m = table._manifest(v)
+        base = m["base"]
+        new = table.read(spark, version=v)
+        if base is None:
+            frames.append(
+                new.withColumn("_op", F.lit("I"))
+                .withColumn("_version", F.lit(v).cast("long"))
+            )
+            continue
+        old = table.read(spark, version=base)
+        cols = new.columns
+        n = new.select([F.col(c).alias(f"n_{c}") for c in cols])
+        o = old.select([F.col(c).alias(f"o_{c}") for c in cols])
+        j = n.join(o, n[f"n_{key}"] == o[f"o_{key}"], "full_outer")
+        payload_neq = reduce(
+            lambda a, b: a | b,
+            [
+                ~(
+                    F.col(f"n_{c}").eqNullSafe(F.col(f"o_{c}"))
+                )
+                for c in cols
+                if c != key
+            ],
+        ) if len(cols) > 1 else F.lit(False)
+        changed = j.withColumn(
+            "_op",
+            F.when(F.col(f"o_{key}").isNull(), F.lit("I"))
+            .when(F.col(f"n_{key}").isNull(), F.lit("D"))
+            .when(payload_neq, F.lit("U")),
+        ).filter(F.col("_op").isNotNull())
+        out = changed.select(
+            *[
+                F.when(
+                    F.col("_op") == "D", F.col(f"o_{c}")
+                ).otherwise(F.col(f"n_{c}")).alias(c)
+                for c in cols
+            ],
+            "_op",
+            F.lit(v).cast("long").alias("_version"),
+        )
+        frames.append(out)
+    return reduce(lambda a, b: a.unionByName(b), frames)

@@ -1,0 +1,182 @@
+"""Streaming change-data-feed reader (r9 verdict task #6): a REAL
+readStream over the version chain, hash-checked against the relational
+batch reconstruction of the same interval."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_ddos_spark.sources.cdf import (
+    register_cdf_source,
+    version_changes,
+)
+from anti_ddos_spark.sources.versioned import (
+    VersionedTable,
+    streaming_cdc_committer,
+)
+
+
+SCHEMA = "k long, v string, op string, seq long"
+
+
+def _build_table(spark, root: str) -> VersionedTable:
+    """Four committed versions: seed inserts, a two-bucket update
+    batch, a delete+insert batch, a single-key update."""
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=16)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(40)], SCHEMA
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(3, "u3", "U", 100), (17, "u17", "U", 101)], SCHEMA
+        ),
+        1,
+    )
+    sink(
+        spark.createDataFrame(
+            [(5, None, "D", 200), (99, "v99", "I", 201)], SCHEMA
+        ),
+        2,
+    )
+    sink(spark.createDataFrame([(17, "w17", "U", 300)], SCHEMA), 3)
+    return t
+
+
+def _canon(rows) -> list[tuple]:
+    return sorted(
+        (r["k"], r["v"], r["_op"], r["_version"]) for r in rows
+    )
+
+
+def _run_stream(spark, root: str, start_version: int, expect: int):
+    register_cdf_source(spark)
+    name = f"cdf_{abs(hash(root)) % 10**8}"
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "k")
+        .option("start_version", start_version)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        rows = spark.table(name).collect()
+        if len(rows) >= expect:
+            return rows
+        time.sleep(0.5)
+    return spark.table(name).collect()
+
+
+def test_streaming_cdf_replays_committed_versions(spark, tmp_path):
+    """Replay from the seed: the stream's change rows equal the batch
+    reconstruction of versions 0..3 — ops, payloads and version stamps
+    all hash-identical."""
+    root = str(tmp_path / "tbl")
+    t = _build_table(spark, root)
+    assert t.current_version() == 3
+
+    want = _canon(
+        version_changes(spark, t, "k", 0, 3)
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    # 40 seed inserts + 2 updates + (1 delete + 1 insert) + 1 update
+    assert len(want) == 45
+
+    got = _canon(_run_stream(spark, root, start_version=-1, expect=45))
+    assert got == want
+
+    # spot-check the semantics, not just self-consistency
+    by_key = [(r[0], r[2], r[3]) for r in got]
+    assert (5, "D", 2) in by_key and (99, "I", 2) in by_key
+    assert (17, "U", 1) in by_key and (17, "U", 3) in by_key
+    assert sum(1 for r in got if r[2] == "I" and r[3] == 0) == 40
+
+
+def test_streaming_cdf_from_midpoint_and_unchanged_rows_silent(
+    spark, tmp_path
+):
+    """start_version=1 delivers only versions 2 and 3; rewritten-but-
+    unchanged rows in a touched bucket emit nothing."""
+    root = str(tmp_path / "tbl2")
+    t = _build_table(spark, root)
+    want = _canon(
+        version_changes(spark, t, "k", 2, 3)
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert len(want) == 3  # D5, I99, U17 — nothing else
+    got = _canon(_run_stream(spark, root, start_version=1, expect=3))
+    assert got == want
+    # bucket 16-hash of k=5's bucket also held other keys whose rows
+    # were rewritten verbatim by the merge — none of them appear
+    assert all(r[2] in ("D", "I", "U") for r in got)
+
+
+def test_cdf_partition_planning_is_bucket_bounded(spark, tmp_path):
+    """A single-key commit plans exactly the touched buckets' diff
+    partitions (the manifest names them) — never a table scan."""
+    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "tbl3")
+    t = _build_table(spark, root)
+    schema = StructType.fromJson(
+        t._manifest(t.current_version())["schema"]
+    )
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    full = StructType(
+        list(schema.fields)
+        + [StructField("_op", StringType()), StructField("_version", LongType())]
+    )
+    r = VersionedCdfStreamReader(
+        full, {"root": root, "key": "k", "start_version": "2"}
+    )
+    parts = r.partitions({"version": 2}, {"version": 3})
+    # version 3 touched exactly one bucket (single-key update)
+    assert len(parts) == 1
+    assert parts[0].version == 3
+    assert parts[0].old_files and parts[0].new_files
+    # and the seed plans one partition per non-empty bucket, not one
+    # giant scan
+    seed_parts = r.partitions({"version": -1}, {"version": 0})
+    assert len(seed_parts) > 4
+    assert all(not p.old_files for p in seed_parts)
+
+
+def test_cdf_compact_is_row_silent_and_rebucket_falls_back(spark, tmp_path):
+    """A row-preserving compact emits zero changes through the
+    whole-table fallback diff; the stream keeps going across it."""
+    from anti_ddos_spark.sources.versioned import compact
+
+    root = str(tmp_path / "tbl4")
+    t = _build_table(spark, root)
+    compact(t, spark, n_files=2)
+    v_compact = t.current_version()
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=16)
+    sink(spark.createDataFrame([(7, "z7", "U", 400)], SCHEMA), 4)
+
+    want = _canon(
+        version_changes(spark, t, "k", v_compact, t.current_version())
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert [w[:3] for w in want] == [(7, "z7", "U")]
+    got = _canon(_run_stream(spark, root, start_version=3, expect=1))
+    assert got == want
