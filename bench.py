@@ -186,13 +186,70 @@ def run_scale100x() -> None:
     print(json.dumps(block))
 
 
+# Every row that runs a REAL streaming query (exactly one
+# query.start() each — verified by grep over streamops.py). At the
+# oracle sf their wall clock is dominated by query start/stop +
+# availableNow rounds, which scatters 7.9-18 s on identical code (r9
+# adjudication) — so the sweep also records the MARGINAL time (cold
+# minus a same-session empty-stream floor), which is the engine-work
+# column the round-over-round diff should regress on (r9 verdict task
+# #4).
+STREAMING_QUERIES = {
+    "q70_streaming_sessionize", "q71_stateful_accum",
+    "q72_tws_sessionize", "q73_streaming_dedup",
+    "q74_streaming_minhash_buckets", "q75_streaming_embedding_buckets",
+    "q76_streaming_decontaminate", "q78_streaming_pii",
+    "q83_streaming_drift", "q88_streaming_rate_anomaly",
+    "q92_hopping_rates", "q93_stream_stream_join",
+    "q114_bounded_dedup_replay", "q115_streaming_scored_flows",
+    "q118_stream_stream_left_join", "q128_streaming_distinct_users",
+    "q129_stream_stream_full_join", "q139_streaming_bpe_tokens",
+    "q140_streaming_cdf",
+}
+
+
+def _stream_startup_floor(spark, runs: int = 3) -> float:
+    """Median wall clock of a TRIVIAL availableNow run (1-row parquet →
+    memory sink): the fixed query start/stop + checkpoint + batch-round
+    cost every streaming row pays before doing any engine work."""
+    import tempfile
+    import time as _time
+
+    samples = []
+    for i in range(runs):
+        tmp = tempfile.mkdtemp(prefix="bench_floor_")
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame([(1,)], "k long").coalesce(1).write.parquet(src)
+        t0 = _time.perf_counter()
+        q = (
+            spark.readStream.schema("k long").parquet(src)
+            .writeStream.format("memory")
+            .queryName(f"bench_floor_{i}")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        samples.append(_time.perf_counter() - t0)
+        spark.catalog.dropTempView(f"bench_floor_{i}")
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return sorted(samples)[len(samples) // 2]
+
+
 def run_all(out_path: str) -> None:
     """Full-registry timing sweep at the oracle sf (round-6 verdict task
     #6): one cold pass over every query in full_registry() so a
     regression in any of the ~120 non-headline plans shows up in the
     round-over-round diff, not only the 14 headline ones. Single pass,
     no warmup — the artifact is a regression radar (compare like against
-    like across rounds), not a steady-state throughput claim."""
+    like across rounds), not a steady-state throughput claim.
+
+    Streaming rows additionally get a MARGINAL column: cold time minus
+    the same-session empty-stream startup floor, clamped at 0 — the
+    engine-work number the diff regresses on (startup noise was the r9
+    radar's recurring false positive)."""
     import time as _time
 
     from pyspark.sql import functions as F
@@ -203,12 +260,28 @@ def run_all(out_path: str) -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark(app_name="anti_ddos_spark_bench_all")
     spark.sparkContext.setLogLevel("ERROR")
+    floor = _stream_startup_floor(spark)
     timings: dict[str, float] = {}
+    best2: dict[str, float] = {}
     for name, q in full_registry().items():
-        t0 = _time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.agg(F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))).collect()
-        timings[name] = round(_time.perf_counter() - t0, 3)
+        def once() -> float:
+            t0 = _time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.agg(
+                F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))
+            ).collect()
+            return _time.perf_counter() - t0
+
+        t1 = once()
+        timings[name] = round(t1, 3)
+        if name in STREAMING_QUERIES:
+            # startup spikes (checkpoint fsync, GC, query lifecycle)
+            # are one-sided noise that rarely hits both runs; the diff
+            # regresses on best-of-2 minus the measured startup floor
+            best2[name] = round(min(t1, once()), 3)
+    marginal = {
+        name: round(max(t - floor, 0.0), 3) for name, t in best2.items()
+    }
     out = {
         "metric": "full_registry_sweep_cold",
         "value": round(sum(timings.values()), 3),
@@ -216,6 +289,9 @@ def run_all(out_path: str) -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "n_queries": len(timings),
         "queries": timings,
+        "stream_startup_floor_sec": round(floor, 3),
+        "queries_streaming_best2": best2,
+        "queries_streaming_marginal": marginal,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
