@@ -124,12 +124,13 @@ def q32_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_banded_cte(k: int, bands: int) -> str:
+def _minhash_banded_cte(k: int, bands: int, src: str = "documents") -> str:
     """Shared DuckDB CTE chain sh → mins → banded: per-doc MinHash
     signatures (one base hash per shingle, k universal-hash permutations
     — the same arithmetic as both Spark signature forms) and their band
-    digests. Reused by the q32/q35 pair queries and the q74 streaming
-    bucket-state oracle."""
+    digests. Reused by the q32/q35 pair queries, the q74 streaming
+    bucket-state oracle, and (over an augmented CTE) the q141 recall
+    contract. ``src`` must expose (doc_id, text)."""
     from anti_ddos_spark.operators.dedup import UHASH_M, uhash_params
 
     r = k // bands
@@ -154,7 +155,7 @@ def _minhash_banded_cte(k: int, bands: int) -> str:
         for b in range(bands)
     )
     return f"""sh AS (
-  SELECT doc_id, unnest({shingle_list}) AS s FROM documents),
+  SELECT doc_id, unnest({shingle_list}) AS s FROM {src}),
 mins AS (
   SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 banded AS (
@@ -1180,3 +1181,167 @@ QUERIES["q136_bpe_frozen_vocab"] = EXTRA_QUERIES.pop("q136_bpe_frozen_vocab")
 for _name in ("q30_exact_dedup", "q31_doc_profile"):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
 QUERIES["q138_bpe_vocab_join_apply"] = EXTRA_QUERIES.pop("q138_bpe_vocab_join_apply")
+
+
+# --- q141: TEXT-dedup recall contract on planted graded twins (round 10) ---
+#
+# q137 pinned the embedding-ANN family's recall floors in-band; the
+# MinHash/banding family's recall was still script-only (zipf_recall.py,
+# PERF s-curve tables). q141 plants a graded-Jaccard twin next to every
+# 4th document — the twin is the doc's WORD-SEQUENCE PREFIX, so its
+# 3-shingle set is exactly a prefix-subset of the base's and the planted
+# shingle Jaccard ≈ (m−2)/(n−2) ≈ the grade fraction — runs the REAL
+# production banding projection (minhash_banded_narrow, K=128 b=16, the
+# q35/q74 arithmetic), and emits per-grade candidate recall against
+# BOTH sides of the s-curve: a floor (the banding must catch near-dups)
+# and a ceiling (it must also REJECT sub-threshold pairs — a banding
+# bug that passes everything shows recall 100 at J≈0.45 and breaks the
+# within_ceiling bit). Prefix math is integer-exact on both engines:
+# m = ceil(num·n/20) = (num·n + 19) // 20.
+
+# target shingle-Jaccard grades: 95/85/75/60/45 % (num/20)
+TEXT_GRADE_NUMS = (19, 17, 15, 12, 9)
+# theory at K=128/b=16/r=8 — P = 1−(1−J^8)^16: ≈1.0/.99/.78/.21/.02;
+# floors/ceilings measured at sf0.001/0.01/0.1 and set with margin
+# outside the weakest reading (see PERF.md round 10)
+TEXT_GRADE_FLOORS = (97, 90, 55, 5, 0)
+TEXT_GRADE_CEILS = (100, 100, 95, 45, 15)
+_MIN_BASE_WORDS = 20  # keeps every twin ≥ 9 words: no degenerate shingles
+
+
+def q141_text_recall_contract(spark: SparkSession, sf: str) -> DataFrame:
+    from anti_ddos_spark.operators.dedup import minhash_banded_narrow, words
+
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    off = docs.agg((F.max("doc_id") + 1).alias("off"))
+    ws = words(F.col("text"))
+    n = F.size(ws)
+    grade = ((F.col("doc_id") / 4) % 5).cast("int")
+    num = F.element_at(
+        F.array(*[F.lit(x) for x in TEXT_GRADE_NUMS]), grade + 1
+    )
+    m = ((num * n + F.lit(19)) - (num * n + F.lit(19)) % 20) / 20
+    bases = (
+        docs.filter((F.col("doc_id") % 4 == 1) & (n >= _MIN_BASE_WORDS))
+        .crossJoin(F.broadcast(off))
+        .select(
+            F.col("doc_id").alias("base_id"),
+            grade.alias("grade_id"),
+            (F.col("doc_id") + F.col("off")).alias("twin_id"),
+            F.col("text"),
+            F.concat_ws(
+                " ", F.slice(ws, F.lit(1), m.cast("int"))
+            ).alias("twin_text"),
+        )
+    )
+    aug = bases.select(
+        F.col("base_id").alias("doc_id"), "text"
+    ).unionByName(
+        bases.select(
+            F.col("twin_id").alias("doc_id"),
+            F.col("twin_text").alias("text"),
+        )
+    )
+    banded = minhash_banded_narrow(aug)
+    bb = banded.join(
+        bases.select("base_id"),
+        banded["doc_id"] == F.col("base_id"),
+    ).select("base_id", "band_id", "band_key")
+    tb = banded.join(
+        bases.select(F.col("base_id").alias("b2"), "twin_id"),
+        banded["doc_id"] == F.col("twin_id"),
+    ).select(F.col("b2").alias("base_id"), "band_id", "band_key")
+    hits = (
+        bb.join(tb, ["base_id", "band_id", "band_key"])
+        .select("base_id")
+        .distinct()
+        .withColumn("found", F.lit(1))
+    )
+    floor_pct = F.element_at(
+        F.array(*[F.lit(x) for x in TEXT_GRADE_FLOORS]), F.col("grade_id") + 1
+    )
+    ceil_pct = F.element_at(
+        F.array(*[F.lit(x) for x in TEXT_GRADE_CEILS]), F.col("grade_id") + 1
+    )
+    recall = F.floor(
+        F.sum("found") * 100.0 / F.count(F.lit(1)) + F.lit(0.5)
+    ).cast("int")
+    return (
+        bases.join(hits, "base_id", "left")
+        .fillna(0, ["found"])
+        .groupBy("grade_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("found").cast("long").alias("n_found"),
+            recall.alias("recall_pct"),
+        )
+        .select(
+            "grade_id",
+            F.element_at(
+                F.array(*[F.lit(x * 5) for x in TEXT_GRADE_NUMS]),
+                F.col("grade_id") + 1,
+            ).cast("int").alias("target_jaccard_pct"),
+            "n_pairs",
+            "n_found",
+            "recall_pct",
+            floor_pct.cast("int").alias("floor_pct"),
+            ceil_pct.cast("int").alias("ceil_pct"),
+            (F.col("recall_pct") >= floor_pct).cast("int").alias("meets_floor"),
+            (F.col("recall_pct") <= ceil_pct).cast("int").alias("within_ceiling"),
+        )
+    )
+
+
+def _q141_sql() -> str:
+    nums = "[" + ",".join(str(x) for x in TEXT_GRADE_NUMS) + "]"
+    floors = "[" + ",".join(str(x) for x in TEXT_GRADE_FLOORS) + "]"
+    ceils = "[" + ",".join(str(x) for x in TEXT_GRADE_CEILS) + "]"
+    targets = "[" + ",".join(str(x * 5) for x in TEXT_GRADE_NUMS) + "]"
+    return f"""
+WITH wsrc AS (
+  SELECT doc_id, text, {_W} AS ws,
+         CAST((doc_id // 4) % 5 AS INT) AS grade_id
+  FROM documents),
+bases AS (
+  SELECT doc_id AS base_id, grade_id, text,
+         doc_id + (SELECT max(doc_id) + 1 FROM documents) AS twin_id,
+         array_to_string(
+           ws[1 : CAST(({nums}[grade_id + 1] * len(ws) + 19) // 20 AS INT)],
+           ' ') AS twin_text
+  FROM wsrc
+  WHERE doc_id % 4 = 1 AND len(ws) >= {_MIN_BASE_WORDS}),
+aug AS (
+  SELECT base_id AS doc_id, text FROM bases
+  UNION ALL
+  SELECT twin_id, twin_text FROM bases),
+{_minhash_banded_cte(MINHASH_K, LSH_BANDS, src="aug")},
+hits AS (
+  SELECT DISTINCT a.doc_id AS base_id
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND b.doc_id = a.doc_id + (SELECT max(doc_id) + 1 FROM documents)),
+per_base AS (
+  SELECT b.grade_id, CASE WHEN h.base_id IS NULL THEN 0 ELSE 1 END AS found
+  FROM bases b LEFT JOIN hits h ON h.base_id = b.base_id)
+SELECT grade_id,
+       CAST({targets}[grade_id + 1] AS INT) AS target_jaccard_pct,
+       count(*)::BIGINT AS n_pairs,
+       sum(found)::BIGINT AS n_found,
+       CAST(floor(sum(found) * 100.0 / count(*) + 0.5) AS INT) AS recall_pct,
+       CAST({floors}[grade_id + 1] AS INT) AS floor_pct,
+       CAST({ceils}[grade_id + 1] AS INT) AS ceil_pct,
+       CAST(CAST(floor(sum(found) * 100.0 / count(*) + 0.5) AS INT)
+            >= {floors}[grade_id + 1] AS INT) AS meets_floor,
+       CAST(CAST(floor(sum(found) * 100.0 / count(*) + 0.5) AS INT)
+            <= {ceils}[grade_id + 1] AS INT) AS within_ceiling
+FROM per_base GROUP BY grade_id
+"""
+
+
+EXTRA_QUERIES["q141_text_recall_contract"] = Query(
+    q141_text_recall_contract,
+    _q141_sql(),
+    "per-grade MinHash-banding candidate recall vs contracted s-curve "
+    "floors AND ceilings on planted prefix-Jaccard twins (production "
+    "K=128/b=16 projection) — rotation candidate for r11",
+)

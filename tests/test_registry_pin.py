@@ -125,6 +125,7 @@ FULL_SET = ['q01_pricing_summary',
  'q139_streaming_bpe_tokens',
  'q13_conditional_scrub',
  'q140_streaming_cdf',
+ 'q141_text_recall_contract',
  'q14_string_ops',
  'q15_datetime_agg',
  'q16_json_extract',
