@@ -166,6 +166,12 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             self.start_version = -1 if cur is None else cur
         else:
             self.start_version = int(sv)
+        # bound each micro-batch to N versions (CDC readers must cap
+        # batch size or a long-idle consumer's first batch replays the
+        # whole backlog in one transaction — checkpoint recovery then
+        # re-does ALL of it on failure). 0 = unbounded.
+        self.max_versions = int(options.get("max_versions_per_batch", 0))
+        self._last_planned = self.start_version
 
     # -- offsets: table versions ----------------------------------------
 
@@ -174,7 +180,18 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = self.table.current_version()
-        return {"version": self.start_version if cur is None else cur}
+        if cur is None:
+            return {"version": self.start_version}
+        if self.max_versions > 0:
+            # admission control: advance at most N chain steps past the
+            # last offset this reader handed out (committed chain ==
+            # contiguous manifest numbers between its endpoints is NOT
+            # guaranteed — orphans — so cap by walking the chain)
+            chain = self._chain_between(self._last_planned, cur)
+            if len(chain) > self.max_versions:
+                cur = chain[self.max_versions - 1]
+        self._last_planned = max(self._last_planned, cur)
+        return {"version": cur}
 
     # -- planning: one partition per (version, touched bucket) -----------
 
@@ -296,7 +313,19 @@ class VersionedCdfDataSource(DataSource):
     Options: ``root`` (table root), ``key`` (the CDC key column),
     ``start_version`` (exclusive base version; changes of versions
     AFTER it are delivered. Default: the live version at query start,
-    i.e. only future commits. ``-1`` replays from the seed)."""
+    i.e. only future commits. ``-1`` replays from the seed),
+    ``max_versions_per_batch`` (cap one micro-batch at N chain
+    versions — backlog admission control; 0/absent = unbounded).
+
+    Cap semantics per trigger kind: under a continuous trigger
+    (processingTime) the query drains the backlog N versions per
+    micro-batch until caught up (proved in tests/test_cdf.py). Under
+    ``availableNow`` Spark snapshots ONE latestOffset as the run's end,
+    so a capped run delivers at most N versions and terminates — with a
+    checkpoint, repeated runs resume and catch up N per run (bounded
+    catch-up); an UNCAPPED availableNow replay delivers the whole
+    chain in one batch. Pick the cap for live tailing, omit it for
+    replay."""
 
     @classmethod
     def name(cls) -> str:

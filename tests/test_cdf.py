@@ -160,6 +160,51 @@ def test_cdf_partition_planning_is_bucket_bounded(spark, tmp_path):
     assert all(not p.old_files for p in seed_parts)
 
 
+def test_cdf_max_versions_per_batch_bounds_each_trigger(spark, tmp_path):
+    """Backlog admission control: with max_versions_per_batch=1 a
+    continuous-trigger query drains the 4-version backlog one version
+    per micro-batch — same total rows, bounded transactions (a
+    long-idle consumer must not replay its whole backlog in one
+    commit)."""
+    root = str(tmp_path / "tblc")
+    t = _build_table(spark, root)
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "k")
+        .option("start_version", -1)
+        .option("max_versions_per_batch", 1)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_capped")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline
+            and spark.table("cdf_capped").count() < 45
+        ):
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    rows = spark.table("cdf_capped").collect()
+    assert len(rows) == 45
+    sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
+    # one version per non-empty batch: the seed's 40 inserts, then
+    # 2, 2, 1 for versions 1-3
+    assert sizes[0] == 40 and len(sizes) >= 4
+    assert _canon(rows) == _canon(
+        version_changes(spark, t, "k", 0, 3)
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    spark.catalog.dropTempView("cdf_capped")
+
+
 def test_cdf_compact_is_row_silent_and_rebucket_falls_back(spark, tmp_path):
     """A row-preserving compact emits zero changes through the
     whole-table fallback diff; the stream keeps going across it."""
