@@ -15,10 +15,11 @@ Invariants proved:
   contiguous from 0, each manifest's base = previous version;
 - append semantics compose across processes: the final resolved file
   list contains every worker's committed payload exactly once;
-- contention really happened: the tight loops observe conflicts
-  (asserted cumulatively; with 2x40 optimistic commits racing on one
-  pointer the probability of zero races is negligible, and a zero
-  simply means the test proved less, so it asserts).
+- contention is FORCED, not hoped for: a double barrier makes both
+  processes read the SAME base before either publishes, so every round
+  has exactly one optimistic loser retrying through CommitConflict
+  (a tight race-and-hope loop proved flaky under a loaded box — the
+  two processes can serialize and never collide).
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ import os
 N_COMMITS = 40
 
 
-def _worker(root: str, wid: int, q) -> None:
+def _worker(root: str, wid: int, q, barrier=None) -> None:
     # runs in a separate OS process (spawn: clean interpreter)
     from anti_ddos_spark.sources.versioned import (
         CommitConflict,
@@ -41,8 +42,12 @@ def _worker(root: str, wid: int, q) -> None:
     conflicts = 0
     committed = []
     for i in range(N_COMMITS):
+        if barrier is not None:
+            barrier.wait(timeout=120)  # both about to read the base
+        base = t.current_version()
+        if barrier is not None:
+            barrier.wait(timeout=120)  # both HAVE read the same base
         while True:
-            base = t.current_version()
             try:
                 v = t._publish(
                     [f"data/d-w{wid}-{i}/part-0.parquet"], "append", base
@@ -51,6 +56,7 @@ def _worker(root: str, wid: int, q) -> None:
                 break
             except CommitConflict:
                 conflicts += 1
+                base = t.current_version()
     q.put((wid, committed, conflicts))
 
 
@@ -63,8 +69,10 @@ def test_two_processes_interleave_commits_without_lost_updates(tmp_path):
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
+    barrier = ctx.Barrier(2)
     ps = [
-        ctx.Process(target=_worker, args=(root, wid, q)) for wid in (1, 2)
+        ctx.Process(target=_worker, args=(root, wid, q, barrier))
+        for wid in (1, 2)
     ]
     for p in ps:
         p.start()
@@ -97,9 +105,11 @@ def test_two_processes_interleave_commits_without_lost_updates(tmp_path):
         mine = [f for f in files if f"d-w{wid}-" in f]
         assert len(mine) == N_COMMITS
 
-    # the race was real: optimistic losers retried through
-    # CommitConflict (2x40 tight-loop commits on one pointer)
-    assert total_conflicts >= 1
+    # the race was real AND forced: both processes read the same base
+    # every round, so each round's loser retried through CommitConflict
+    # — one conflict per round (the loser's uncontended retry succeeds
+    # while the winner waits at the next round's barrier)
+    assert total_conflicts == N_COMMITS
 
 
 def test_process_crash_mid_publish_leaves_walkable_chain(tmp_path):
