@@ -79,12 +79,14 @@ class _ChangePartition(InputPartition):
         fields: list[str],
         old_files: list[str],
         new_files: list[str],
+        update_preimage: bool = False,
     ):
         self.version = version
         self.key = key
         self.fields = fields
         self.old_files = old_files
         self.new_files = new_files
+        self.update_preimage = update_preimage
 
 
 def _diff_rows(part: _ChangePartition):
@@ -131,7 +133,14 @@ def _diff_rows(part: _ChangePartition):
         elif k in n and k not in o:
             yield (*n[k], "I", part.version)
         elif not same(o[k], n[k]):
-            yield (*n[k], "U", part.version)
+            if part.update_preimage:
+                # retraction form (real CDFs emit it optionally): the
+                # old row as 'U-' and the new as 'U+' — what downstream
+                # incremental aggregation needs to subtract/add
+                yield (*o[k], "U-", part.version)
+                yield (*n[k], "U+", part.version)
+            else:
+                yield (*n[k], "U", part.version)
 
 
 def _table_schema(root: str) -> StructType:
@@ -166,6 +175,9 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             self.start_version = -1 if cur is None else cur
         else:
             self.start_version = int(sv)
+        self.pre = str(
+            options.get("update_preimage", "false")
+        ).lower() in ("1", "true")
         # bound each micro-batch to N versions (CDC readers must cap
         # batch size or a long-idle consumer's first batch replays the
         # whole backlog in one transaction — checkpoint recovery then
@@ -203,7 +215,9 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         # range (or a version with no touched buckets) yields one
         # trivially-empty diff
         return out or [
-            _ChangePartition(end["version"], self.key, self.fields, [], [])
+            _ChangePartition(
+                end["version"], self.key, self.fields, [], [], self.pre
+            )
         ]
 
     def _chain_between(self, start_v: int, end_v: int) -> list[int]:
@@ -238,14 +252,15 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             if res["bucket_files"]:
                 return [
                     _ChangePartition(
-                        v, self.key, self.fields, [], abs_(fs)
+                        v, self.key, self.fields, [], abs_(fs), self.pre
                     )
                     for b, fs in sorted(res["bucket_files"].items())
                     if fs
                 ]
             return [
                 _ChangePartition(
-                    v, self.key, self.fields, [], abs_(res["files"])
+                    v, self.key, self.fields, [], abs_(res["files"]),
+                    self.pre,
                 )
             ]
         base_res = t._resolved(base)
@@ -259,6 +274,7 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                     self.fields,
                     abs_(base_res["bucket_files"].get(b, [])),
                     abs_(d["bucket_files_new"].get(b, [])),
+                    self.pre,
                 )
                 for b in d["touched"]
             ]
@@ -281,7 +297,7 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                     out.append(
                         _ChangePartition(
                             v, self.key, self.fields,
-                            abs_(old_fs), abs_(new_fs),
+                            abs_(old_fs), abs_(new_fs), self.pre,
                         )
                     )
             return out
@@ -290,7 +306,7 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         return [
             _ChangePartition(
                 v, self.key, self.fields,
-                abs_(base_res["files"]), abs_(res["files"]),
+                abs_(base_res["files"]), abs_(res["files"]), self.pre,
             )
         ]
 

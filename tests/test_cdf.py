@@ -160,6 +160,63 @@ def test_cdf_partition_planning_is_bucket_bounded(spark, tmp_path):
     assert all(not p.old_files for p in seed_parts)
 
 
+def test_cdf_update_preimage_supports_incremental_maintenance(
+    spark, tmp_path
+):
+    """update_preimage=true emits retraction pairs (U- old row, U+ new
+    row) — the form downstream incremental view maintenance needs.
+    Proof: folding the feed (I and U+ add a row, D and U- remove one)
+    in version order reconstructs the live snapshot EXACTLY."""
+    root = str(tmp_path / "tblp")
+    t = _build_table(spark, root)
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "k")
+        .option("start_version", -1)
+        .option("update_preimage", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_pre")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    rows = spark.table("cdf_pre").collect()
+    # 40 I + (U- U+)x2 + (D + I) + (U- U+) = 48
+    assert len(rows) == 48
+    ops = {r["_op"] for r in rows}
+    assert ops == {"I", "D", "U-", "U+"}
+    # U- carries the OLD payload, U+ the new (k=17 updated twice)
+    u17 = sorted(
+        (r["_version"], r["_op"], r["v"])
+        for r in rows
+        if r["k"] == 17 and r["_op"].startswith("U")
+    )
+    assert u17 == [
+        (1, "U+", "u17"), (1, "U-", "v17"),
+        (3, "U+", "w17"), (3, "U-", "u17"),
+    ]
+    # incremental maintenance: fold the feed → the live snapshot
+    # (retractions apply before additions within a version)
+    order = {"U-": 0, "D": 0, "I": 1, "U+": 1}
+    state: dict = {}
+    for r in sorted(rows, key=lambda r: (r["_version"], order[r["_op"]])):
+        if r["_op"] in ("I", "U+"):
+            state[r["k"]] = r["v"]
+        elif r["_op"] == "D":
+            state.pop(r["k"], None)
+        else:  # U-: retract, and verify it matches what was there
+            assert state.pop(r["k"]) == r["v"]
+    live = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert state == live
+    spark.catalog.dropTempView("cdf_pre")
+
+
 def test_cdf_max_versions_per_batch_bounds_each_trigger(spark, tmp_path):
     """Backlog admission control: with max_versions_per_batch=1 a
     continuous-trigger query drains the 4-version backlog one version
