@@ -373,13 +373,28 @@ def version_changes(spark, table, key: str, from_version: int, to_version: int):
 
     One full-outer join per version step on the snapshot reads (which
     are themselves bucket-pruned manifest resolves), classified to the
-    same (payload..., _op, _version) surface."""
+    same (payload..., _op, _version) surface. Versions are enumerated
+    over the COMMITTED chain's base links (inclusive of
+    ``from_version``), never the numeric range — orphan numbers from
+    crashed publishes hold no changes."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
+    chain: list[int] = []
+    v: int | None = to_version
+    while v is not None and v != from_version:
+        chain.append(v)
+        v = table._manifest(v)["base"]
+    if v == from_version:
+        chain.append(from_version)
+    elif from_version != -1:
+        raise ValueError(
+            f"version {from_version} is not on the committed chain "
+            f"below {to_version}"
+        )
     frames = []
-    for v in range(from_version, to_version + 1):
+    for v in reversed(chain):
         m = table._manifest(v)
         base = m["base"]
         new = table.read(spark, version=v)
