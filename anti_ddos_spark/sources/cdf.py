@@ -108,6 +108,15 @@ def _diff_rows(part: _ChangePartition):
     new = load(part.new_files)
     cols = part.fields
 
+    if not part.old_files:
+        # pure-insert partition (seed bucket, append-sink batch): no
+        # diff — emit every row verbatim. Load-bearing for append
+        # tables, whose rows are FACTS, not keyed entities: the keyed
+        # diff below would collapse repeated keys into one insert.
+        for r in new[cols].itertuples(index=False, name=None):
+            yield (*r, "I", part.version)
+        return
+
     def row_map(df: "pd.DataFrame") -> dict:
         return {
             r[cols.index(part.key)]: r
@@ -261,6 +270,17 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                 _ChangePartition(
                     v, self.key, self.fields, [], abs_(res["files"]),
                     self.pre,
+                )
+            ]
+        if "delta_append" in m:
+            # append-sink delta: the version's changes are EXACTLY the
+            # appended files — every row an insert, no diff against the
+            # base at all (falling through to the whole-table diff here
+            # would be O(table) per append batch)
+            return [
+                _ChangePartition(
+                    v, self.key, self.fields, [],
+                    abs_(m["delta_append"]["files_new"]), self.pre,
                 )
             ]
         base_res = t._resolved(base)

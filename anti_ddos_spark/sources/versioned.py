@@ -671,6 +671,9 @@ def foreach_batch_committer(
             files = table._write_data_dir(batch_df)
             created = os.path.dirname(files[0]) if files else None
             stats = _stats_for_files(table.root, files, stats_cols)
+            # recorded so the CDF reader (sources/cdf.py) can serve the
+            # table's schema without opening a data file
+            schema_json = batch_df.schema.jsonValue()
             if base is not None:
                 depth = table._manifest(base).get("delta_depth", 0)
                 if depth < MANIFEST_DELTA_DEPTH_MAX:
@@ -680,9 +683,10 @@ def foreach_batch_committer(
                     extra = {
                         "delta_append": payload,
                         "delta_depth": depth + 1,
+                        "schema": schema_json,
                     }
                     return None, extra, created
-            return files, None, created, stats
+            return files, {"schema": schema_json}, created, stats
 
         _retrying_publish(
             table, batch_id, build, "append", max_retries,

@@ -262,6 +262,55 @@ def test_cdf_max_versions_per_batch_bounds_each_trigger(spark, tmp_path):
     spark.catalog.dropTempView("cdf_capped")
 
 
+def test_cdf_over_append_sink_is_batch_bounded_and_keeps_duplicates(
+    spark, tmp_path
+):
+    """An append-sink table's changes are exactly the appended files —
+    the reader plans ONE insert partition per version reading NO old
+    files (falling through to a table diff would be O(table) per
+    batch), and append rows are FACTS: repeated keys must all survive
+    (the keyed diff would collapse them)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        foreach_batch_committer,
+    )
+
+    root = str(tmp_path / "tbla")
+    t = VersionedTable(root)
+    sink = foreach_batch_committer(t)
+    # batch 1 repeats k=1 twice; batch 2 repeats it again
+    sink(
+        spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], "k long, v string"
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(1, "c")], "k long, v string"), 1)
+    sink(spark.createDataFrame([(3, "d"), (3, "d")], "k long, v string"), 2)
+
+    rows = _run_stream(spark, root, start_version=-1, expect=6)
+    got = sorted((r["k"], r["v"], r["_op"], r["_version"]) for r in rows)
+    assert got == [
+        (1, "a", "I", 0), (1, "a", "I", 0), (1, "c", "I", 1),
+        (2, "b", "I", 0), (3, "d", "I", 2), (3, "d", "I", 2),
+    ]
+
+    # planning: each append version is one partition with NO old files
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType()),
+         StructField("_op", StringType()), StructField("_version", LongType())]
+    )
+    r = VersionedCdfStreamReader(
+        schema, {"root": root, "key": "k", "start_version": "0"}
+    )
+    parts = r.partitions({"version": 0}, {"version": 2})
+    assert len(parts) == 2
+    assert all(not p.old_files and p.new_files for p in parts)
+
+
 def test_cdf_compact_is_row_silent_and_rebucket_falls_back(spark, tmp_path):
     """A row-preserving compact emits zero changes through the
     whole-table fallback diff; the stream keeps going across it."""
