@@ -1413,6 +1413,100 @@ EXTRA_QUERIES["q132_layout_pruning"] = Query(
 )
 
 
+# --- q142: manifest-stats file skipping contract (round 10) ----------------
+
+def q142_manifest_skipping(spark: SparkSession, sf: str) -> DataFrame:
+    """The round-10 data-skipping feature as an oracle row: orders is
+    committed into a versioned table as 8 key-range-disjoint single-file
+    appends with per-file o_orderkey stats recorded in the manifest; a
+    selective read of exactly slice 3's range must (a) hand Spark
+    EXACTLY ONE file, decided from manifest stats alone — the skipping
+    contract, in-band booleans — and (b) return the same rows as the
+    relational filter, which the oracle recomputes straight from orders
+    (the conservative-pruning guarantee carried as VALUES, not just
+    flags). Slice width is integer-derived from max(o_orderkey) on both
+    engines: w = (max+7) // 8, slice i = [i·w+1, (i+1)·w]."""
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import VersionedTable
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    maxk = o.agg(F.max("o_orderkey")).collect()[0][0]
+    w = (maxk + 7) // 8
+    root = tempfile.mkdtemp(prefix="ad_skiptbl_")
+    tbl = VersionedTable(root)
+    for i in range(8):
+        tbl.commit(
+            o.filter(
+                (F.col("o_orderkey") >= i * w + 1)
+                & (F.col("o_orderkey") <= (i + 1) * w)
+            ).coalesce(1),
+            mode="append",
+            stats_cols=["o_orderkey"],
+        )
+    lo, hi = 3 * w + 1, 4 * w
+    filters = [("o_orderkey", ">=", lo), ("o_orderkey", "<=", hi)]
+    n_total = len(tbl._resolved(tbl.current_version())["files"])
+    kept, skipped = tbl.pruned_files(tbl.current_version(), filters)
+    sel = tbl.read(spark, filters=filters).filter(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    agg = sel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(cents).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    ).collect()[0]
+    n_opened = len(tbl.read(spark, filters=filters).inputFiles())
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                len(kept),
+                skipped,
+                bool(len(kept) == 1 and skipped == 7 and n_opened == 1),
+                agg["n_orders"],
+                agg["total_cents"],
+                agg["min_key"],
+                agg["max_key"],
+            )
+        ],
+        "n_files int, files_kept int, files_skipped int, "
+        "skip_contract_ok boolean, n_orders long, total_cents long, "
+        "min_key long, max_key long",
+    )
+
+
+Q142_SQL = """
+WITH w AS (SELECT (max(o_orderkey) + 7) // 8 AS w FROM orders),
+sel AS (
+  SELECT o.* FROM orders o, w
+  WHERE o.o_orderkey >= 3 * w.w + 1 AND o.o_orderkey <= 4 * w.w)
+SELECT 8 AS n_files, 1 AS files_kept, 7 AS files_skipped,
+       TRUE AS skip_contract_ok,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM sel
+"""
+
+EXTRA_QUERIES["q142_manifest_skipping"] = Query(
+    q142_manifest_skipping,
+    Q142_SQL,
+    "manifest-stats file skipping contract: 8 range-disjoint versioned "
+    "appends, a selective read opens exactly 1 file (in-band boolean) "
+    "and returns the relational filter's rows — rotation candidate "
+    "for r11",
+)
+
+
 # --- q135: bucketed streaming-CDC table state (round 8) --------------------
 
 # one live scratch root per sf — same lifecycle as q131
