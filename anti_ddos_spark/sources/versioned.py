@@ -519,6 +519,7 @@ class VersionedTable:
         spark: SparkSession,
         version: int | None = None,
         filters: list[tuple] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read: the file list is resolved from one manifest,
         so concurrent commits can't tear the scan. ``version=None``
@@ -528,7 +529,15 @@ class VersionedTable:
         via manifest-recorded stats BEFORE Spark sees any path —
         conservative (files without stats are kept), so it never
         changes which ROWS match; the caller still applies the actual
-        row filter to the returned frame."""
+        row filter to the returned frame.
+
+        ``merge_schema=True`` unions the schemas of all generations in
+        the snapshot (parquet mergeSchema): a table whose later appends
+        ADDED columns reads with the full schema and nulls for old
+        files — without it, Spark serves one file's schema and silently
+        drops the drifted columns (real table formats track schema per
+        version; here evolution is additive-by-merge, the parquet-native
+        contract)."""
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError("table has no committed version")
@@ -560,7 +569,10 @@ class VersionedTable:
             from pyspark.sql.types import StructType
 
             return spark.createDataFrame([], StructType.fromJson(sch))
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
 
 def _remove_data_dir(table: VersionedTable, new_files: list[str]) -> None:

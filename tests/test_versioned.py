@@ -831,3 +831,27 @@ def test_zorder_compact_records_stats_for_interleaved_cols(table):
     assert (
         sel.filter((F.col("k") >= 0) & (F.col("k") <= 99)).count() == 100
     )
+
+
+def test_read_merge_schema_unions_drifted_generations(table):
+    """Additive schema evolution through the snapshot read: a later
+    append ADDS a column; merge_schema=True serves the union schema
+    with nulls for pre-drift files (without it Spark takes one file's
+    schema and silently drops the drifted column); time travel to the
+    pre-drift version is unaffected."""
+    spark, t = table
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.commit(
+        spark.createDataFrame(
+            [(2, "b", 99)], "k long, v string, extra long"
+        ),
+        mode="append",
+    )
+    merged = t.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    rows = {r["k"]: r["extra"] for r in merged.collect()}
+    assert rows == {1: None, 2: 99}
+    # pre-drift version keeps its own (narrower) schema
+    assert set(t.read(spark, version=0, merge_schema=True).columns) == {
+        "k", "v",
+    }
