@@ -299,30 +299,61 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                 for b in d["touched"]
             ]
         res = t._resolved(v)
-        if (
-            res["bucket_files"]
-            and base_res["bucket_files"]
-            and m.get("n_buckets")
-            == t._manifest(base).get("n_buckets")
-        ):
-            # full manifest, same layout: diff buckets whose file
-            # lists changed (depth-cap materializations land here)
-            out = []
-            for b in sorted(
-                set(res["bucket_files"]) | set(base_res["bucket_files"])
-            ):
-                old_fs = base_res["bucket_files"].get(b, [])
-                new_fs = res["bucket_files"].get(b, [])
-                if old_fs != new_fs:
-                    out.append(
-                        _ChangePartition(
-                            v, self.key, self.fields,
-                            abs_(old_fs), abs_(new_fs), self.pre,
+        old_n = t._manifest(base).get("n_buckets")
+        new_n = m.get("n_buckets")
+        if res["bucket_files"] and base_res["bucket_files"]:
+            if new_n == old_n:
+                # full manifest, same layout: diff buckets whose file
+                # lists changed (depth-cap materializations land here)
+                out = []
+                for b in sorted(
+                    set(res["bucket_files"]) | set(base_res["bucket_files"])
+                ):
+                    old_fs = base_res["bucket_files"].get(b, [])
+                    new_fs = res["bucket_files"].get(b, [])
+                    if old_fs != new_fs:
+                        out.append(
+                            _ChangePartition(
+                                v, self.key, self.fields,
+                                abs_(old_fs), abs_(new_fs), self.pre,
+                            )
                         )
-                    )
-            return out
-        # layout change / unbucketed commit: whole-table diff (rare
-        # maintenance path; a row-preserving compact diffs to nothing)
+                return out
+            if old_n and new_n and max(old_n, new_n) % min(old_n, new_n) == 0:
+                # RE-BUCKET version (layout growth/shrink). buckets_for
+                # guarantees power-of-two layouts, so keys co-locate by
+                # residue mod g = min(old_n, new_n): a key in old
+                # bucket ob has hash ≡ ob (mod g) and lands in a new
+                # bucket nb ≡ ob (mod g) — grouping BOTH sides by
+                # residue gives g complete, disjoint diff partitions
+                # (each ~table/g bytes) instead of one whole-table
+                # partition an executor can't hold at scale.
+                g = min(old_n, new_n)
+                out = []
+                for r in range(g):
+                    old_fs = [
+                        f
+                        for b, fs in sorted(base_res["bucket_files"].items())
+                        if int(b) % g == r
+                        for f in fs
+                    ]
+                    new_fs = [
+                        f
+                        for b, fs in sorted(res["bucket_files"].items())
+                        if int(b) % g == r
+                        for f in fs
+                    ]
+                    if old_fs or new_fs:
+                        out.append(
+                            _ChangePartition(
+                                v, self.key, self.fields,
+                                abs_(old_fs), abs_(new_fs), self.pre,
+                            )
+                        )
+                return out
+        # unbucketed commit / non-divisible layouts: whole-table diff
+        # (rare maintenance path; a row-preserving compact diffs to
+        # nothing)
         return [
             _ChangePartition(
                 v, self.key, self.fields,

@@ -311,6 +311,70 @@ def test_cdf_over_append_sink_is_batch_bounded_and_keeps_duplicates(
     assert all(not p.old_files and p.new_files for p in parts)
 
 
+def test_cdf_rebucket_version_plans_residue_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """A layout-growth (re-bucket) version must NOT plan one
+    whole-table diff partition: power-of-two layouts co-locate keys by
+    residue mod min(old_n, new_n), so the reader plans g parallel
+    partitions — and the replayed changes still hash-match the batch
+    twin across the re-bucket."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from anti_ddos_spark.sources import versioned as V
+    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    monkeypatch.setattr(V, "CDC_TARGET_ROWS_PER_BUCKET", 1)
+    root = str(tmp_path / "tblr")
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(t, "k", seq_col="seq")  # policy mode
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(20)], SCHEMA
+        ),
+        0,
+    )
+    old_n = t._manifest(t.current_version())["n_buckets"]
+    # grow 5x past the 4x threshold, then the next batch re-buckets
+    sink(
+        spark.createDataFrame(
+            [(i, "b", "I", 1000 + i) for i in range(20, 700)], SCHEMA
+        ),
+        1,
+    )
+    sink(spark.createDataFrame([(3, "z", "U", 9999)], SCHEMA), 2)
+    m = t._manifest(t.current_version())
+    new_n = m["n_buckets"]
+    assert new_n > old_n and "files" in m  # the re-bucketing FULL commit
+
+    sch = StructType.fromJson(m["schema"])
+    full = StructType(
+        list(sch.fields)
+        + [StructField("_op", StringType()), StructField("_version", LongType())]
+    )
+    r = VersionedCdfStreamReader(
+        full, {"root": root, "key": "k", "start_version": "1"}
+    )
+    parts = r.partitions({"version": 1}, {"version": 2})
+    # residue planning: g = old_n partitions, never one table-wide diff
+    assert len(parts) == old_n
+    assert all(p.old_files and p.new_files for p in parts)
+
+    # and the replayed content is right across the re-bucket
+    want = _canon(
+        version_changes(spark, t, "k", 2, 2)
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert [w[:3] for w in want] == [(3, "z", "U")]
+    got = _canon(_run_stream(spark, root, start_version=1, expect=1))
+    assert got == want
+
+
 def test_cdf_compact_is_row_silent_and_rebucket_falls_back(spark, tmp_path):
     """A row-preserving compact emits zero changes through the
     whole-table fallback diff; the stream keeps going across it."""
