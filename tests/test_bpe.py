@@ -299,6 +299,47 @@ def test_capped_floor_one_is_exact_noop(spark):
     assert merges == bpe_learn_local(hist, num_merges=20)
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd01", min_size=1, max_size=7),
+        st.integers(min_value=1, max_value=30),
+        min_size=1,
+        max_size=16,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+def test_capped_certificate_theorem_hypothesis(words, floor):
+    """The mass-bound theorem, property-tested: whatever the corpus and
+    floor, (a) the certified PREFIX always equals the exact trainer's
+    prefix, and (b) a fully-certified run equals the exact merge list
+    outright. (Divergence beyond the certified prefix is allowed —
+    that's the point of the bound.)"""
+    from anti_ddos_spark.operators.bpe import _heap_trainer
+
+    rows = sorted(words.items())
+    kept = [(w, c) for w, c in rows if c >= floor]
+    dropped = [(w, c) for w, c in rows if c < floor]
+    m = sum(c * (len(w) - 1) for w, c in dropped)
+    exact = ref_learn(dict(rows), 10)
+    capped, margins, stop_reason = _heap_trainer(
+        kept, 10, 2, track_margins=True
+    )
+    if m == 0:
+        certified_prefix = len(capped)
+        certified = True
+    else:
+        certified_prefix = next(
+            (i for i, g in enumerate(margins) if g <= m), len(capped)
+        )
+        certified = (
+            certified_prefix == len(capped) and stop_reason == "num_merges"
+        )
+    assert capped[:certified_prefix] == exact[: certified_prefix]
+    if certified:
+        assert capped == exact
+
+
 def test_capped_min_count_stop_not_certified_with_dropped_mass(spark):
     """A min_count stop with dropped mass cannot be certified: the
     exact trainer might have continued on tail-carried pairs."""
