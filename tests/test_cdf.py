@@ -395,3 +395,55 @@ def test_cdf_compact_is_row_silent_and_rebucket_falls_back(spark, tmp_path):
     assert [w[:3] for w in want] == [(7, "z7", "U")]
     got = _canon(_run_stream(spark, root, start_version=3, expect=1))
     assert got == want
+
+
+def test_cdf_residue_planning_covers_every_file_exactly_once(tmp_path):
+    """Pure-planner property: for power-of-two layout changes, the
+    residue partitions cover every old file and every new file exactly
+    once (completeness + disjointness — with key co-location by the
+    hash-mod-g argument, this is the correctness of the re-bucket
+    replay). No Spark, no data: planning reads only manifests."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
+    from anti_ddos_spark.sources.versioned import VersionedTable
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", StringType()),
+         StructField("_op", StringType()), StructField("_version", LongType())]
+    )
+    for old_n, new_n in ((16, 64), (64, 16), (32, 32_768 // 512), (16, 4096)):
+        root = str(tmp_path / f"t_{old_n}_{new_n}")
+        t = VersionedTable(root)
+        old_bf = {
+            str(b): [f"data/d-old/b{b}-{j}.parquet" for j in range(1 + b % 3)]
+            for b in range(old_n)
+            if b % 5 != 1  # holes: some buckets empty
+        }
+        new_bf = {
+            str(b): [f"data/d-new/b{b}.parquet"]
+            for b in range(new_n)
+            if b % 7 != 2
+        }
+        t._publish(
+            [f for b in sorted(old_bf) for f in old_bf[b]], "overwrite",
+            None, extra={"bucket_files": old_bf, "n_buckets": old_n},
+        )
+        t._publish(
+            [f for b in sorted(new_bf) for f in new_bf[b]], "overwrite",
+            0, extra={"bucket_files": new_bf, "n_buckets": new_n},
+        )
+        r = VersionedCdfStreamReader(
+            schema, {"root": root, "key": "k", "start_version": "0"}
+        )
+        parts = r.partitions({"version": 0}, {"version": 1})
+        g = min(old_n, new_n)
+        assert len(parts) <= g
+        old_seen = [f for p in parts for f in p.old_files]
+        new_seen = [f for p in parts for f in p.new_files]
+        want_old = sorted(
+            f"{root}/{f}" for fs in old_bf.values() for f in fs
+        )
+        want_new = sorted(f"{root}/{f}" for fs in new_bf.values() for f in fs)
+        assert sorted(old_seen) == want_old  # exactly once each
+        assert sorted(new_seen) == want_new
