@@ -1447,23 +1447,16 @@ QUERIES["q139_streaming_bpe_tokens"] = EXTRA_QUERIES.pop("q139_streaming_bpe_tok
 
 # --- q140: streaming change-data-feed over the versioned table (round 10) --
 
-def q140_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
-    """The CONSUMER side of the CDC story (r9 verdict task #6): three
-    deterministic change batches (even-key order inserts; ×3 updates of
-    keys ≡4 mod 6 + deletes of keys ≡2 mod 6; odd ≡5 mod 10 inserts +
-    ×2 updates of keys ≡0 mod 6) are committed through the REAL
-    ``streaming_cdc_committer``, then the whole version chain is
-    replayed as a REAL stream through the ``versioned_cdf`` Python data
-    source (offsets = table versions, one diff partition per touched
-    bucket, executor-side Arrow diffs). The change rows — op, payload,
-    version stamp — aggregate per (version, op) and must hash-match the
-    static-SQL derivation of the same feed straight from ``orders``, so
-    a reader that replayed an orphan version, missed a touched bucket,
-    emitted a rewritten-but-unchanged row, or mis-stamped a version
-    breaks the hash."""
-    import shutil
-
-    from anti_ddos_spark.sources.cdf import register_cdf_source
+def _commit_cdc_orders_fixture(spark: SparkSession, sf: str, tmp: str, app_id: str):
+    """The shared 3-version CDC fixture behind q140 and q143: three
+    deterministic change batches over ``orders`` committed through the
+    REAL ``streaming_cdc_committer`` into a fresh versioned table under
+    ``tmp``. Batch 1 inserts every even key; batch 2 triples prices of
+    keys ≡4 (mod 6) and deletes keys ≡2 (mod 6); batch 3 inserts keys
+    ≡5 (mod 10) and doubles prices of keys ≡0 (mod 6). Every even key
+    is ≡{0,2,4} (mod 6), so the final snapshot is fully determined by
+    those residues — which is what makes the static-SQL oracles exact.
+    Returns the table root."""
     from anti_ddos_spark.sources.versioned import (
         VersionedTable,
         streaming_cdc_committer,
@@ -1507,16 +1500,38 @@ def q140_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("seq", F.col("o_orderkey") + 2_000_000)
     )
-    run_id = next(_counter)
-    tmp = tempfile.mkdtemp(prefix="q140_cdf_")
     root = os.path.join(tmp, "tbl")
     tbl = VersionedTable(root)
     sink = streaming_cdc_committer(
-        tbl, "o_orderkey", seq_col="seq", txn_app_id="q140"
+        tbl, "o_orderkey", seq_col="seq", txn_app_id=app_id
     )
     sink(b1, 0)
     sink(b2, 1)
     sink(b3, 2)
+    return root
+
+
+def q140_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """The CONSUMER side of the CDC story (r9 verdict task #6): three
+    deterministic change batches (even-key order inserts; ×3 updates of
+    keys ≡4 mod 6 + deletes of keys ≡2 mod 6; odd ≡5 mod 10 inserts +
+    ×2 updates of keys ≡0 mod 6) are committed through the REAL
+    ``streaming_cdc_committer``, then the whole version chain is
+    replayed as a REAL stream through the ``versioned_cdf`` Python data
+    source (offsets = table versions, one diff partition per touched
+    bucket, executor-side Arrow diffs). The change rows — op, payload,
+    version stamp — aggregate per (version, op) and must hash-match the
+    static-SQL derivation of the same feed straight from ``orders``, so
+    a reader that replayed an orphan version, missed a touched bucket,
+    emitted a rewritten-but-unchanged row, or mis-stamped a version
+    breaks the hash."""
+    import shutil
+
+    from anti_ddos_spark.sources.cdf import register_cdf_source
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q140_cdf_")
+    root = _commit_cdc_orders_fixture(spark, sf, tmp, "q140")
 
     register_cdf_source(spark)
     name = f"q140_cdf_{run_id}"
@@ -1587,4 +1602,132 @@ EXTRA_QUERIES["q140_streaming_cdf"] = Query(
     "stream (Python data source, offsets = versions, bucket-diff "
     "partitions) vs the static-SQL derivation of the same feed — "
     "rotation candidate for r11",
+)
+
+
+# --- q143: incremental view maintenance from the change feed (round 10) ----
+
+def q143_ivm_maintained_aggregate(spark: SparkSession, sf: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE — the classic downstream consumer of
+    a change data feed (Delta/Flink materialized views; Gupta & Mumick's
+    counting algorithm): a per-customer aggregate (order count + total
+    cents) is MAINTAINED from the CDF's signed deltas, never recomputed
+    from the snapshot.
+
+    The update-preimage feed (``U-``/``U+`` retraction pairs) makes
+    every change a signed contribution: I/U+ add (+1 row, +cents),
+    D/U- subtract. A streaming groupBy over those signed columns in
+    complete mode IS the maintained view — Spark's aggregation state
+    store plays the view table, and the arithmetic is exact because the
+    money axis is integer cents.
+
+    The run is deliberately split into THREE availableNow executions
+    sharing one checkpoint, run *i* pinning its end at chain version
+    *i* via ``max_version``: each run consumes exactly one table
+    version and RESUMES the aggregation state from the checkpoint, so
+    the final view provably accumulated across restarts (nothing was
+    recomputed from scratch — run 3 never saw versions 1-2's rows).
+    Groups whose membership retracts to zero (customers whose only
+    orders were deleted) drop out of the published view, exactly as
+    IVM deletes emptied groups.
+
+    The oracle recomputes the aggregate FROM THE FINAL SNAPSHOT
+    derivation over ``orders`` — the defining IVM equation: maintained
+    view ≡ view over current table state. A missed version, a replayed
+    orphan, a wrong sign on a retraction, or state lost between
+    restarts all break the hash.
+
+    At 100 TB: maintenance cost per trigger is O(changed rows), not
+    O(table) — the whole point; the view state is O(groups), sharded by
+    the aggregation's own hash exchange across the cluster.
+    """
+    import shutil
+
+    from anti_ddos_spark.sources.cdf import register_cdf_source
+    from anti_ddos_spark.sources.versioned import VersionedTable
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q143_ivm_")
+    root = _commit_cdc_orders_fixture(spark, sf, tmp, "q143")
+    tbl = VersionedTable(root)
+    chain: list[int] = []
+    v = tbl.current_version()
+    while v is not None:
+        chain.append(v)
+        v = tbl._manifest(v)["base"]
+    chain.reverse()  # oldest committed version first
+
+    register_cdf_source(spark)
+    sign = F.when(F.col("_op").isin("I", "U+"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    name = None
+    for i, end_version in enumerate(chain):
+        name = f"q143_ivm_{run_id}_{i}"
+        view = (
+            spark.readStream.format("versioned_cdf")
+            .option("root", root)
+            .option("key", "o_orderkey")
+            .option("start_version", -1)
+            .option("update_preimage", "true")
+            .option("max_version", str(end_version))
+            .load()
+            .withColumn("_sign", sign)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("_sign").alias("n_orders"),
+                F.sum(F.col("_sign") * cents).alias("total_cents"),
+            )
+            .filter(F.col("n_orders") != 0)
+        )
+        q = (
+            view.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(240)
+        if not finished:
+            q.stop()
+            q.awaitTermination(60)
+            raise RuntimeError(
+                f"q143 IVM run {i} did not finish its availableNow pass "
+                "in 240 s"
+            )
+        if i < len(chain) - 1:
+            spark.catalog.dropTempView(name)
+    out = spark.table(name)
+    rows = out.collect()
+    _finish_stream_run(spark, tmp, name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+Q143_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_totalprice * 2 AS p
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice * 3 AS p
+  FROM orders WHERE o_orderkey % 6 = 4
+  UNION ALL
+  SELECT o_custkey, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 10 = 5)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM snap GROUP BY o_custkey
+"""
+
+EXTRA_QUERIES["q143_ivm_maintained_aggregate"] = Query(
+    q143_ivm_maintained_aggregate,
+    Q143_SQL,
+    "incremental view maintenance: a per-customer aggregate maintained "
+    "from the change feed's signed retraction deltas across three "
+    "checkpoint-resumed capped runs, vs the oracle recomputing the view "
+    "from the final snapshot derivation — rotation candidate for r11",
 )

@@ -192,31 +192,61 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         # whole backlog in one transaction — checkpoint recovery then
         # re-does ALL of it on failure). 0 = unbounded.
         self.max_versions = int(options.get("max_versions_per_batch", 0))
-        self._last_planned = self.start_version
+        # pin the replay's END at a fixed version (inclusive): bounded
+        # replay — "changes up to release vN" — and the restart-safe
+        # way to consume a chain one known slice at a time (q143).
+        mv = options.get("max_version")
+        self.max_version = None if mv is None else int(mv)
+        # Cap baseline: the newest version this reader incarnation has
+        # planned or committed. None until initialOffset/partitions/
+        # commit establishes it — a RESTARTED reader (Spark skips
+        # initialOffset when the checkpoint has offsets) must NOT cap
+        # its first latestOffset against start_version: the checkpoint
+        # may be far past it, and returning an older version than the
+        # last committed offset would REGRESS the WAL and re-deliver
+        # versions (duplicate changes — fatal for IVM consumers).
+        self._baseline: int | None = None
 
     # -- offsets: table versions ----------------------------------------
 
     def initialOffset(self) -> dict:
+        self._baseline = self.start_version
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         cur = self.table.current_version()
         if cur is None:
             return {"version": self.start_version}
-        if self.max_versions > 0:
+        if self.max_version is not None and cur > self.max_version:
+            cur = self.max_version
+        if self.max_versions > 0 and self._baseline is not None:
             # admission control: advance at most N chain steps past the
-            # last offset this reader handed out (committed chain ==
-            # contiguous manifest numbers between its endpoints is NOT
-            # guaranteed — orphans — so cap by walking the chain)
-            chain = self._chain_between(self._last_planned, cur)
+            # newest offset this reader incarnation has planned
+            # (committed chain == contiguous manifest numbers between
+            # its endpoints is NOT guaranteed — orphans — so cap by
+            # walking the chain). A restarted reader has no baseline
+            # until its first batch: it drains the backlog uncapped
+            # rather than risk regressing the checkpointed offset.
+            chain = self._chain_between(self._baseline, cur)
             if len(chain) > self.max_versions:
                 cur = chain[self.max_versions - 1]
-        self._last_planned = max(self._last_planned, cur)
+        if self._baseline is not None:
+            cur = max(cur, self._baseline)
+        self._baseline = cur
         return {"version": cur}
 
     # -- planning: one partition per (version, touched bucket) -----------
 
     def partitions(self, start: dict, end: dict):
+        if end["version"] < start["version"]:
+            # a max_version pinned BEHIND the checkpoint offset cannot
+            # be served without regressing the WAL — fail loudly
+            raise ValueError(
+                f"end version {end['version']} is behind the checkpoint "
+                f"offset {start['version']} (max_version too old?)"
+            )
+        base = start["version"] if self._baseline is None else self._baseline
+        self._baseline = max(base, end["version"])
         out = []
         for v in self._chain_between(start["version"], end["version"]):
             out.extend(self._version_partitions(v))
@@ -367,7 +397,10 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         return _diff_rows(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are table versions; nothing to clean up
+        # offsets are table versions; nothing to clean up — but the
+        # committed offset is the strongest cap baseline available
+        if self._baseline is None or end["version"] > self._baseline:
+            self._baseline = end["version"]
 
     def stop(self) -> None:
         pass
@@ -382,17 +415,34 @@ class VersionedCdfDataSource(DataSource):
     AFTER it are delivered. Default: the live version at query start,
     i.e. only future commits. ``-1`` replays from the seed),
     ``max_versions_per_batch`` (cap one micro-batch at N chain
-    versions — backlog admission control; 0/absent = unbounded).
+    versions — backlog admission control; 0/absent = unbounded),
+    ``max_version`` (pin the replay's END at a fixed version,
+    inclusive — bounded replay, "changes up to release vN").
 
     Cap semantics per trigger kind: under a continuous trigger
     (processingTime) the query drains the backlog N versions per
     micro-batch until caught up (proved in tests/test_cdf.py). Under
     ``availableNow`` Spark snapshots ONE latestOffset as the run's end,
-    so a capped run delivers at most N versions and terminates — with a
-    checkpoint, repeated runs resume and catch up N per run (bounded
-    catch-up); an UNCAPPED availableNow replay delivers the whole
-    chain in one batch. Pick the cap for live tailing, omit it for
-    replay."""
+    so a capped run delivers at most N versions and terminates; an
+    UNCAPPED availableNow replay delivers the whole chain in one batch.
+    Pick the cap for live tailing, omit it for replay.
+
+    Restart semantics: offsets never regress. The per-batch cap's
+    baseline is this reader INCARNATION's newest planned offset; until
+    one exists, latestOffset returns the live head UNCAPPED. That means
+    the FIRST micro-batch of an incarnation (fresh start or restart)
+    may drain the whole backlog: the Python data source API has no
+    ``SupportsAdmissionControl`` hook, so the reader cannot see the
+    checkpoint offset before its first latestOffset — and capping
+    against any GUESS (e.g. ``start_version``) can hand Spark an offset
+    older than the checkpoint, regress the WAL, and re-deliver versions
+    (duplicate changes — fatal for incremental-view consumers; proved
+    hazardous in tests/test_cdf.py's restart test). The cap therefore
+    governs the STEADY STATE of a live tailing query — commits that
+    land while it runs drain N versions per batch. For deterministic
+    bounded consumption ACROSS restarts, pin each run's end with
+    ``max_version`` (q143 does exactly this); a ``max_version`` behind
+    the checkpoint offset fails loudly instead of regressing."""
 
     @classmethod
     def name(cls) -> str:

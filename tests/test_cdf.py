@@ -218,13 +218,23 @@ def test_cdf_update_preimage_supports_incremental_maintenance(
 
 
 def test_cdf_max_versions_per_batch_bounds_each_trigger(spark, tmp_path):
-    """Backlog admission control: with max_versions_per_batch=1 a
-    continuous-trigger query drains the 4-version backlog one version
-    per micro-batch — same total rows, bounded transactions (a
-    long-idle consumer must not replay its whole backlog in one
-    commit)."""
+    """Backlog admission control in the LIVE-TAILING steady state: a
+    capped (max_versions_per_batch=1) continuous query catches up with
+    the seed, then three versions committed WHILE IT RUNS drain one
+    version per micro-batch — bounded transactions. (The first batch of
+    an incarnation is uncapped by design: the Python source API cannot
+    see the checkpoint offset before its first latestOffset, and
+    capping against a guess can regress the WAL — see the restart
+    test.)"""
     root = str(tmp_path / "tblc")
-    t = _build_table(spark, root)
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=16)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(40)], SCHEMA
+        ),
+        0,
+    )
     register_cdf_source(spark)
     q = (
         spark.readStream.format("versioned_cdf")
@@ -242,6 +252,26 @@ def test_cdf_max_versions_per_batch_bounds_each_trigger(spark, tmp_path):
         deadline = time.time() + 120
         while (
             time.time() < deadline
+            and spark.table("cdf_capped").count() < 40
+        ):
+            time.sleep(1)
+        # the consumer is caught up; now a 3-version backlog lands
+        sink(
+            spark.createDataFrame(
+                [(3, "u3", "U", 100), (17, "u17", "U", 101)], SCHEMA
+            ),
+            1,
+        )
+        sink(
+            spark.createDataFrame(
+                [(5, None, "D", 200), (99, "v99", "I", 201)], SCHEMA
+            ),
+            2,
+        )
+        sink(spark.createDataFrame([(17, "w17", "U", 300)], SCHEMA), 3)
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline
             and spark.table("cdf_capped").count() < 45
         ):
             time.sleep(1)
@@ -251,15 +281,124 @@ def test_cdf_max_versions_per_batch_bounds_each_trigger(spark, tmp_path):
     rows = spark.table("cdf_capped").collect()
     assert len(rows) == 45
     sizes = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"]]
-    # one version per non-empty batch: the seed's 40 inserts, then
-    # 2, 2, 1 for versions 1-3
-    assert sizes[0] == 40 and len(sizes) >= 4
+    # the backlog drained one version per non-empty batch: after the
+    # catch-up batches, the tail must be the per-version sizes 2, 2, 1
+    # (never a single 5-row batch swallowing versions 1-3)
+    assert sizes[0] == 40
+    assert [s for s in sizes[1:] if s] == [2, 2, 1]
     assert _canon(rows) == _canon(
         version_changes(spark, t, "k", 0, 3)
         .select("k", "v", "_op", "_version")
         .collect()
     )
     spark.catalog.dropTempView("cdf_capped")
+
+
+def test_cdf_max_version_pins_bounded_replay_across_runs(spark, tmp_path):
+    """``max_version`` pins each run's END at a fixed version — the
+    restart-safe way to consume a chain one known slice at a time:
+    four availableNow runs sharing one checkpoint, run *i* pinned at
+    chain version *i*, each deliver exactly that version's changes and
+    the union equals the full replay."""
+    root = str(tmp_path / "tblmv")
+    t = _build_table(spark, root)
+    register_cdf_source(spark)
+    chain: list[int] = []
+    v = t.current_version()
+    while v is not None:
+        chain.append(v)
+        v = t._manifest(v)["base"]
+    chain.reverse()
+    ckpt = str(tmp_path / "ckpt_mv")
+    out = str(tmp_path / "out_mv")
+    per_run = []
+    seen = 0
+    for end_v in chain:
+        q = (
+            spark.readStream.format("versioned_cdf")
+            .option("root", root)
+            .option("key", "k")
+            .option("start_version", -1)
+            .option("max_version", str(end_v))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+        rows = spark.read.parquet(out).collect()
+        new = [r for r in rows if r["_version"] > (chain[len(per_run) - 1] if per_run else -1)]
+        per_run.append(new)
+        seen = len(rows)
+    assert seen == 45
+    assert [len(r) for r in per_run] == [40, 2, 2, 1]
+    for rows, end_v in zip(per_run, chain):
+        assert {r["_version"] for r in rows} == {end_v}
+    got = _canon([r for rows in per_run for r in rows])
+    want = _canon(
+        version_changes(spark, t, "k", 0, 3)
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert got == want
+
+
+def test_cdf_capped_reader_restart_never_regresses_offsets(spark, tmp_path):
+    """A RESTARTED capped reader (Spark skips initialOffset when the
+    checkpoint already has offsets) must not cap latestOffset against
+    its configured start_version: that would hand Spark a version OLDER
+    than the checkpoint offset, regress the WAL and re-deliver versions
+    (duplicate changes — fatal for IVM consumers). A fresh incarnation
+    drains its backlog uncapped; the cap re-engages once the
+    incarnation has a planned/committed baseline."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
+
+    root = str(tmp_path / "tblrs")
+    t = _build_table(spark, root)
+    schema = StructType.fromJson(t._manifest(t.current_version())["schema"])
+    full = StructType(
+        list(schema.fields)
+        + [
+            StructField("_op", StringType()),
+            StructField("_version", LongType()),
+        ]
+    )
+    opts = {
+        "root": root,
+        "key": "k",
+        "start_version": "-1",
+        "max_versions_per_batch": "1",
+    }
+    # fresh-checkpoint incarnation: initialOffset establishes the
+    # baseline, so the cap engages from the first batch
+    r1 = VersionedCdfStreamReader(full, dict(opts))
+    assert r1.initialOffset() == {"version": -1}
+    assert r1.latestOffset() == {"version": 0}
+    # restarted incarnation: no initialOffset call; the checkpoint
+    # offset (2) is unknown to the reader — latestOffset must return
+    # the live head, not start_version's capped successor (0)
+    r2 = VersionedCdfStreamReader(full, dict(opts))
+    assert r2.latestOffset() == {"version": 3}
+    parts = r2.partitions({"version": 2}, {"version": 3})
+    assert all(p.version == 3 for p in parts)
+    # with a baseline established, the cap re-engages and never regresses
+    r2.commit({"version": 3})
+    assert r2.latestOffset() == {"version": 3}
+    # an end behind the start fails loudly instead of regressing the WAL
+    with pytest.raises(ValueError, match="behind the checkpoint"):
+        r2.partitions({"version": 3}, {"version": 1})
 
 
 def test_cdf_over_append_sink_is_batch_bounded_and_keeps_duplicates(
