@@ -1507,6 +1507,94 @@ EXTRA_QUERIES["q142_manifest_skipping"] = Query(
 )
 
 
+# --- q144: CDC-key point-lookup contract (round 10) -------------------------
+
+def q144_point_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Point lookups on a key-hash CDC table open ONLY the owning
+    buckets' files — the lookup path min/max stats can never serve (a
+    hash layout's per-file key ranges are all wide). Even-key orders
+    are committed through the REAL ``streaming_cdc_committer`` into a
+    64-bucket layout; the 5 smallest even keys (derived identically in
+    both engines) are looked up via ``read_point``, whose key→bucket
+    routing evaluates the committer's own xxhash64 expression on the
+    lookup literals. In-band boolean: the files Spark actually opened
+    are exactly the owning buckets' manifest entries and a strict
+    subset of the table; the payload rows are value-checked against the
+    oracle's relational lookup straight from ``orders``. At 100 TB
+    with 1024 buckets a single-key lookup reads ~0.1 % of the table."""
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    even = o.filter(F.col("o_orderkey") % 2 == 0)
+    keys = [
+        r[0]
+        for r in even.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .collect()
+    ]
+    root = tempfile.mkdtemp(prefix="ad_pointtbl_")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", n_buckets=64, txn_app_id="q144"
+    )
+    sink(even.withColumn("op", F.lit("I")), 0)
+
+    got = tbl.read_point(spark, keys)
+    key_col, by_bucket = tbl.key_buckets(spark, keys)
+    res = tbl._resolved(tbl.current_version())
+    allowed = {
+        f for b in by_bucket for f in res["bucket_files"].get(b, [])
+    }
+    opened = {
+        os.path.relpath(f.replace("file:", ""), root)
+        for f in got.inputFiles()
+    }
+    ok = bool(
+        key_col == "o_orderkey"
+        and opened == allowed
+        and len(opened) < len(res["files"])
+        and len(by_bucket) <= len(keys)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    out = got.select(
+        "o_orderkey",
+        "o_custkey",
+        cents.alias("total_cents"),
+        F.lit(ok).alias("bucket_bounded_ok"),
+    )
+    rows = out.collect()
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+Q144_SQL = """
+WITH keys AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey LIMIT 5)
+SELECT o.o_orderkey, o.o_custkey,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       TRUE AS bucket_bounded_ok
+FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+"""
+
+EXTRA_QUERIES["q144_point_lookup"] = Query(
+    q144_point_lookup,
+    Q144_SQL,
+    "CDC-key point-lookup contract: read_point serves exactly the "
+    "owning hash buckets' files (in-band boolean) and returns the "
+    "relational lookup's rows — rotation candidate for r11",
+)
+
+
 # --- q135: bucketed streaming-CDC table state (round 8) --------------------
 
 # one live scratch root per sf — same lifecycle as q131

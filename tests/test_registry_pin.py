@@ -128,6 +128,7 @@ FULL_SET = ['q01_pricing_summary',
  'q141_text_recall_contract',
  'q142_manifest_skipping',
  'q143_ivm_maintained_aggregate',
+ 'q144_point_lookup',
  'q14_string_ops',
  'q15_datetime_agg',
  'q16_json_extract',

@@ -855,3 +855,112 @@ def test_read_merge_schema_unions_drifted_generations(table):
     assert set(t.read(spark, version=0, merge_schema=True).columns) == {
         "k", "v",
     }
+
+
+def test_point_lookup_reads_only_owning_buckets(table):
+    """Point lookup on the CDC key serves ONLY the owning buckets'
+    files: the key→bucket routing is the committer's own xxhash64
+    expression evaluated on the lookup literals, so the manifest alone
+    names the files — no stat could do this in a hash layout (per-file
+    key ranges are all wide)."""
+    from anti_ddos_spark.sources.versioned import streaming_cdc_committer
+
+    spark, t = table
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=16)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(400)],
+            "k long, v string, op string, seq long",
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(7, "u7", "U", 1000), (250, None, "D", 1001)],
+            "k long, v string, op string, seq long",
+        ),
+        1,
+    )
+    res = t._resolved(t.current_version())
+    n_total = len(res["files"])
+    assert n_total >= 16  # one file per non-empty bucket minimum
+
+    # single-key lookup: result parity + opens exactly one bucket
+    got = t.read_point(spark, [7])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(7, "u7")]
+    kb = t.key_buckets(spark, [7])
+    assert kb is not None
+    key_col, by_bucket = kb
+    assert key_col == "k" and len(by_bucket) == 1
+    bucket = next(iter(by_bucket))
+    opened = {os.path.relpath(f.replace("file:", ""), t.root)
+              for f in got.inputFiles()}
+    assert opened == set(res["bucket_files"][bucket])
+    assert len(opened) < n_total
+
+    # deleted key: empty result, still bucket-bounded
+    assert t.read_point(spark, [250]).count() == 0
+
+    # multi-key lookup spans at most len(values) buckets
+    vals = [1, 2, 3]
+    got3 = t.read_point(spark, vals)
+    assert sorted(r["k"] for r in got3.collect()) == vals
+    kb3 = t.key_buckets(spark, vals)
+    assert kb3 is not None and len(kb3[1]) <= 3
+    opened3 = {os.path.relpath(f.replace("file:", ""), t.root)
+               for f in got3.inputFiles()}
+    allowed = {
+        f for b in kb3[1] for f in res["bucket_files"].get(b, [])
+    }
+    assert opened3 <= allowed
+
+    # parity with the full-scan filter on a sample
+    full = {
+        (r["k"], r["v"])
+        for r in t.read(spark).filter(F.col("k").isin([1, 2, 3, 7])).collect()
+    }
+    point = {
+        (r["k"], r["v"])
+        for r in t.read_point(spark, [1, 2, 3, 7]).collect()
+    }
+    assert point == full
+
+    # time travel: the pre-update version still serves the old row
+    v0 = 0
+    old = t.read_point(spark, [7], version=v0).collect()
+    assert [(r["k"], r["v"]) for r in old] == [(7, "v7")]
+
+
+def test_point_lookup_falls_back_on_unbucketed_versions(table):
+    """Plain commits have no bucket layout: read_point falls back to a
+    filtered full read (explicit key required — no cdc_key recorded)
+    and returns identical rows. After a compact (unbucketed manifest),
+    the CHAIN still carries cdc_key, and the fallback engages because
+    the resolved snapshot has no bucket layout."""
+    from anti_ddos_spark.sources.versioned import (
+        compact,
+        streaming_cdc_committer,
+    )
+
+    spark, t = table
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    with pytest.raises(ValueError, match="cdc_key"):
+        t.read_point(spark, [1])
+    got = t.read_point(spark, [1], key="k").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, "a")]
+
+    sink = streaming_cdc_committer(t, "k", n_buckets=16)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I") for i in range(50)],
+            "k long, v string, op string",
+        ),
+        0,
+    )
+    assert [(r["k"], r["v"]) for r in t.read_point(spark, [30]).collect()] \
+        == [(30, "v30")]
+    compact(t, spark, n_files=2)
+    # unbucketed compact: fallback path, cdc_key from the chain
+    assert t.key_buckets(spark, [30]) is None
+    assert [(r["k"], r["v"]) for r in t.read_point(spark, [30]).collect()] \
+        == [(30, "v30")]
