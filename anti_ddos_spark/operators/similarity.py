@@ -462,6 +462,153 @@ def ivf_build_index(
             _json.dump({"membership_nprobe": membership_nprobe}, f)
 
 
+def _read_index_layout(spark, path: str):
+    """(centroids df, membership_nprobe) for a materialized index —
+    the k-row sidecar plus the duplicated-postings marker."""
+    import json as _json
+    import os as _os
+
+    cents = spark.read.parquet(path + "_centroids").withColumnRenamed(
+        "cvec_d", "cvec"
+    )
+    nprobe = 1
+    if _os.path.exists(path + "_layout.json"):
+        with open(path + "_layout.json") as f:
+            nprobe = int(_json.load(f).get("membership_nprobe", 1))
+    return cents, nprobe
+
+
+def _assign_cells(
+    vectors: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The ONE definition of index assignment (build/append/apply all
+    route through it): top-``nprobe`` max-cosine cells per vector via a
+    broadcast crossJoin + per-id window — payload columns ride through;
+    emits ``centroid_id`` (+ ``is_primary`` when nprobe > 1)."""
+    from pyspark.sql import Window as W
+
+    emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "_ccos", cosine(F.col("_e"), F.col("cvec"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= nprobe
+    )
+    if nprobe == 1:
+        return ranked.select(
+            *vectors.columns, F.col("cid").alias("centroid_id")
+        )
+    return ranked.select(
+        *vectors.columns,
+        (F.col("_rn") == 1).alias("is_primary"),
+        F.col("cid").alias("centroid_id"),
+    )
+
+
+def ivf_apply_changes(
+    changes: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "_op",
+) -> list[str]:
+    """Maintain a materialized IVF index from a CHANGE FEED — the
+    update/delete half of the incremental story (``ivf_append_index``
+    covers pure inserts): a 100 TB vector index is never rebuilt for a
+    0.1 % daily delta, and unlike appends, updates and deletes must
+    touch the cells the OLD vector lived in.
+
+    ``changes`` is retraction-form rows (the shape
+    ``versioned_cdf ... update_preimage=true`` emits): ``I`` inserts /
+    ``U+`` new images carry the vector to ADD; ``D`` deletes / ``U-``
+    old images carry the vector whose postings must be REMOVED. The
+    old vector is all that's needed to find the stale postings —
+    assignment is a deterministic function of (vector, centroids), so
+    re-assigning the preimage names exactly the cells holding them; no
+    scan of the index ever happens.
+
+    Cost: O(touched cells' data + batch). Removals and additions are
+    assigned in one pass each; the union of their cells is rewritten
+    via DYNAMIC partition overwrite (untouched cells keep their
+    inodes — proved in tests), and a cell emptied by the batch has its
+    directory dropped. Duplicated-postings layouts (``_layout.json``)
+    are maintained with matching rank-≤N postings on both the remove
+    and add side. Returns the touched centroid_id values (bounded by
+    k) so callers can log/verify the rewrite scope.
+
+    Parity contract (unit-proved): after any I/U/D batch the index
+    equals a full rebuild from the post-change corpus against the same
+    sidecar centroids — content, cell placement and is_primary flags.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    spark = changes.sparkSession
+    cents, nprobe = _read_index_layout(spark, path)
+    payload_cols = [
+        c for c in changes.columns if c != op_col
+    ]
+    adds = changes.filter(F.col(op_col).isin("I", "U+")).select(*payload_cols)
+    drops = changes.filter(F.col(op_col).isin("D", "U-")).select(*payload_cols)
+    assigned_adds = _assign_cells(adds, cents, nprobe, id_col, vec_col)
+    assigned_drops = _assign_cells(
+        drops, cents, nprobe, id_col, vec_col
+    ).select(F.col(id_col).alias("_drop_id"), "centroid_id")
+    # touched cells: bounded collect (≤ k values, k is small by design)
+    touched = sorted(
+        {
+            str(r[0])
+            for r in assigned_adds.select("centroid_id")
+            .union(assigned_drops.select("centroid_id"))
+            .distinct()
+            .collect()
+        }
+    )
+    if not touched:
+        return []
+    old = spark.read.option("basePath", path).parquet(
+        *[f"{path}/centroid_id={c}" for c in touched
+          if _os.path.isdir(f"{path}/centroid_id={c}")]
+    ) if any(
+        _os.path.isdir(f"{path}/centroid_id={c}") for c in touched
+    ) else None
+    if old is not None:
+        kept = old.join(
+            assigned_drops,
+            (old[id_col] == assigned_drops["_drop_id"])
+            & (old["centroid_id"] == assigned_drops["centroid_id"]),
+            "left_anti",
+        )
+        merged = kept.unionByName(assigned_adds)
+    else:
+        merged = assigned_adds
+    # surviving-cell set BEFORE the write (evaluating merged afterwards
+    # would re-read the very partitions the overwrite just replaced)
+    merged_cells = {
+        str(r[0])
+        for r in merged.select("centroid_id").distinct().collect()
+    }
+    # one hash exchange on the cell id → one file per touched cell
+    if merged_cells:
+        (
+            merged.repartition("centroid_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("centroid_id")
+            .parquet(path)
+        )
+    # dynamic overwrite writes nothing for a cell the batch EMPTIED —
+    # its stale files must go explicitly
+    for c in set(touched) - merged_cells:
+        _shutil.rmtree(f"{path}/centroid_id={c}", ignore_errors=True)
+    return touched
+
+
 def ivf_append_index(
     vectors_new: DataFrame,
     path: str,
@@ -485,37 +632,9 @@ def ivf_append_index(
     postings (rank ≤ N + is_primary) — without that, appended rows
     would carry a null is_primary and silently vanish from the dedup's
     primary side."""
-    import json as _json
-    import os as _os
-
     spark = vectors_new.sparkSession
-    cents = spark.read.parquet(path + "_centroids").withColumnRenamed(
-        "cvec_d", "cvec"
-    )
-    nprobe = 1
-    if _os.path.exists(path + "_layout.json"):
-        with open(path + "_layout.json") as f:
-            nprobe = int(_json.load(f).get("membership_nprobe", 1))
-    emb = vectors_new.withColumn("_e", as_double(F.col(vec_col)))
-    from pyspark.sql import Window as W
-
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "_ccos", cosine(F.col("_e"), F.col("cvec"))
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= nprobe
-    )
-    if nprobe == 1:
-        assigned = ranked.select(
-            *vectors_new.columns, F.col("cid").alias("centroid_id")
-        )
-    else:
-        assigned = ranked.select(
-            *vectors_new.columns,
-            (F.col("_rn") == 1).alias("is_primary"),
-            F.col("cid").alias("centroid_id"),
-        )
+    cents, nprobe = _read_index_layout(spark, path)
+    assigned = _assign_cells(vectors_new, cents, nprobe, id_col, vec_col)
     (
         assigned.repartition("centroid_id")
         .write.mode("append")

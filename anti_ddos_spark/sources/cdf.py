@@ -108,13 +108,22 @@ def _diff_rows(part: _ChangePartition):
     new = load(part.new_files)
     cols = part.fields
 
+    def emit(row: tuple, op: str) -> tuple:
+        # numpy arrays (Arrow list columns) → plain lists so the rows
+        # serialize through the Python data source's row converter
+        return (
+            *(v.tolist() if hasattr(v, "tolist") else v for v in row),
+            op,
+            part.version,
+        )
+
     if not part.old_files:
         # pure-insert partition (seed bucket, append-sink batch): no
         # diff — emit every row verbatim. Load-bearing for append
         # tables, whose rows are FACTS, not keyed entities: the keyed
         # diff below would collapse repeated keys into one insert.
         for r in new[cols].itertuples(index=False, name=None):
-            yield (*r, "I", part.version)
+            yield emit(r, "I")
         return
 
     def row_map(df: "pd.DataFrame") -> dict:
@@ -125,12 +134,24 @@ def _diff_rows(part: _ChangePartition):
 
     o, n = row_map(old), row_map(new)
 
+    def norm(v):
+        # array/map payload columns arrive as numpy arrays / lists from
+        # Arrow — normalize to tuples so equality is element-wise and
+        # never hits numpy's ambiguous truthiness (embedding tables are
+        # CDC tables too)
+        if hasattr(v, "tolist"):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
+        return v
+
     def same(a: tuple, b: tuple) -> bool:
         for x, y in zip(a, b):
             if x is y:
                 continue
+            x, y = norm(x), norm(y)
             # NaN-safe equality (pandas renders SQL NULL as NaN/None)
-            if (x != x) and (y != y):  # both NaN
+            if (x != x) and (y != y):  # both NaN (never true for tuples)
                 continue
             if x is None or y is None or x != y:
                 return False
@@ -138,18 +159,18 @@ def _diff_rows(part: _ChangePartition):
 
     for k in sorted(set(o) | set(n), key=repr):
         if k in o and k not in n:
-            yield (*o[k], "D", part.version)
+            yield emit(o[k], "D")
         elif k in n and k not in o:
-            yield (*n[k], "I", part.version)
+            yield emit(n[k], "I")
         elif not same(o[k], n[k]):
             if part.update_preimage:
                 # retraction form (real CDFs emit it optionally): the
                 # old row as 'U-' and the new as 'U+' — what downstream
                 # incremental aggregation needs to subtract/add
-                yield (*o[k], "U-", part.version)
-                yield (*n[k], "U+", part.version)
+                yield emit(o[k], "U-")
+                yield emit(n[k], "U+")
             else:
-                yield (*n[k], "U", part.version)
+                yield emit(n[k], "U")
 
 
 def _table_schema(root: str) -> StructType:

@@ -226,3 +226,269 @@ def test_search_over_duplicated_postings_dedups_ids(spark, tmp_path):
         key=lambda t: (-t[1], t[0]),
     )[:4]
     assert got == want
+
+
+def test_apply_changes_matches_full_rebuild_and_bounds_rewrite(
+    spark, tmp_path
+):
+    """CDC maintenance of the index: one retraction-form batch (inserts,
+    updates that MOVE cells, deletes) applied via ivf_apply_changes must
+    leave the index content-identical to a full rebuild from the
+    post-change corpus against the same sidecar centroids — and must
+    rewrite ONLY the touched cells (untouched cells keep their files)."""
+    import os
+
+    from anti_ddos_spark.operators.similarity import ivf_apply_changes
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_cdc")
+    ivf_build_index(
+        emb, path, n_centroids=8, centroids="data", membership_nprobe=1
+    )
+    cents = [
+        [float(x) for x in r["cvec_d"]]
+        for r in spark.read.parquet(path + "_centroids")
+        .orderBy("cid")
+        .collect()
+    ]
+
+    def cell_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("centroid_id="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = cell_files()
+
+    # a small batch (the realistic delta shape): 2 deletes, 2 updates
+    # that take a NEIGHBORING row's vector (usually a different cell),
+    # 2 inserts — few enough vector-cell touches that most of the 8
+    # cells stay untouched
+    dele = emb.filter(F.col("vec_id").isin([30, 199]))
+    upd_old = emb.filter(F.col("vec_id").isin([55, 310]))
+    nxt = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("embedding").alias("new_emb"),
+    )
+    upd_new = upd_old.join(nxt, "vec_id").select(
+        "vec_id", F.col("new_emb").alias("embedding")
+    )
+    maxid = emb.agg(F.max("vec_id")).collect()[0][0]
+    ins = (
+        emb.filter(
+            (F.col("vec_id") >= 100) & (F.col("vec_id") <= 101)
+        ).select(
+            (F.col("vec_id") + maxid + 1 - 100).alias("vec_id"),
+            "embedding",
+        )
+    )
+    changes = (
+        dele.withColumn("_op", F.lit("D"))
+        .unionByName(upd_old.withColumn("_op", F.lit("U-")))
+        .unionByName(upd_new.withColumn("_op", F.lit("U+")))
+        .unionByName(ins.withColumn("_op", F.lit("I")))
+    )
+    touched = ivf_apply_changes(changes, path)
+    assert touched and len(touched) <= 8
+
+    after = cell_files()
+    untouched = set(before) - {f"centroid_id={c}" for c in touched}
+    assert untouched, "fixture should leave some cells untouched"
+    for d in untouched:
+        assert after[d] == before[d], f"untouched cell {d} was rewritten"
+
+    # post-change corpus → full rebuild against the SAME centroids
+    upd_ids = [r[0] for r in upd_old.select("vec_id").collect()]
+    del_ids = [r[0] for r in dele.select("vec_id").collect()]
+    corpus = (
+        emb.filter(~F.col("vec_id").isin(del_ids + upd_ids))
+        .unionByName(upd_new)
+        .unionByName(ins)
+    )
+    full = str(tmp_path / "ivf_cdc_full")
+    ivf_build_index(
+        corpus, full, n_centroids=8, centroids=cents, membership_nprobe=1
+    )
+
+    def content(p):
+        return sorted(
+            (
+                r["vec_id"],
+                int(r["centroid_id"]),
+                tuple(round(float(x), 6) for x in r["embedding"]),
+            )
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert content(path) == content(full)
+
+
+def test_apply_changes_maintains_duplicated_postings_and_empty_cells(
+    spark, tmp_path
+):
+    """The duplicated-postings layout (membership_nprobe=2) is
+    maintained with matching rank-≤2 postings on both remove and add
+    sides; a batch that deletes every vector of a cell drops the cell's
+    directory (dynamic overwrite alone would leave stale files)."""
+    import os
+
+    from anti_ddos_spark.operators.similarity import ivf_apply_changes
+
+    # 3 orthogonal-ish cells, 4 vectors each, all unit-norm
+    base = []
+    for c in range(3):
+        for m in range(4):
+            v = [0.0] * 6
+            v[c] = 1.0
+            v[3 + ((c + m) % 3)] = 0.3
+            n = sum(x * x for x in v) ** 0.5
+            base.append((c * 4 + m, [x / n for x in v]))
+    df = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_np2")
+    ivf_build_index(
+        df,
+        path,
+        n_centroids=3,
+        centroids=[r[1] for r in base[::4]],
+        membership_nprobe=2,
+    )
+    # delete ALL of cell 2's primaries (ids 8..11) and update id 0's
+    # vector to live near cell 1
+    dele = df.filter(F.col("vec_id") >= 8)
+    new0 = spark.createDataFrame(
+        [(0, [r for r in base[4][1]])], "vec_id long, embedding array<double>"
+    )
+    changes = (
+        dele.withColumn("_op", F.lit("D"))
+        .unionByName(
+            df.filter(F.col("vec_id") == 0).withColumn("_op", F.lit("U-"))
+        )
+        .unionByName(new0.withColumn("_op", F.lit("U+")))
+    )
+    ivf_apply_changes(changes, path)
+
+    corpus = df.filter(
+        (F.col("vec_id") < 8) & (F.col("vec_id") != 0)
+    ).unionByName(new0)
+    full = str(tmp_path / "ivf_np2_full")
+    ivf_build_index(
+        full_corpus := corpus,
+        full,
+        n_centroids=3,
+        centroids=[r[1] for r in base[::4]],
+        membership_nprobe=2,
+    )
+
+    def content(p):
+        return sorted(
+            (
+                r["vec_id"],
+                int(r["centroid_id"]),
+                bool(r["is_primary"]),
+                tuple(round(float(x), 6) for x in r["embedding"]),
+            )
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert content(path) == content(full)
+    # cells emptied by the batch hold no stale directories: the live
+    # cell dirs are exactly the rebuild's
+    live = {d for d in os.listdir(path) if d.startswith("centroid_id=")}
+    want = {d for d in os.listdir(full) if d.startswith("centroid_id=")}
+    assert live == want
+
+
+def test_change_feed_drives_index_maintenance_end_to_end(spark, tmp_path):
+    """The full consumer loop: embeddings live in a CDC versioned table;
+    a change batch lands through the REAL committer; the table's change
+    feed (REAL versioned_cdf stream, update_preimage=true) drives
+    ivf_apply_changes; the maintained index equals a rebuild from the
+    table's LIVE snapshot. This is the production shape — a vector
+    index that follows its source-of-truth table without rescans."""
+    from anti_ddos_spark.operators.similarity import ivf_apply_changes
+    from anti_ddos_spark.sources.cdf import register_cdf_source
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    emb = _emb(spark).select("vec_id", "embedding").filter(
+        F.col("vec_id") < 200
+    )
+    root = str(tmp_path / "embtbl")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(tbl, "vec_id", n_buckets=16)
+    sink(emb.withColumn("op", F.lit("I")), 0)
+    v0 = tbl.current_version()
+
+    path = str(tmp_path / "ivf_feed")
+    ivf_build_index(
+        tbl.read(spark), path, n_centroids=8, centroids="data",
+        membership_nprobe=1,
+    )
+    cents = [
+        [float(x) for x in r["cvec_d"]]
+        for r in spark.read.parquet(path + "_centroids")
+        .orderBy("cid")
+        .collect()
+    ]
+
+    # the change batch: delete 30, move 55 onto 54's vector, insert 500
+    nxt = emb.filter(F.col("vec_id") == 54).select(
+        F.lit(55).alias("vec_id"), "embedding"
+    )
+    ins = emb.filter(F.col("vec_id") == 100).select(
+        F.lit(500).alias("vec_id"), "embedding"
+    )
+    b2 = (
+        emb.filter(F.col("vec_id") == 30)
+        .withColumn("op", F.lit("D"))
+        .unionByName(nxt.withColumn("op", F.lit("U")))
+        .unionByName(ins.withColumn("op", F.lit("I")))
+    )
+    sink(b2, 1)
+
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "vec_id")
+        .option("start_version", v0)
+        .option("update_preimage", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("emb_feed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    changes = spark.table("emb_feed").drop("_version")
+    assert {r["_op"] for r in changes.collect()} == {"D", "U-", "U+", "I"}
+    touched = ivf_apply_changes(changes, path)
+    assert touched
+
+    full = str(tmp_path / "ivf_feed_full")
+    ivf_build_index(
+        tbl.read(spark), full, n_centroids=8, centroids=cents,
+        membership_nprobe=1,
+    )
+
+    def content(p):
+        return sorted(
+            (
+                r["vec_id"],
+                int(r["centroid_id"]),
+                tuple(round(float(x), 6) for x in r["embedding"]),
+            )
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert content(path) == content(full)
+    spark.catalog.dropTempView("emb_feed")
