@@ -303,6 +303,26 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         t = self.table
         m = t._manifest(v)
         base = m["base"]
+        if (
+            "bucket_delta_files_new" in m.get("delta", {})
+            or any(t._resolved(v).get("bucket_deltas", {}).values())
+            or (
+                base is not None
+                and any(
+                    t._resolved(base).get("bucket_deltas", {}).values()
+                )
+            )
+        ):
+            # merge-on-read state: a bucket's rows are base ⊕ delta
+            # stack, not raw files — the executor-side file diff would
+            # read stale base rows as live. Batch twin: version_changes
+            # works (it reads through the merged snapshot).
+            raise ValueError(
+                f"version {v}: change-data-feed over merge-on-read "
+                "versions is not supported — compact_buckets()/compact() "
+                "to a read-optimized version, or use the copy-on-write "
+                "committer for CDF-fed pipelines"
+            )
         abs_ = lambda rels: [  # noqa: E731
             os.path.join(self.root, r) for r in rels
         ]

@@ -261,6 +261,12 @@ class VersionedTable:
         buckets = dict(m.get("bucket_files", {}))
         rows = dict(m.get("bucket_rows", {}))
         stats = dict(m.get("file_stats", {}))
+        # merge-on-read delta STACKS: {bucket: [[version, [files]], ...]}
+        # oldest first — full manifests of MOR tables carry them verbatim
+        deltas: dict[str, list] = {
+            b: [list(e) for e in st]
+            for b, st in m.get("bucket_deltas", {}).items()
+        }
         extra_files: list[str] = []
         bucketed = False
         for d in reversed(chain):  # oldest delta first
@@ -269,9 +275,16 @@ class VersionedTable:
                 for b in d["delta"]["touched"]:
                     buckets.pop(b, None)
                     rows.pop(b, None)
+                    # a rewritten (or MOR-compacted) bucket folds its
+                    # stack into the new base files
+                    deltas.pop(b, None)
                 buckets.update(d["delta"]["bucket_files_new"])
                 rows.update(d["delta"].get("bucket_rows_new", {}))
                 stats.update(d["delta"].get("file_stats_new", {}))
+                for b, fs in d["delta"].get(
+                    "bucket_delta_files_new", {}
+                ).items():
+                    deltas.setdefault(b, []).append([d["version"], fs])
             else:
                 extra_files.extend(d["delta_append"]["files_new"])
                 stats.update(d["delta_append"].get("file_stats_new", {}))
@@ -288,6 +301,7 @@ class VersionedTable:
             "bucket_files": buckets,
             "bucket_rows": rows,
             "file_stats": stats,
+            "bucket_deltas": deltas,
         }
 
     def last_batch_id(self, app_id: str | None = None) -> int | None:
@@ -478,16 +492,22 @@ class VersionedTable:
         if the target was bucketed, its resolved bucket layout — so a
         streaming CDC writer resumes pruned rewrites after one)."""
         res = self._resolved(to_version)
-        tm = self._manifest(to_version)
         extra = None
         if res["bucket_files"]:
             extra = {
                 "bucket_files": res["bucket_files"],
                 "bucket_rows": res["bucket_rows"],
             }
-            for k in ("n_buckets", "cdc_key", "schema"):
-                if k in tm:
-                    extra[k] = tm[k]
+            for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema"):
+                v = self._chain_meta(to_version, k)
+                if v is not None:
+                    extra[k] = v
+            if any(res["bucket_deltas"].values()):
+                # merge-on-read target: the rollback version re-serves
+                # the same base+stack overlay (version tags are the
+                # ORIGINAL committing versions — still on disk, still
+                # ordered below this rollback's number)
+                extra["bucket_deltas"] = res["bucket_deltas"]
         base = self.current_version()
         return self._publish(
             res["files"], f"rollback:{to_version}", base, extra=extra,
@@ -542,6 +562,25 @@ class VersionedTable:
         if v is None:
             raise FileNotFoundError("table has no committed version")
         m = self._manifest(v)
+        res_mor = self._resolved(v)
+        if any(res_mor["bucket_deltas"].values()):
+            # merge-on-read snapshot: base overlaid with delta stacks.
+            # Stats pruning stays sound on the BASE side only (dropping
+            # a pruned base file never loses delta rows; all delta
+            # files are read) — the caller's row filter does the rest.
+            base_files = res_mor["files"]
+            if filters:
+                base_files, _ = self.pruned_files(v, filters)
+            return _mor_merged(
+                spark,
+                self.root,
+                base_files,
+                res_mor["bucket_deltas"],
+                key=self._chain_meta(v, "cdc_key"),
+                op_col=self._chain_meta(v, "cdc_op") or "op",
+                seq_col=self._chain_meta(v, "cdc_seq"),
+                schema_json=self._chain_meta(v, "schema"),
+            )
         if filters:
             rels, _ = self.pruned_files(v, filters)
             if not rels:
@@ -688,6 +727,26 @@ class VersionedTable:
             for b in sorted(by_bucket)
             for f in res["bucket_files"].get(b, [])
         ]
+        stacks = {
+            b: st
+            for b, st in res["bucket_deltas"].items()
+            if b in by_bucket and st
+        }
+        if stacks:
+            # merge-on-read bucket: overlay the owned buckets' delta
+            # stacks — still bucket-bounded (a key's deltas live in its
+            # hash bucket, same invariant as the base)
+            merged = _mor_merged(
+                spark,
+                self.root,
+                rels,
+                stacks,
+                key=key_col,
+                op_col=self._chain_meta(v, "cdc_op") or "op",
+                seq_col=self._chain_meta(v, "cdc_seq"),
+                schema_json=self._chain_meta(v, "schema"),
+            )
+            return merged.filter(F.col(key_col).isin(values))
         if not rels:
             return self.read(spark, version=v).filter(
                 F.col(key_col).isin(values)
@@ -696,6 +755,82 @@ class VersionedTable:
         return spark.read.parquet(*files).filter(
             F.col(key_col).isin(values)
         )
+
+
+def _mor_merged(
+    spark: SparkSession,
+    root: str,
+    base_files: list[str],
+    stacks: dict[str, list],
+    key: str,
+    op_col: str,
+    seq_col: str,
+    schema_json: dict | None = None,
+) -> DataFrame:
+    """The merge-on-read READ: base rows overlaid with the per-bucket
+    delta stacks, replicating the sequential apply_cdc semantics in one
+    relational pass.
+
+    Every delta row carries (payload..., op, seq) plus the version that
+    committed it. Sequential batch application is equivalent to a
+    single per-key argmax over (version, seq, op, payload-hash) — the
+    last batch touching a key wins outright on version, and within a
+    batch the ordering is byte-identical to apply_cdc's tie-break — so
+    the merge is: resolve deltas to one row per key, anti-join those
+    keys out of the base, union the non-delete resolutions. One
+    broadcast anti-join per read: the classic MOR read cost, paid only
+    until compaction folds the stacks (Hudi MOR / Iceberg v2 positional
+    upserts follow the same shape — public designs)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if base_files:
+        base = spark.read.parquet(
+            *[os.path.join(root, f) for f in base_files]
+        )
+    elif schema_json is not None:
+        base = spark.createDataFrame([], StructType.fromJson(schema_json))
+    else:
+        raise ValueError("MOR read with no base files and no schema")
+    entries = sorted(
+        (int(v), files) for st in stacks.values() for v, files in st
+    )
+    if not entries:
+        return base
+    frames = [
+        spark.read.parquet(
+            *[os.path.join(root, f) for f in files]
+        ).withColumn("_v", F.lit(int(v)))
+        for v, files in entries
+    ]
+    deltas = reduce(lambda a, b: a.unionByName(b), frames)
+    payload = [
+        c for c in deltas.columns if c not in (key, seq_col, "_v")
+    ]
+    hashable = [
+        f.name
+        for f in deltas.schema.fields
+        if f.name in payload
+        and "map<" not in f.dataType.simpleString()
+    ]
+    order = F.struct(
+        F.col("_v"),
+        F.col(seq_col),
+        F.col(op_col),
+        F.xxhash64(*[F.col(c) for c in hashable])
+        if hashable
+        else F.lit(0),
+    )
+    resolved = (
+        deltas.groupBy(key)
+        .agg(F.max_by(F.struct(*payload), order).alias("_r"))
+        .select(key, "_r.*")
+    )
+    keys = F.broadcast(resolved.select(key))
+    live = resolved.filter(F.col(op_col) != "D").select(*base.columns)
+    return base.join(keys, key, "left_anti").unionByName(live)
 
 
 def _remove_data_dir(table: VersionedTable, new_files: list[str]) -> None:
@@ -746,13 +881,19 @@ def _retrying_publish(
             )
             return
         except CommitConflict:
-            if created_dir is not None:
+            if created_dir:
                 import shutil
 
-                shutil.rmtree(
-                    os.path.join(table.root, created_dir),
-                    ignore_errors=True,
+                dirs = (
+                    created_dir
+                    if isinstance(created_dir, list)
+                    else [created_dir]
                 )
+                for d in dirs:
+                    shutil.rmtree(
+                        os.path.join(table.root, d),
+                        ignore_errors=True,
+                    )
             # someone else published; if it was a racing retry of this
             # very batch, the chain now covers batch_id
             last = table.last_batch_id(app_id)
@@ -879,6 +1020,13 @@ def _bucketed_data_dir(table: VersionedTable, df: DataFrame) -> tuple:
     return out, rel_dir
 
 
+# Merge-on-read stack bound: a bucket whose delta stack would exceed
+# this depth is compacted INLINE by the batch that would overflow it, so
+# read-side merge cost is bounded by construction (no external compactor
+# required for correctness of the bound).
+MOR_MAX_STACK_DEPTH = 8
+
+
 def streaming_cdc_committer(
     table: VersionedTable,
     key: str,
@@ -888,6 +1036,7 @@ def streaming_cdc_committer(
     n_buckets: int | None = None,
     txn_app_id: str | None = None,
     stats_cols: list[str] | None = None,
+    merge_on_read: bool = False,
 ):
     """Transactional streaming MERGE with a BOUNDED rewrite: each
     micro-batch of CDC rows (op ∈ {'U','I','D'}, see
@@ -941,11 +1090,34 @@ def streaming_cdc_committer(
     row counts — zero extra file opens — and land in the manifest
     (``file_stats`` / delta ``file_stats_new``) so ``read(filters=
     ...)`` skips cold buckets' files without opening them.
+
+    ``merge_on_read=True`` (round 10) switches the WRITE AMPLIFICATION
+    regime: instead of rewriting each touched bucket (copy-on-write —
+    O(bucket) data written per touched bucket per trigger, ~12.5k rows
+    for a 1-row change), a batch writes ONLY its own rows as per-bucket
+    DELTA files (O(batch)), recorded as manifest delta stacks; reads
+    overlay the stacks relationally (see ``_mor_merged`` — one
+    broadcast anti-join, replicating apply_cdc's semantics exactly).
+    A bucket whose stack would exceed MOR_MAX_STACK_DEPTH is compacted
+    INLINE by the overflowing batch (base+stack+batch → one base file,
+    stack cleared), so the read bound is structural, and amortized
+    write cost is O(batch + bucket/DEPTH). This is the standard
+    copy-on-write vs merge-on-read trade (public designs: Hudi MOR,
+    Iceberg v2 row-level deletes). Requires ``seq_col``. Layout
+    changes, seeds and re-buckets still use the full merge (which
+    folds every stack); ``compact_buckets``/``compact`` give
+    read-optimized versions on demand.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     from anti_ddos_spark.sources.maintenance import apply_cdc
+
+    if merge_on_read and seq_col is None:
+        raise ValueError(
+            "merge_on_read requires seq_col: the read-side merge "
+            "resolves multi-batch keys by (version, seq, ...)"
+        )
 
     def _bucket_of(col, nb: int):
         return F.pmod(F.xxhash64(col), F.lit(nb)).cast("int")
@@ -956,6 +1128,134 @@ def streaming_cdc_committer(
         spark = batch_df.sparkSession
         drop = [op_col] + ([seq_col] if seq_col else [])
         valid = batch_df.filter(F.col(op_col).isin("U", "I", "D"))
+
+        def _mor_build(spark, base, bm, nb, touched, res):
+            """Merge-on-read batch: write ONLY the batch's rows as
+            per-bucket delta files; buckets whose stack would overflow
+            MOR_MAX_STACK_DEPTH are compacted inline instead."""
+            stacks = res["bucket_deltas"]
+            depth = bm.get("delta_depth", 0)
+            materialize = depth >= MANIFEST_DELTA_DEPTH_MAX
+            compact_bs = {
+                b
+                for b in touched
+                if materialize
+                or len(stacks.get(b, ())) + 1 > MOR_MAX_STACK_DEPTH
+            }
+            append_bs = set(touched) - compact_bs
+            batch_b = valid.withColumn(
+                "_bucket", _bucket_of(F.col(key), nb)
+            )
+            created_dirs: list[str] = []
+            new_delta_buckets: dict[str, list[str]] = {}
+            if append_bs:
+                adf = batch_b.filter(
+                    F.col("_bucket").isin([int(b) for b in append_bs])
+                ).repartition(F.col("_bucket"))
+                new_delta_buckets, dir_a = _bucketed_data_dir(table, adf)
+                created_dirs.append(dir_a)
+            new_base: dict[str, list[str]] = {}
+            new_rows: dict[str, int] = {}
+            new_stats: dict[str, dict] = {}
+            if compact_bs:
+                base_files_c = [
+                    f
+                    for b in compact_bs
+                    for f in res["bucket_files"].get(b, [])
+                ]
+                merged_state = _mor_merged(
+                    spark,
+                    table.root,
+                    base_files_c,
+                    {b: stacks.get(b, []) for b in compact_bs},
+                    key=key,
+                    op_col=op_col,
+                    seq_col=seq_col,
+                    schema_json=table._chain_meta(base, "schema"),
+                )
+                batch_slice = batch_b.filter(
+                    F.col("_bucket").isin([int(b) for b in compact_bs])
+                ).drop("_bucket")
+                new_state = (
+                    apply_cdc(
+                        merged_state, batch_slice, key,
+                        op_col=op_col, seq_col=seq_col,
+                    )
+                    .withColumn("_bucket", _bucket_of(F.col(key), nb))
+                    .repartition(F.col("_bucket"))
+                )
+                new_base, dir_c = _bucketed_data_dir(table, new_state)
+                created_dirs.append(dir_c)
+                for b, fs in new_base.items():
+                    total = 0
+                    for rel in fs:
+                        n, st = _footer_meta(
+                            os.path.join(table.root, rel), skip_cols
+                        )
+                        total += n
+                        if st:
+                            new_stats[rel] = st
+                    new_rows[b] = total
+            schema_json = batch_df.drop(*drop).schema.jsonValue()
+            meta = {
+                "n_buckets": nb,
+                "cdc_key": key,
+                "cdc_op": op_col,
+                "cdc_seq": seq_col,
+                "schema": schema_json,
+            }
+            if not materialize:
+                delta: dict = {
+                    "touched": sorted(compact_bs),
+                    "bucket_files_new": new_base,
+                    "bucket_rows_new": new_rows,
+                }
+                if new_stats:
+                    delta["file_stats_new"] = new_stats
+                if new_delta_buckets:
+                    delta["bucket_delta_files_new"] = new_delta_buckets
+                extra = {"delta": delta, "delta_depth": depth + 1, **meta}
+                return None, extra, created_dirs
+            # materialization commit: compact_bs == touched (no fresh
+            # delta entries, whose version tags aren't known yet), so
+            # carried stacks all have committed version tags
+            bucket_files = {
+                b: fs
+                for b, fs in res["bucket_files"].items()
+                if b not in compact_bs
+            }
+            bucket_files.update(new_base)
+            bucket_rows = {
+                b: n
+                for b, n in res["bucket_rows"].items()
+                if b not in compact_bs
+            }
+            bucket_rows.update(new_rows)
+            final_stacks = {
+                b: st
+                for b, st in stacks.items()
+                if b not in compact_bs and st
+            }
+            files = [
+                f for b in sorted(bucket_files) for f in bucket_files[b]
+            ]
+            carried_files = {f for fs in bucket_files.values() for f in fs}
+            stats = {
+                **{
+                    f: s
+                    for f, s in res["file_stats"].items()
+                    if f in carried_files
+                },
+                **new_stats,
+            }
+            extra = {
+                "bucket_files": bucket_files,
+                "bucket_rows": bucket_rows,
+                **meta,
+            }
+            if final_stacks:
+                extra["bucket_deltas"] = final_stacks
+            return files, extra, created_dirs, stats
 
         def build_files(base):
             bm = table._manifest(base) if base is not None else {}
@@ -969,6 +1269,18 @@ def streaming_cdc_committer(
                 else {"bucket_files": {}, "bucket_rows": {}}
             )
             base_buckets = res["bucket_files"]
+            if (
+                pruned_path
+                and not merge_on_read
+                and any(res.get("bucket_deltas", {}).values())
+            ):
+                # a COPY-ON-WRITE batch over a merge-on-read base: the
+                # pruned rewrite would read base files only and LOSE
+                # stack rows — fall back to one full merge (the read
+                # below folds every stack), after which COW pruning
+                # resumes on a stack-free layout
+                pruned_path = False
+                base_buckets = {}
             if pruned_path and n_buckets is None:
                 # policy: re-bucket (full merge) once the layout is
                 # outgrown 4x — only decidable when row counts exist
@@ -994,6 +1306,8 @@ def streaming_cdc_committer(
                         _bucket_of(F.col(key), nb).alias("b")
                     ).distinct().collect()
                 }
+                if merge_on_read:
+                    return _mor_build(spark, base, bm, nb, touched, res)
                 pruned = [
                     os.path.join(table.root, rel)
                     for b in sorted(touched)
@@ -1095,6 +1409,12 @@ def streaming_cdc_committer(
                 "cdc_key": key,
                 "schema": schema_json,
             }
+            if merge_on_read:
+                # the seed / full-merge version of a MOR table is
+                # stack-free, but later readers still need the merge
+                # column names on the chain
+                extra["cdc_op"] = op_col
+                extra["cdc_seq"] = seq_col
             file_stats = {**carried_stats, **new_stats}
             if file_stats:
                 extra["file_stats"] = file_stats
@@ -1106,6 +1426,142 @@ def streaming_cdc_committer(
         )
 
     return _apply
+
+
+def compact_buckets(
+    table: VersionedTable,
+    spark: SparkSession,
+    max_files_per_bucket: int = 8,
+    buckets: list | None = None,
+) -> int | None:
+    """Bucket-LOCAL compaction that PRESERVES the CDC layout — the
+    read-optimization job of a merge-on-read table (and a small-file
+    fixer for any bucketed snapshot).
+
+    Targets the buckets carrying a merge-on-read delta STACK (their
+    reads pay the overlay anti-join until someone folds the stack) or
+    holding more than ``max_files_per_bucket`` base files; pass
+    ``buckets`` to pin the set explicitly. Each target is merged
+    (base ⊕ stack, exactly the read semantics) and rewritten as one
+    file; every other bucket's base files AND stacks carry forward
+    verbatim (inode-stable). The published manifest is FULL and keeps
+    ``n_buckets``/``cdc_key``/``schema``, so the committer stays on
+    pruned writes, point lookups keep working, and — unlike whole-table
+    ``compact()`` — no re-bucketing merge ever follows. Compacting
+    every stack turns a merge-on-read table read-optimized, which also
+    re-enables the change-data-feed reader.
+
+    Returns the new version, or None when nothing needs compacting (no
+    empty version published). Raises CommitConflict if a writer lands
+    mid-compaction; callers retry or wait for the next cycle."""
+    from pyspark.sql import functions as F
+
+    base = table.current_version()
+    if base is None:
+        return None
+    res = table._resolved(base)
+    if not res["bucket_files"]:
+        raise ValueError(
+            "compact_buckets needs a bucketed (CDC) table — use "
+            "compact() for plain snapshots"
+        )
+    stacks = res["bucket_deltas"]
+    if buckets is not None:
+        targets = {str(b) for b in buckets}
+    else:
+        targets = {
+            b
+            for b, fs in res["bucket_files"].items()
+            if len(fs) > max_files_per_bucket or stacks.get(b)
+        }
+        targets |= {b for b, st in stacks.items() if st}
+    if not targets:
+        return None
+    nb = table._chain_meta(base, "n_buckets")
+    cdc_key = table._chain_meta(base, "cdc_key")
+    base_files_t = [
+        f for b in targets for f in res["bucket_files"].get(b, [])
+    ]
+    stacks_t = {b: stacks.get(b, []) for b in targets if stacks.get(b)}
+    if stacks_t:
+        merged = _mor_merged(
+            spark,
+            table.root,
+            base_files_t,
+            stacks_t,
+            key=cdc_key,
+            op_col=table._chain_meta(base, "cdc_op") or "op",
+            seq_col=table._chain_meta(base, "cdc_seq"),
+            schema_json=table._chain_meta(base, "schema"),
+        )
+    else:
+        merged = spark.read.parquet(
+            *[os.path.join(table.root, f) for f in base_files_t]
+        )
+    df = merged.withColumn(
+        "_bucket",
+        F.pmod(F.xxhash64(F.col(cdc_key)), F.lit(nb)).cast("int"),
+    ).repartition(F.col("_bucket"))
+    new_buckets, _dir = _bucketed_data_dir(table, df)
+    skip_cols = [cdc_key] if cdc_key else None
+    new_rows: dict[str, int] = {}
+    new_stats: dict[str, dict] = {}
+    for b, fs in new_buckets.items():
+        total = 0
+        for rel in fs:
+            n, st = _footer_meta(os.path.join(table.root, rel), skip_cols)
+            total += n
+            if st:
+                new_stats[rel] = st
+        new_rows[b] = total
+    carried = {
+        b: fs
+        for b, fs in res["bucket_files"].items()
+        if b not in targets
+    }
+    carried_files = {f for fs in carried.values() for f in fs}
+    bucket_files = {**carried, **new_buckets}
+    files = [f for b in sorted(bucket_files) for f in bucket_files[b]]
+    extra = {
+        "bucket_files": bucket_files,
+        "bucket_rows": {
+            **{
+                b: n
+                for b, n in res["bucket_rows"].items()
+                if b not in targets
+            },
+            **new_rows,
+        },
+    }
+    for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema"):
+        v = table._chain_meta(base, k)
+        if v is not None:
+            extra[k] = v
+    carried_stacks = {
+        b: st
+        for b, st in stacks.items()
+        if b not in targets and st
+    }
+    if carried_stacks:
+        extra["bucket_deltas"] = carried_stacks
+    stats = {
+        **{
+            f: s
+            for f, s in res["file_stats"].items()
+            if f in carried_files
+        },
+        **new_stats,
+    }
+    try:
+        return table._publish(
+            files, "compact:buckets", base, extra=extra,
+            new_file_stats=stats,
+        )
+    except CommitConflict:
+        import shutil
+
+        shutil.rmtree(os.path.join(table.root, _dir), ignore_errors=True)
+        raise
 
 
 def compact(
@@ -1206,9 +1662,16 @@ def vacuum(
         keep_dirs = set()
         for m in keep:
             # resolve delta manifests: their carried-by-reference files
-            # are just as live as materialized ones
-            for rel in table._resolved(m["version"])["files"]:
+            # are just as live as materialized ones — and merge-on-read
+            # delta STACKS are data too (deleting them would serve a
+            # stale snapshot)
+            res_m = table._resolved(m["version"])
+            for rel in res_m["files"]:
                 keep_dirs.add(rel.split(os.sep)[1])
+            for st in res_m["bucket_deltas"].values():
+                for _v, fs in st:
+                    for rel in fs:
+                        keep_dirs.add(rel.split(os.sep)[1])
         # re-root FIRST (atomically), so the chain stays walkable no
         # matter where a crash lands. A delta oldest-kept manifest is
         # MATERIALIZED here (full files + bucket state): its base — the
@@ -1228,6 +1691,9 @@ def vacuum(
                 rooted["bucket_rows"] = res["bucket_rows"]
             if res["file_stats"]:
                 rooted["file_stats"] = res["file_stats"]
+            rooted.pop("bucket_deltas", None)
+            if any(res["bucket_deltas"].values()):
+                rooted["bucket_deltas"] = res["bucket_deltas"]
             mpath = os.path.join(
                 table.root, "manifests", f"v{rooted['version']}.json"
             )

@@ -1,0 +1,285 @@
+"""Merge-on-read CDC mode: per-bucket delta stacks instead of bucket
+rewrites — the write-amplification half of the copy-on-write/merge-on-
+read trade (public designs: Hudi MOR, Iceberg v2 row-level upserts).
+
+The contract under test: (a) reads through the stack overlay are
+row-identical to the copy-on-write committer fed the same batches,
+including time travel; (b) a batch writes O(batch) bytes — base files
+keep their inodes; (c) the stack depth is bounded by construction
+(inline compaction); (d) the lifecycle ops (point lookup, rollback,
+vacuum, compact_buckets) understand stacks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_ddos_spark.sources.versioned import (
+    MOR_MAX_STACK_DEPTH,
+    VersionedTable,
+    compact_buckets,
+    streaming_cdc_committer,
+    vacuum,
+)
+
+SCHEMA = "k long, v string, op string, seq long"
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def _batches(spark):
+    """A deterministic I/U/D sequence with a key updated twice, a
+    delete, a re-insert after delete, and seq values REUSED across
+    batches (version order must dominate the merge)."""
+    return [
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(60)], SCHEMA
+        ),
+        spark.createDataFrame(
+            [(7, "u7a", "U", 1), (23, None, "D", 2), (41, "u41", "U", 3)],
+            SCHEMA,
+        ),
+        spark.createDataFrame(
+            [(7, "u7b", "U", 1), (23, "w23", "I", 2), (55, None, "D", 3)],
+            SCHEMA,
+        ),
+    ]
+
+
+def test_mor_reads_match_cow_including_time_travel(spark, tmp_path):
+    cow = VersionedTable(str(tmp_path / "cow"))
+    mor = VersionedTable(str(tmp_path / "mor"))
+    sink_c = streaming_cdc_committer(cow, "k", seq_col="seq", n_buckets=8)
+    sink_m = streaming_cdc_committer(
+        mor, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    for i, b in enumerate(_batches(spark)):
+        sink_c(b, i)
+        sink_m(b, i)
+    # live parity
+    assert _rows(mor.read(spark)) == _rows(cow.read(spark))
+    # time travel parity at every version
+    cow_chain = [m["version"] for m in cow.committed_chain()][::-1]
+    mor_chain = [m["version"] for m in mor.committed_chain()][::-1]
+    for vc, vm in zip(cow_chain, mor_chain):
+        assert _rows(mor.read(spark, version=vm)) == _rows(
+            cow.read(spark, version=vc)
+        )
+    # spot-check semantics: last write wins, delete-then-reinsert lives
+    live = dict(_rows(mor.read(spark)))
+    assert live[7] == "u7b" and live[23] == "w23"
+    assert 55 not in live
+
+
+def test_mor_batch_writes_o_batch_and_keeps_base_inodes(spark, tmp_path):
+    """The write-amplification claim: a 1-key update writes ONLY a
+    delta file holding the batch's rows; every base file of the bucket
+    keeps its path (copy-on-write would replace it with a full bucket
+    rewrite)."""
+    import pyarrow.parquet as pq
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}" * 50, "I", i) for i in range(2000)], SCHEMA
+        ),
+        0,
+    )
+    v0 = t.current_version()
+    base_files = dict(t._resolved(v0)["bucket_files"])
+    sink(spark.createDataFrame([(3, "u3", "U", 1)], SCHEMA), 1)
+    v1 = t.current_version()
+    res = t._resolved(v1)
+    # base files: byte-for-byte carried
+    assert res["bucket_files"] == base_files
+    # exactly one bucket gained a stack entry, holding exactly 1 row
+    stacked = {b: st for b, st in res["bucket_deltas"].items() if st}
+    assert len(stacked) == 1
+    (b, st), = stacked.items()
+    assert len(st) == 1
+    delta_rows = sum(
+        pq.read_metadata(os.path.join(t.root, f)).num_rows
+        for f in st[0][1]
+    )
+    assert delta_rows == 1
+    # the manifest is a delta carrying the MOR marker
+    m = t._manifest(v1)
+    assert "bucket_delta_files_new" in m["delta"]
+    assert m["delta"]["bucket_files_new"] == {}
+    # and the read overlays correctly
+    live = dict(_rows(t.read(spark)))
+    assert live[3] == "u3" and live[4] == "v4" * 50
+
+
+def test_mor_stack_depth_is_bounded_by_inline_compaction(spark, tmp_path):
+    """Hammering one key past MOR_MAX_STACK_DEPTH forces the
+    overflowing batch to fold the bucket (base+stack+batch → one base
+    file, stack cleared) — the read bound is structural."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(40)], SCHEMA
+        ),
+        0,
+    )
+    hot = 3
+    for bid in range(1, MOR_MAX_STACK_DEPTH + 3):
+        sink(
+            spark.createDataFrame(
+                [(hot, f"u{bid}", "U", bid)], SCHEMA
+            ),
+            bid,
+        )
+        res = t._resolved(t.current_version())
+        depth = max(
+            (len(st) for st in res["bucket_deltas"].values()), default=0
+        )
+        assert depth <= MOR_MAX_STACK_DEPTH
+    # at least one fold happened: some version's delta carries a
+    # bucket_files_new rewrite with the stack cleared
+    folds = 0
+    for m in t.committed_chain():
+        if "delta" in m and m["delta"].get("bucket_files_new"):
+            folds += 1
+    assert folds >= 1
+    live = dict(_rows(t.read(spark)))
+    assert live[hot] == f"u{MOR_MAX_STACK_DEPTH + 2}"
+
+
+def test_mor_point_lookup_and_rollback_and_vacuum(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    for i, b in enumerate(_batches(spark)):
+        sink(b, i)
+    pre_roll = t.current_version()
+    # point lookup reads the owning bucket's base+stack only
+    got = t.read_point(spark, [7])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(7, "u7b")]
+    res = t._resolved(pre_roll)
+    kb = t.key_buckets(spark, [7])
+    allowed = set(res["bucket_files"].get(next(iter(kb[1])), []))
+    for st in res["bucket_deltas"].values():
+        for _v, fs in st:
+            allowed |= set(fs)
+    opened = {
+        os.path.relpath(f.replace("file:", ""), t.root)
+        for f in got.inputFiles()
+    }
+    assert opened <= allowed and opened
+    # rollback to the mid version re-serves its overlay
+    mid = [m["version"] for m in t.committed_chain()][::-1][1]
+    mid_rows = _rows(t.read(spark, version=mid))
+    t.rollback(mid)
+    assert _rows(t.read(spark)) == mid_rows
+    # vacuum keeps live stack files (retention = the rollback version)
+    stats = vacuum(t, keep_versions=1, min_age_s=0)
+    assert stats["dropped_manifests"] >= 1
+    assert _rows(t.read(spark)) == mid_rows
+
+
+def test_mor_compact_buckets_folds_stacks_and_reenables_cdf(
+    spark, tmp_path
+):
+    from anti_ddos_spark.sources.cdf import (
+        register_cdf_source,
+        version_changes,
+    )
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    for i, b in enumerate(_batches(spark)):
+        sink(b, i)
+    pre = t.current_version()
+    pre_rows = _rows(t.read(spark))
+    res_pre = t._resolved(pre)
+    stacked = {b for b, st in res_pre["bucket_deltas"].items() if st}
+    assert stacked
+
+    # the streaming CDF refuses MOR versions loudly
+    register_cdf_source(spark)
+    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    full = StructType(
+        list(StructType.fromJson(t._chain_meta(pre, "schema")).fields)
+        + [
+            StructField("_op", StringType()),
+            StructField("_version", LongType()),
+        ]
+    )
+    r = VersionedCdfStreamReader(
+        full, {"root": t.root, "key": "k", "start_version": "-1"}
+    )
+    with pytest.raises(ValueError, match="merge-on-read"):
+        r.partitions({"version": -1}, {"version": pre})
+    # ...but the batch twin works (it reads merged snapshots)
+    chain = [m["version"] for m in t.committed_chain()][::-1]
+    ch = version_changes(spark, t, "k", chain[-2], chain[-1])
+    ops = {(r["k"], r["_op"]) for r in ch.collect()}
+    assert (7, "U") in ops and (23, "I") in ops and (55, "D") in ops
+
+    # compaction folds the stacks, preserves rows, carries untouched
+    # buckets verbatim, and the compacted version IS CDF-serveable
+    untouched_bases = {
+        b: fs
+        for b, fs in res_pre["bucket_files"].items()
+        if b not in stacked
+    }
+    post = compact_buckets(t, spark)
+    assert post is not None
+    res_post = t._resolved(post)
+    assert not any(res_post["bucket_deltas"].values())
+    for b, fs in untouched_bases.items():
+        assert res_post["bucket_files"][b] == fs
+    assert _rows(t.read(spark)) == pre_rows
+    # nothing left to compact → no-op
+    assert compact_buckets(t, spark) is None
+    # a COW batch over the compacted (stack-free) base stays pruned
+    sink2 = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+    sink2(spark.createDataFrame([(2, "z2", "U", 99)], SCHEMA), 100)
+    m2 = t._manifest(t.current_version())
+    assert "delta" in m2 and "bucket_delta_files_new" not in m2["delta"]
+
+
+def test_cow_batch_over_mor_base_folds_stacks_not_loses_rows(
+    spark, tmp_path
+):
+    """Committer-mode mixing: a copy-on-write batch landing on a table
+    with live stacks must NOT prune (it would read base files only and
+    silently drop stack rows) — it falls back to one full merge that
+    folds every stack."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    sink_m = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    for i, b in enumerate(_batches(spark)):
+        sink_m(b, i)
+    assert any(t._resolved(t.current_version())["bucket_deltas"].values())
+    sink_c = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+    sink_c(spark.createDataFrame([(0, "z0", "U", 100)], SCHEMA), 100)
+    res = t._resolved(t.current_version())
+    assert not any(res["bucket_deltas"].values())
+    live = dict(_rows(t.read(spark)))
+    # the stack rows survived the fold, plus the COW update
+    assert live[0] == "z0" and live[7] == "u7b" and live[23] == "w23"
+    assert 55 not in live

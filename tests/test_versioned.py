@@ -964,3 +964,80 @@ def test_point_lookup_falls_back_on_unbucketed_versions(table):
     assert t.key_buckets(spark, [30]) is None
     assert [(r["k"], r["v"]) for r in t.read_point(spark, [30]).collect()] \
         == [(30, "v30")]
+
+
+def test_compact_buckets_is_bucket_local_and_layout_preserving(table):
+    """Bucket-LOCAL compaction on a copy-on-write table: the COW
+    committer leaves one file per bucket, so the automatic target set
+    is empty (no-op, no version published) — the explicit ``buckets=``
+    form rewrites exactly the pinned buckets, carries every other
+    bucket verbatim, preserves the layout (the next CDC batch stays on
+    a pruned DELTA manifest), is row-silent in the change feed, and
+    point lookups keep working. (The stack-folding workload lives in
+    tests/test_mor.py.)"""
+    from anti_ddos_spark.sources.cdf import version_changes
+    from anti_ddos_spark.sources.versioned import (
+        compact_buckets,
+        streaming_cdc_committer,
+    )
+
+    spark, t = table
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(200)],
+            "k long, v string, op string, seq long",
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(3, "u3", "U", 1000), (11, "u11", "U", 1001)],
+            "k long, v string, op string, seq long",
+        ),
+        1,
+    )
+    pre = t.current_version()
+    res_pre = t._resolved(pre)
+    snapshot_pre = sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    )
+
+    # COW tables have one file per bucket: automatic targeting no-ops
+    assert compact_buckets(t, spark) is None
+    assert t.current_version() == pre
+
+    pick = sorted(res_pre["bucket_files"])[:2]
+    post = compact_buckets(t, spark, buckets=pick)
+    assert post is not None and post > pre
+    res_post = t._resolved(post)
+    for b, fs in res_post["bucket_files"].items():
+        if b in pick:
+            assert len(fs) == 1 and fs != res_pre["bucket_files"][b]
+        else:
+            assert fs == res_pre["bucket_files"][b], b
+    # layout metadata survives
+    m = t._manifest(post)
+    assert m["n_buckets"] == 8 and m["cdc_key"] == "k"
+    # rows identical
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == snapshot_pre
+    # row-silent in the change feed (version_changes is inclusive of
+    # from_version, so diff the compact version alone)
+    assert version_changes(spark, t, "k", post, post).count() == 0
+    # point lookup still bucket-bounded
+    got = t.read_point(spark, [3])
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(3, "u3")]
+
+    # the NEXT CDC batch stays on the pruned path: a delta manifest,
+    # not a full re-bucketing merge
+    sink(
+        spark.createDataFrame(
+            [(3, "w3", "U", 99999)], "k long, v string, op string, seq long"
+        ),
+        7,
+    )
+    m2 = t._manifest(t.current_version())
+    assert "delta" in m2, "CDC after compact_buckets must stay pruned"
+    assert len(m2["delta"]["touched"]) == 1
