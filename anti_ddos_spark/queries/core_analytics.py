@@ -1595,6 +1595,136 @@ EXTRA_QUERIES["q144_point_lookup"] = Query(
 )
 
 
+# --- q145: merge-on-read CDC state through the stack overlay (round 10) ----
+
+def q145_mor_cdc_state(spark: SparkSession, sf: str) -> DataFrame:
+    """The merge-on-read committer's READ PATH made oracle-visible:
+    three change batches (even-key inserts; ×3 updates ≡4 / deletes ≡2
+    mod 6; ≡5 mod 10 inserts + ×2 updates ≡0 mod 6) land through
+    ``streaming_cdc_committer(merge_on_read=True)`` — batches 2 and 3
+    write per-bucket DELTA files only, so the live snapshot is served
+    through the stack overlay (base ⊕ deltas, one broadcast anti-join).
+    The per-customer aggregate of that overlaid read must match the
+    relational final-state derivation straight from ``orders``; two
+    in-band booleans additionally pin that (a) stacks were actually
+    live at read time (the overlay path, not a degenerate fold-free
+    table, is what the hash covers) and (b) ``compact_buckets`` folds
+    them to a byte-identical row set. A merge that lost a stack row,
+    resolved update order wrongly, or resurrected a delete breaks the
+    hash."""
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        compact_buckets,
+        streaming_cdc_committer,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    is_upd = F.col("o_orderkey") % 6 == 4
+    b2 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .filter((F.col("o_orderkey") % 6 == 4) | (F.col("o_orderkey") % 6 == 2))
+        .withColumn("op", F.when(is_upd, "U").otherwise("D"))
+        .withColumn(
+            "o_totalprice",
+            F.when(is_upd, F.col("o_totalprice") * 3).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn("seq", F.col("o_orderkey") + 1_000_000)
+    )
+    b3 = (
+        o.filter(
+            (F.col("o_orderkey") % 10 == 5) | (F.col("o_orderkey") % 6 == 0)
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("o_orderkey") % 10 == 5, "I").otherwise("U"),
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 6 == 0, F.col("o_totalprice") * 2
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn("seq", F.col("o_orderkey") + 2_000_000)
+    )
+    root = tempfile.mkdtemp(prefix="ad_mortbl_")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", seq_col="seq", txn_app_id="q145",
+        merge_on_read=True,
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b3, 2)
+    res = tbl._resolved(tbl.current_version())
+    stacked_ok = any(res["bucket_deltas"].values())
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def agg_rows():
+        return sorted(
+            tuple(r)
+            for r in tbl.read(spark)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(cents).alias("total_cents"),
+            )
+            .collect()
+        )
+
+    overlaid = agg_rows()
+    compact_buckets(tbl, spark)
+    fold_match = agg_rows() == overlaid
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (ck, n, tc, bool(stacked_ok), bool(fold_match))
+            for ck, n, tc in overlaid
+        ],
+        "o_custkey long, n_orders long, total_cents long, "
+        "stacked_ok boolean, fold_match boolean",
+    )
+
+
+Q145_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_totalprice * 2 AS p
+  FROM orders WHERE o_orderkey % 6 = 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice * 3 AS p
+  FROM orders WHERE o_orderkey % 6 = 4
+  UNION ALL
+  SELECT o_custkey, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 10 = 5)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS stacked_ok, TRUE AS fold_match
+FROM snap GROUP BY o_custkey
+"""
+
+EXTRA_QUERIES["q145_mor_cdc_state"] = Query(
+    q145_mor_cdc_state,
+    Q145_SQL,
+    "merge-on-read CDC state: three batches through the MOR committer, "
+    "the stack-overlaid snapshot aggregate value-checked against the "
+    "relational final state, with in-band live-stack and "
+    "compaction-fold booleans — rotation candidate for r11",
+)
+
+
 # --- q135: bucketed streaming-CDC table state (round 8) --------------------
 
 # one live scratch root per sf — same lifecycle as q131

@@ -129,6 +129,7 @@ FULL_SET = ['q01_pricing_summary',
  'q142_manifest_skipping',
  'q143_ivm_maintained_aggregate',
  'q144_point_lookup',
+ 'q145_mor_cdc_state',
  'q14_string_ops',
  'q15_datetime_agg',
  'q16_json_extract',
