@@ -508,7 +508,14 @@ def register_cdf_source(spark) -> None:
     spark.dataSource.register(VersionedCdfDataSource)
 
 
-def version_changes(spark, table, key: str, from_version: int, to_version: int):
+def version_changes(
+    spark,
+    table,
+    key: str,
+    from_version: int,
+    to_version: int,
+    update_preimage: bool = False,
+):
     """BATCH reconstruction of the same change feed — the relational
     twin the streaming source is hash-checked against (and a useful
     operator on its own: 'what changed between releases v3 and v7').
@@ -518,7 +525,11 @@ def version_changes(spark, table, key: str, from_version: int, to_version: int):
     same (payload..., _op, _version) surface. Versions are enumerated
     over the COMMITTED chain's base links (inclusive of
     ``from_version``), never the numeric range — orphan numbers from
-    crashed publishes hold no changes."""
+    crashed publishes hold no changes. ``update_preimage=True`` emits
+    the retraction form (``U-`` old row / ``U+`` new row) matching the
+    streaming source's option — the shape batch incremental-view
+    backfills consume. Works on merge-on-read versions too (snapshot
+    reads fold the stacks)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
@@ -567,11 +578,24 @@ def version_changes(spark, table, key: str, from_version: int, to_version: int):
             .when(F.col(f"n_{key}").isNull(), F.lit("D"))
             .when(payload_neq, F.lit("U")),
         ).filter(F.col("_op").isNotNull())
+        if update_preimage:
+            # retraction form: one U row fans out to U- (old image) and
+            # U+ (new image) via a per-row explode of the two sides
+            sides = F.when(
+                F.col("_op") == "U",
+                F.array(F.lit("U-"), F.lit("U+")),
+            ).otherwise(F.array(F.col("_op")))
+            changed = changed.withColumn(
+                "_op", F.explode(sides)
+            )
+            old_side = F.col("_op").isin("D", "U-")
+        else:
+            old_side = F.col("_op") == "D"
         out = changed.select(
             *[
-                F.when(
-                    F.col("_op") == "D", F.col(f"o_{c}")
-                ).otherwise(F.col(f"n_{c}")).alias(c)
+                F.when(old_side, F.col(f"o_{c}"))
+                .otherwise(F.col(f"n_{c}"))
+                .alias(c)
                 for c in cols
             ],
             "_op",

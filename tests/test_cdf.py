@@ -214,6 +214,13 @@ def test_cdf_update_preimage_supports_incremental_maintenance(
             assert state.pop(r["k"]) == r["v"]
     live = {r["k"]: r["v"] for r in t.read(spark).collect()}
     assert state == live
+    # the batch twin emits the SAME retraction rows
+    twin = _canon(
+        version_changes(spark, t, "k", 0, 3, update_preimage=True)
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert twin == _canon(rows)
     spark.catalog.dropTempView("cdf_pre")
 
 
