@@ -373,9 +373,10 @@ def ivf_build_index(
     physical partition, so a probe becomes partition pruning at the scan
     (only nprobe/C of the files are ever opened) instead of a filter
     over a full scan; probe SELECTION reads only the k-row sidecar,
-    never the index. The embedding rides through the assignment window
-    (same shape as ivf_topk), so the build is one crossJoin-broadcast +
-    one window + the partitioned write — no join back to the corpus.
+    never the index. Assignment routes through ``_assign_cells``
+    (round 10): scores on a NARROW (id, vector) frame — map-side-
+    combined ``max_by`` at nprobe=1 — then one join back, instead of
+    shuffling every payload row k times through the ranking window.
     The sidecar also pins the build's n_centroids: search reads it back
     instead of trusting the caller to repeat the number (a mismatched
     count silently collapses recall otherwise).
@@ -423,25 +424,9 @@ def ivf_build_index(
         )
     else:
         cents = _literal_centroids(vectors.sparkSession, centroids)
-    from pyspark.sql import Window as W
-
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
-        "_ccos", cosine(F.col("_e"), F.col("cvec"))
+    assigned = _assign_cells(
+        vectors, cents, membership_nprobe, id_col, vec_col
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= membership_nprobe
-    )
-    if membership_nprobe == 1:
-        assigned = ranked.select(
-            *vectors.columns, F.col("cid").alias("centroid_id")
-        )
-    else:
-        assigned = ranked.select(
-            *vectors.columns,
-            (F.col("_rn") == 1).alias("is_primary"),
-            F.col("cid").alias("centroid_id"),
-        )
     (
         assigned.repartition("centroid_id")
         .write.mode("overwrite")
@@ -486,28 +471,57 @@ def _assign_cells(
     vec_col: str,
 ) -> DataFrame:
     """The ONE definition of index assignment (build/append/apply all
-    route through it): top-``nprobe`` max-cosine cells per vector via a
-    broadcast crossJoin + per-id window — payload columns ride through;
-    emits ``centroid_id`` (+ ``is_primary`` when nprobe > 1)."""
+    route through it): top-``nprobe`` max-cosine cells per vector;
+    emits ``centroid_id`` (+ ``is_primary`` when nprobe > 1).
+
+    Scale shape (round 10): scoring happens on a NARROW (id, vector)
+    frame — the original form crossJoined the FULL payload with all k
+    centroids, shuffling n×k payload-heavy rows through the ranking
+    window (at 1M vectors × 256 cells that duplicates every embedding
+    256× through the exchange). Now: nprobe=1 resolves with a
+    map-side-combined ``max_by`` (shuffle collapses to ~n tiny rows in
+    the partial aggregate); nprobe>1 ranks n×k (id, cid, cos) triples
+    only; either way the payload joins back ONCE by id. Ordering is
+    identical to the old window (desc cos, asc cid — max over
+    (cos, -cid)), so assignments are byte-stable across the change."""
     from pyspark.sql import Window as W
 
-    emb = vectors.withColumn("_e", as_double(F.col(vec_col)))
-    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+    narrow = vectors.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_e")
+    )
+    scored = narrow.crossJoin(F.broadcast(cents)).withColumn(
         "_ccos", cosine(F.col("_e"), F.col("cvec"))
     )
-    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= nprobe
-    )
-    if nprobe == 1:
-        return ranked.select(
-            *vectors.columns, F.col("cid").alias("centroid_id")
+    def join_back(assign: DataFrame, extra_cols: list[str]) -> DataFrame:
+        # assign derives from `vectors` itself — rename its id column
+        # so the join condition references no shared attribute (a bare
+        # self-join on the common name hits "conflicting references"
+        # on view-backed inputs like memory-sink tables)
+        a = assign.withColumnRenamed(id_col, "__assign_id")
+        return (
+            vectors.join(a, F.col(id_col) == F.col("__assign_id"))
+            .select(*vectors.columns, *extra_cols)
         )
-    return ranked.select(
-        *vectors.columns,
+
+    if nprobe == 1:
+        assign = scored.groupBy(id_col).agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("_ccos"), -F.col("cid"))
+            ).alias("centroid_id")
+        )
+        return join_back(assign, ["centroid_id"])
+    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("cid"))
+    ranked = (
+        scored.select(id_col, "cid", "_ccos")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+    )
+    assign = ranked.select(
+        F.col(id_col),
         (F.col("_rn") == 1).alias("is_primary"),
         F.col("cid").alias("centroid_id"),
     )
+    return join_back(assign, ["is_primary", "centroid_id"])
 
 
 def ivf_apply_changes(
@@ -588,20 +602,25 @@ def ivf_apply_changes(
     else:
         merged = assigned_adds
     # surviving-cell set BEFORE the write (evaluating merged afterwards
-    # would re-read the very partitions the overwrite just replaced)
-    merged_cells = {
-        str(r[0])
-        for r in merged.select("centroid_id").distinct().collect()
-    }
-    # one hash exchange on the cell id → one file per touched cell
-    if merged_cells:
-        (
-            merged.repartition("centroid_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("centroid_id")
-            .parquet(path)
-        )
+    # would re-read the very partitions the overwrite just replaced);
+    # persisted so the touched cells are read once, not once per action
+    merged = merged.persist()
+    try:
+        merged_cells = {
+            str(r[0])
+            for r in merged.select("centroid_id").distinct().collect()
+        }
+        # one hash exchange on the cell id → one file per touched cell
+        if merged_cells:
+            (
+                merged.repartition("centroid_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("centroid_id")
+                .parquet(path)
+            )
+    finally:
+        merged.unpersist()
     # dynamic overwrite writes nothing for a cell the batch EMPTIED —
     # its stale files must go explicitly
     for c in set(touched) - merged_cells:

@@ -588,10 +588,9 @@ class VersionedTable:
                 # the table's schema; the caller's row filter (which
                 # matches nothing in it, by the stats bound) yields
                 # the correct empty result
-                all_rels = self._resolved(v)["files"]
-                rels = all_rels[:1]
+                rels = res_mor["files"][:1]
         else:
-            rels = self._resolved(v)["files"]
+            rels = res_mor["files"]
         files = [os.path.join(self.root, rel) for rel in rels]
         if not files:
             # a CDC batch that deleted every remaining row publishes an
