@@ -37,7 +37,14 @@ Version kinds:
 - layout changes (re-bucket, compact, rollback, plain commits): one
   whole-table diff partition — the honest fallback; these are rare
   maintenance events, and a compact (row-preserving) diffs to zero
-  changes.
+  changes;
+- MERGE-ON-READ versions (round 10): each side of a bucket's diff is a
+  (base files, delta stack) STATE; the executor replays the stack over
+  the base — sequential apply_cdc semantics, exact under the CDC
+  contract's unique (key, seq) — before the keyed diff. That uniformly
+  covers stack appends (the common O(batch) commit), inline folds,
+  materializations, bucket compactions (row-silent) and rollbacks;
+  re-buckets group old-side stacks by residue like their base files.
 
 Preconditions (the CDC table's own contract): ``key`` is unique per
 snapshot and non-null. Rows are compared by their full payload; an
@@ -69,8 +76,16 @@ CDF_SOURCE_NAME = "versioned_cdf"
 
 
 class _ChangePartition(InputPartition):
-    """One executor task: diff ``old_files`` vs ``new_files`` (absolute
-    paths) on ``key`` and emit (payload..., _op, _version)."""
+    """One executor task: diff the OLD state vs the NEW state of one
+    bucket (or the whole table) on ``key`` and emit
+    (payload..., _op, _version).
+
+    A state is ``(base files, delta stack)``: for copy-on-write
+    versions the stacks are empty and the diff is a plain file diff;
+    for merge-on-read versions the executor REPLAYS each side's stack
+    over its base (the same sequential apply_cdc semantics the merged
+    read uses) before diffing — which uniformly covers MOR appends,
+    inline folds, materializations, bucket compactions and rollbacks."""
 
     def __init__(
         self,
@@ -80,6 +95,10 @@ class _ChangePartition(InputPartition):
         old_files: list[str],
         new_files: list[str],
         update_preimage: bool = False,
+        old_stack: list | None = None,
+        new_stack: list | None = None,
+        op_col: str = "op",
+        seq_col: str | None = None,
     ):
         self.version = version
         self.key = key
@@ -87,26 +106,32 @@ class _ChangePartition(InputPartition):
         self.old_files = old_files
         self.new_files = new_files
         self.update_preimage = update_preimage
+        self.old_stack = old_stack or []
+        self.new_stack = new_stack or []
+        self.op_col = op_col
+        self.seq_col = seq_col
 
 
 def _diff_rows(part: _ChangePartition):
     """The executor-side diff: pure Arrow/pandas over the partition's
-    file lists — no Spark session, no driver round-trip."""
+    file lists — no Spark session, no driver round-trip. Sides with a
+    merge-on-read delta stack are REPLAYED to their merged state first
+    (sequential apply_cdc semantics: batches in version order, within a
+    batch the highest (seq, op) row per key wins — exact under the CDC
+    contract's unique (key, seq))."""
     import pandas as pd
     import pyarrow.parquet as pq
 
-    def load(files: list[str]) -> "pd.DataFrame":
+    cols = part.fields
+
+    def load(files: list[str], columns: list[str]) -> "pd.DataFrame":
         if not files:
-            return pd.DataFrame(columns=part.fields)
+            return pd.DataFrame(columns=columns)
         frames = [
-            pq.read_table(f, columns=part.fields).to_pandas()
+            pq.read_table(f, columns=columns).to_pandas()
             for f in files
         ]
         return pd.concat(frames, ignore_index=True)
-
-    old = load(part.old_files)
-    new = load(part.new_files)
-    cols = part.fields
 
     def emit(row: tuple, op: str) -> tuple:
         # numpy arrays (Arrow list columns) → plain lists so the rows
@@ -117,22 +142,50 @@ def _diff_rows(part: _ChangePartition):
             part.version,
         )
 
-    if not part.old_files:
+    if not part.old_files and not part.old_stack and not part.new_stack:
         # pure-insert partition (seed bucket, append-sink batch): no
         # diff — emit every row verbatim. Load-bearing for append
         # tables, whose rows are FACTS, not keyed entities: the keyed
         # diff below would collapse repeated keys into one insert.
+        new = load(part.new_files, cols)
         for r in new[cols].itertuples(index=False, name=None):
             yield emit(r, "I")
         return
 
-    def row_map(df: "pd.DataFrame") -> dict:
-        return {
-            r[cols.index(part.key)]: r
-            for r in df[cols].itertuples(index=False, name=None)
-        }
+    ki = cols.index(part.key)
 
-    o, n = row_map(old), row_map(new)
+    def state_of(base_files: list[str], stack: list) -> dict:
+        """key → payload row, the stack replayed over the base."""
+        base = load(base_files, cols)
+        state = {
+            r[ki]: r
+            for r in base[cols].itertuples(index=False, name=None)
+        }
+        if not stack:
+            return state
+        dcols = list(cols) + [part.op_col] + (
+            [part.seq_col] if part.seq_col else []
+        )
+        oi = len(cols)
+        for _v, files in sorted(stack, key=lambda e: int(e[0])):
+            df = load([f for f in files], dcols)
+            if part.seq_col:
+                df = df.sort_values(
+                    [part.seq_col, part.op_col], kind="mergesort"
+                )
+            resolved: dict = {}
+            for r in df[dcols].itertuples(index=False, name=None):
+                resolved[r[ki]] = r  # last wins after the stable sort
+            for k, r in resolved.items():
+                op = r[oi]
+                if op == "D":
+                    state.pop(k, None)
+                elif op in ("U", "I"):
+                    state[k] = r[: len(cols)]
+        return state
+
+    o = state_of(part.old_files, part.old_stack)
+    n = state_of(part.new_files, part.new_stack)
 
     def norm(v):
         # array/map payload columns arrive as numpy arrays / lists from
@@ -303,26 +356,6 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         t = self.table
         m = t._manifest(v)
         base = m["base"]
-        if (
-            "bucket_delta_files_new" in m.get("delta", {})
-            or any(t._resolved(v).get("bucket_deltas", {}).values())
-            or (
-                base is not None
-                and any(
-                    t._resolved(base).get("bucket_deltas", {}).values()
-                )
-            )
-        ):
-            # merge-on-read state: a bucket's rows are base ⊕ delta
-            # stack, not raw files — the executor-side file diff would
-            # read stale base rows as live. Batch twin: version_changes
-            # works (it reads through the merged snapshot).
-            raise ValueError(
-                f"version {v}: change-data-feed over merge-on-read "
-                "versions is not supported — compact_buckets()/compact() "
-                "to a read-optimized version, or use the copy-on-write "
-                "committer for CDF-fed pipelines"
-            )
         abs_ = lambda rels: [  # noqa: E731
             os.path.join(self.root, r) for r in rels
         ]
@@ -355,38 +388,84 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                 )
             ]
         base_res = t._resolved(base)
+        abs_stack = lambda st: [  # noqa: E731
+            [int(ver), abs_(fs)] for ver, fs in st
+        ]
+
+        def mor_meta() -> dict:
+            return {
+                "op_col": t._chain_meta(v, "cdc_op") or "op",
+                "seq_col": t._chain_meta(v, "cdc_seq"),
+            }
+
         if "delta" in m:
-            # pruned CDC commit: the manifest names the touched buckets
+            # pruned CDC commit: the manifest names the touched buckets.
+            # Merge-on-read deltas additionally carry per-bucket STACK
+            # appends — each side of the diff is then (base files,
+            # stack), replayed executor-side before comparing.
             d = m["delta"]
+            new_res = t._resolved(v)
+            mor = bool(d.get("bucket_delta_files_new")) or any(
+                base_res["bucket_deltas"].values()
+            )
+            if not mor:
+                return [
+                    _ChangePartition(
+                        v,
+                        self.key,
+                        self.fields,
+                        abs_(base_res["bucket_files"].get(b, [])),
+                        abs_(d["bucket_files_new"].get(b, [])),
+                        self.pre,
+                    )
+                    for b in d["touched"]
+                ]
+            meta = mor_meta()
+            candidates = sorted(
+                set(d["touched"]) | set(d.get("bucket_delta_files_new", {}))
+            )
             return [
                 _ChangePartition(
                     v,
                     self.key,
                     self.fields,
                     abs_(base_res["bucket_files"].get(b, [])),
-                    abs_(d["bucket_files_new"].get(b, [])),
+                    abs_(new_res["bucket_files"].get(b, [])),
                     self.pre,
+                    old_stack=abs_stack(base_res["bucket_deltas"].get(b, [])),
+                    new_stack=abs_stack(new_res["bucket_deltas"].get(b, [])),
+                    **meta,
                 )
-                for b in d["touched"]
+                for b in candidates
             ]
         res = t._resolved(v)
+        any_stacks = any(res["bucket_deltas"].values()) or any(
+            base_res["bucket_deltas"].values()
+        )
+        meta = mor_meta() if any_stacks else {}
         old_n = t._manifest(base).get("n_buckets")
         new_n = m.get("n_buckets")
         if res["bucket_files"] and base_res["bucket_files"]:
             if new_n == old_n:
                 # full manifest, same layout: diff buckets whose file
-                # lists changed (depth-cap materializations land here)
+                # lists OR stacks changed (depth-cap materializations,
+                # bucket compactions and rollbacks land here)
                 out = []
                 for b in sorted(
                     set(res["bucket_files"]) | set(base_res["bucket_files"])
                 ):
                     old_fs = base_res["bucket_files"].get(b, [])
                     new_fs = res["bucket_files"].get(b, [])
-                    if old_fs != new_fs:
+                    old_st = base_res["bucket_deltas"].get(b, [])
+                    new_st = res["bucket_deltas"].get(b, [])
+                    if old_fs != new_fs or old_st != new_st:
                         out.append(
                             _ChangePartition(
                                 v, self.key, self.fields,
                                 abs_(old_fs), abs_(new_fs), self.pre,
+                                old_stack=abs_stack(old_st),
+                                new_stack=abs_stack(new_st),
+                                **meta,
                             )
                         )
                 return out
@@ -398,7 +477,11 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                 # bucket nb ≡ ob (mod g) — grouping BOTH sides by
                 # residue gives g complete, disjoint diff partitions
                 # (each ~table/g bytes) instead of one whole-table
-                # partition an executor can't hold at scale.
+                # partition an executor can't hold at scale. Old-side
+                # stacks ride with their residue group (stack entries of
+                # different buckets hold disjoint keys, so replay order
+                # across buckets is immaterial); the re-bucket itself is
+                # a full merge, so the new side is stack-free.
                 g = min(old_n, new_n)
                 out = []
                 for r in range(g):
@@ -414,11 +497,26 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                         if int(b) % g == r
                         for f in fs
                     ]
-                    if old_fs or new_fs:
+                    old_st = [
+                        e
+                        for b, st in sorted(base_res["bucket_deltas"].items())
+                        if int(b) % g == r
+                        for e in st
+                    ]
+                    new_st = [
+                        e
+                        for b, st in sorted(res["bucket_deltas"].items())
+                        if int(b) % g == r
+                        for e in st
+                    ]
+                    if old_fs or new_fs or old_st or new_st:
                         out.append(
                             _ChangePartition(
                                 v, self.key, self.fields,
                                 abs_(old_fs), abs_(new_fs), self.pre,
+                                old_stack=abs_stack(old_st),
+                                new_stack=abs_stack(new_st),
+                                **meta,
                             )
                         )
                 return out
@@ -429,6 +527,17 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
             _ChangePartition(
                 v, self.key, self.fields,
                 abs_(base_res["files"]), abs_(res["files"]), self.pre,
+                old_stack=abs_stack(
+                    [
+                        e
+                        for st in base_res["bucket_deltas"].values()
+                        for e in st
+                    ]
+                ),
+                new_stack=abs_stack(
+                    [e for st in res["bucket_deltas"].values() for e in st]
+                ),
+                **meta,
             )
         ]
 

@@ -1447,8 +1447,9 @@ def compact_buckets(
     ``n_buckets``/``cdc_key``/``schema``, so the committer stays on
     pruned writes, point lookups keep working, and — unlike whole-table
     ``compact()`` — no re-bucketing merge ever follows. Compacting
-    every stack turns a merge-on-read table read-optimized, which also
-    re-enables the change-data-feed reader.
+    every stack turns a merge-on-read table read-optimized (the change
+    feed serves stacked versions too, via executor-side state replay —
+    compaction trades its overlay cost for a one-time fold).
 
     Returns the new version, or None when nothing needs compacting (no
     empty version published). Raises CommitConflict if a writer lands

@@ -155,6 +155,24 @@ def test_mor_stack_depth_is_bounded_by_inline_compaction(spark, tmp_path):
     assert folds >= 1
     live = dict(_rows(t.read(spark)))
     assert live[hot] == f"u{MOR_MAX_STACK_DEPTH + 2}"
+    # the change feed replays correctly THROUGH the fold version: the
+    # fold's partition diffs (old base ⊕ full stack) vs the new base —
+    # row-silent for everything the fold merely rewrote, one U for the
+    # hot key per update version
+    from anti_ddos_spark.sources.cdf import version_changes
+
+    chain = [m["version"] for m in t.committed_chain()][::-1]
+    feed = version_changes(spark, t, "k", chain[0], chain[-1]).collect()
+    hot_ops = sorted(
+        (r["_version"], r["v"]) for r in feed if r["k"] == hot and r["_op"] == "U"
+    )
+    assert [v for _ver, v in hot_ops] == [
+        f"u{b}" for b in range(1, MOR_MAX_STACK_DEPTH + 3)
+    ]
+    # nothing but the hot key ever changes after the seed
+    assert all(
+        r["k"] == hot for r in feed if r["_version"] != chain[0]
+    )
 
 
 def test_mor_point_lookup_and_rollback_and_vacuum(spark, tmp_path):
@@ -210,36 +228,51 @@ def test_mor_compact_buckets_folds_stacks_and_reenables_cdf(
     stacked = {b for b, st in res_pre["bucket_deltas"].items() if st}
     assert stacked
 
-    # the streaming CDF refuses MOR versions loudly
+    # the streaming CDF replays MOR versions: each side of a bucket
+    # diff is (base, stack) replayed executor-side — the full replay
+    # must hash-match the batch twin (which reads merged snapshots)
     register_cdf_source(spark)
-    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    full = StructType(
-        list(StructType.fromJson(t._chain_meta(pre, "schema")).fields)
-        + [
-            StructField("_op", StringType()),
-            StructField("_version", LongType()),
-        ]
-    )
-    r = VersionedCdfStreamReader(
-        full, {"root": t.root, "key": "k", "start_version": "-1"}
-    )
-    with pytest.raises(ValueError, match="merge-on-read"):
-        r.partitions({"version": -1}, {"version": pre})
-    # ...but the batch twin works (it reads merged snapshots)
     chain = [m["version"] for m in t.committed_chain()][::-1]
-    ch = version_changes(spark, t, "k", chain[-2], chain[-1])
-    ops = {(r["k"], r["_op"]) for r in ch.collect()}
+    import time as _time
+
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", t.root)
+        .option("key", "k")
+        .option("start_version", -1)
+        .load()
+        .writeStream.format("memory")
+        .queryName("mor_cdf")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    deadline = _time.time() + 30
+    while (
+        _time.time() < deadline
+        and spark.table("mor_cdf").count() < 60
+    ):
+        _time.sleep(0.5)
+    got = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in spark.table("mor_cdf").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", chain[0], chain[-1])
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert got == want
+    ops = {(r[0], r[2]) for r in got}
     assert (7, "U") in ops and (23, "I") in ops and (55, "D") in ops
+    spark.catalog.dropTempView("mor_cdf")
 
     # compaction folds the stacks, preserves rows, carries untouched
-    # buckets verbatim, and the compacted version IS CDF-serveable
+    # buckets verbatim, and is row-silent in the change feed
     untouched_bases = {
         b: fs
         for b, fs in res_pre["bucket_files"].items()
@@ -249,6 +282,8 @@ def test_mor_compact_buckets_folds_stacks_and_reenables_cdf(
     assert post is not None
     res_post = t._resolved(post)
     assert not any(res_post["bucket_deltas"].values())
+    # the stack-aware diff sees the fold as row-silent
+    assert version_changes(spark, t, "k", post, post).count() == 0
     for b, fs in untouched_bases.items():
         assert res_post["bucket_files"][b] == fs
     assert _rows(t.read(spark)) == pre_rows
