@@ -1447,7 +1447,13 @@ QUERIES["q139_streaming_bpe_tokens"] = EXTRA_QUERIES.pop("q139_streaming_bpe_tok
 
 # --- q140: streaming change-data-feed over the versioned table (round 10) --
 
-def _commit_cdc_orders_fixture(spark: SparkSession, sf: str, tmp: str, app_id: str):
+def _commit_cdc_orders_fixture(
+    spark: SparkSession,
+    sf: str,
+    tmp: str,
+    app_id: str,
+    merge_on_read: bool = False,
+):
     """The shared 3-version CDC fixture behind q140 and q143: three
     deterministic change batches over ``orders`` committed through the
     REAL ``streaming_cdc_committer`` into a fresh versioned table under
@@ -1503,7 +1509,8 @@ def _commit_cdc_orders_fixture(spark: SparkSession, sf: str, tmp: str, app_id: s
     root = os.path.join(tmp, "tbl")
     tbl = VersionedTable(root)
     sink = streaming_cdc_committer(
-        tbl, "o_orderkey", seq_col="seq", txn_app_id=app_id
+        tbl, "o_orderkey", seq_col="seq", txn_app_id=app_id,
+        merge_on_read=merge_on_read,
     )
     sink(b1, 0)
     sink(b2, 1)
@@ -1603,6 +1610,72 @@ EXTRA_QUERIES["q140_streaming_cdf"] = Query(
     "partitions) vs the static-SQL derivation of the same feed — "
     "rotation candidate for r11",
 )
+
+
+# --- q146: the change feed of a MERGE-ON-READ table (round 10) -------------
+
+def q146_mor_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """q140's replay with the MERGE-ON-READ committer: the same three
+    logical change batches land as per-bucket delta-stack appends
+    (O(batch) written per version — no bucket is ever rewritten), and
+    the REAL streaming CDF replays the chain by loading each bucket
+    diff's two (base, stack) states and REPLAYING the stacks
+    executor-side before the keyed diff. The logical feed is identical
+    to the copy-on-write case by definition, so the ORACLE IS Q140'S
+    SQL VERBATIM — a replay that read stale base rows as live, applied
+    a stack out of order, or mis-resolved a within-batch (seq, op) tie
+    produces different change rows and breaks the hash."""
+    import shutil
+
+    from anti_ddos_spark.sources.cdf import register_cdf_source
+    from anti_ddos_spark.sources.versioned import VersionedTable
+
+    run_id = next(_counter)
+    tmp = tempfile.mkdtemp(prefix="q146_morcdf_")
+    root = _commit_cdc_orders_fixture(
+        spark, sf, tmp, "q146", merge_on_read=True
+    )
+    # the fixture must actually exercise the stack path: batches 2-3
+    # append to stacks (depth ≤ 2 < MOR_MAX_STACK_DEPTH, no folds)
+    tbl = VersionedTable(root)
+    assert any(
+        tbl._resolved(tbl.current_version())["bucket_deltas"].values()
+    ), "q146 fixture produced no delta stacks"
+
+    register_cdf_source(spark)
+    name = f"q146_morcdf_{run_id}"
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "o_orderkey")
+        .option("start_version", -1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(240)
+    if not finished:
+        q.stop()
+        q.awaitTermination(60)
+        raise RuntimeError(
+            "q146 MOR CDF replay did not finish its availableNow run "
+            "in 240 s"
+        )
+    changes = spark.table(name)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    out = changes.groupBy("_version", "_op").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum(cents).alias("total_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+    rows = out.collect()
+    _finish_stream_run(spark, tmp, name)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 # --- q143: incremental view maintenance from the change feed (round 10) ----
@@ -1730,4 +1803,13 @@ EXTRA_QUERIES["q143_ivm_maintained_aggregate"] = Query(
     "from the change feed's signed retraction deltas across three "
     "checkpoint-resumed capped runs, vs the oracle recomputing the view "
     "from the final snapshot derivation — rotation candidate for r11",
+)
+
+EXTRA_QUERIES["q146_mor_streaming_cdf"] = Query(
+    q146_mor_streaming_cdf,
+    Q140_SQL,
+    "the change feed of a merge-on-read table: the same logical batches "
+    "as q140 land as delta-stack appends and the streaming replay "
+    "(executor-side state replay per bucket) must produce the identical "
+    "feed — oracle is q140's SQL verbatim — rotation candidate for r11",
 )

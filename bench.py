@@ -205,6 +205,7 @@ STREAMING_QUERIES = {
     "q118_stream_stream_left_join", "q128_streaming_distinct_users",
     "q129_stream_stream_full_join", "q139_streaming_bpe_tokens",
     "q140_streaming_cdf", "q143_ivm_maintained_aggregate",
+    "q146_mor_streaming_cdf",
 }
 
 
