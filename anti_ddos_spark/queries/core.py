@@ -807,3 +807,13 @@ QUERIES["q135_bucketed_cdc_state"] = EXTRA_QUERIES.pop("q135_bucketed_cdc_state"
 # queries/streamops.py (q139). Keeps its full DuckDB hash oracle via
 # full_registry().
 EXTRA_QUERIES["q08_window_rank"] = QUERIES.pop("q08_window_rank")
+
+# Round-11 rotation (r10 verdict task #1): q131 (time-travel snapshot
+# diff) — transitively covered by q135's committer end state, q130's
+# batch CDC merge, and the round-10 storage rows (q142/q144 locals) —
+# yields its driver slot to q145: the merge-on-read committer's
+# stack-overlaid state vs the relational final state, with live-stack
+# and compaction-fold booleans in-band. q131 keeps its full DuckDB hash
+# oracle via full_registry().
+EXTRA_QUERIES["q131_snapshot_diff"] = QUERIES.pop("q131_snapshot_diff")
+QUERIES["q145_mor_cdc_state"] = EXTRA_QUERIES.pop("q145_mor_cdc_state")

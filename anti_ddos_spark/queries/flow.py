@@ -467,7 +467,6 @@ Q24_SQL = _q24_oracle()
 
 
 QUERIES: dict[str, Query] = {
-    "q20_event_sessions": Query(q20_event_sessions, Q20_SQL, "gap sessionization + session stats"),
     "q24_flow_features_full": Query(
         q24_flow_features_full, Q24_SQL, "FULL 77-feature flow parity vs windowed-SQL oracle"
     ),
@@ -476,7 +475,12 @@ QUERIES: dict[str, Query] = {
 # Demoted from the driver sweep (cap policy, queries/__init__.py): q24's
 # 77-feature hash parity subsumes the IAT/direction/bulk math these check
 # in isolation. Still oracle-checked locally via full_registry().
+# Round-11 rotation (r10 verdict task #1): q20 joins them — its gap
+# sessionization is transitively carried by q24's full-feature hash and
+# q70's streaming twin; its driver slot goes to the round-10 storage
+# consumer family (q141/q143/q145). Full DuckDB oracle retained here.
 EXTRA_QUERIES: dict[str, Query] = {
+    "q20_event_sessions": Query(q20_event_sessions, Q20_SQL, "gap sessionization + session stats"),
     "q21_event_iat_stats": Query(q21_event_iat_stats, Q21_SQL, "IAT statistics via lag window"),
     "q22_direction_split": Query(q22_direction_split, Q22_SQL, "direction-split conditional aggs"),
     "q23_bulk_runs": Query(q23_bulk_runs, Q23_SQL, "bulk-run episode detection"),

@@ -1802,7 +1802,13 @@ EXTRA_QUERIES["q143_ivm_maintained_aggregate"] = Query(
     "incremental view maintenance: a per-customer aggregate maintained "
     "from the change feed's signed retraction deltas across three "
     "checkpoint-resumed capped runs, vs the oracle recomputing the view "
-    "from the final snapshot derivation — rotation candidate for r11",
+    "from the final snapshot derivation",
+)
+# Round-11 rotation (r10 verdict task #1): promoted to the driver rows —
+# the change-data-feed consumer side (IVM across restarts) becomes
+# driver-pinned. The slot comes from q20 (demoted in queries/flow.py).
+QUERIES["q143_ivm_maintained_aggregate"] = EXTRA_QUERIES.pop(
+    "q143_ivm_maintained_aggregate"
 )
 
 EXTRA_QUERIES["q146_mor_streaming_cdf"] = Query(

@@ -1343,5 +1343,14 @@ EXTRA_QUERIES["q141_text_recall_contract"] = Query(
     _q141_sql(),
     "per-grade MinHash-banding candidate recall vs contracted s-curve "
     "floors AND ceilings on planted prefix-Jaccard twins (production "
-    "K=128/b=16 projection) — rotation candidate for r11",
+    "K=128/b=16 projection)",
 )
+
+# Round-11 rotation (r10 verdict task #1): q34's exact trigram-Jaccard
+# join is transitively covered by q123 (the df-capped production form)
+# and q35 (MinHash, the corpus-scale answer); its driver slot goes to
+# q141, making the text-dedup recall CONTRACT driver-pinned alongside
+# q137's embedding-ANN floors. q34 keeps its full DuckDB oracle via
+# full_registry().
+EXTRA_QUERIES["q34_ngram_jaccard"] = QUERIES.pop("q34_ngram_jaccard")
+QUERIES["q141_text_recall_contract"] = EXTRA_QUERIES.pop("q141_text_recall_contract")

@@ -6,11 +6,13 @@ task #2 — plus q02 out for q123_jaccard_capped, the round-7 df-capped
 join, and a third r7 rotation: q05/q07 out for q126_mergeable_hll /
 q127_split_leakage_audit) and the core/textops modules were
 mechanically split; this test freezes the
-resulting registry ORDER after the ROUND-10 rotation (q08/q30/q31 out;
-q137/q138/q139 in — r9 verdict task #1, the round-9 contract family
-made driver-visible: ANN recall floors, the production BPE apply path,
-and the committed tokenizer in-stream; the driver records CORRECTNESS
-rows for the first 50 entries in dict order) and the full_registry
+resulting registry ORDER after the ROUND-11 rotation (q20/q34/q131 out;
+q141/q143/q145 in — r10 verdict task #1, the round-10 storage/consumer
+family made driver-visible: text-dedup banding-recall floors+ceilings,
+incremental view maintenance from the change feed across restarts, and
+the merge-on-read committer's stack-overlaid state; the driver records
+CORRECTNESS rows for the first 50 entries in dict order) and the
+full_registry
 NAME SET so any future refactor that silently reorders or drops a
 query fails fast. Update these literals only on an intentional
 registry change.
@@ -28,10 +30,9 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q126_mergeable_hll',
  'q125_heavy_hitters',
  'q130_cdc_merge',
- 'q131_snapshot_diff',
  'q132_layout_pruning',
  'q135_bucketed_cdc_state',
- 'q20_event_sessions',
+ 'q145_mor_cdc_state',
  'q24_flow_features_full',
  'q25_asof_join',
  'q26_range_join',
@@ -39,7 +40,6 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q35_minhash_prod',
  'q37_curation_funnel',
  'q39_neardup_clusters',
- 'q34_ngram_jaccard',
  'q49_repetition_profile',
  'q68_window_dedup',
  'q80_curation_pipeline',
@@ -50,6 +50,7 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q127_split_leakage_audit',
  'q136_bpe_frozen_vocab',
  'q138_bpe_vocab_join_apply',
+ 'q141_text_recall_contract',
  'q42_cosine_neardup_pairs',
  'q44_lsh_ann_multiprobe',
  'q45_ivf_multiprobe_topk',
@@ -69,6 +70,7 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q128_streaming_distinct_users',
  'q129_stream_stream_full_join',
  'q139_streaming_bpe_tokens',
+ 'q143_ivm_maintained_aggregate',
  'q133_rf_frozen_scores']
 
 FULL_SET = ['q01_pricing_summary',
