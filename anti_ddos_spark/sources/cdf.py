@@ -271,6 +271,7 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         # way to consume a chain one known slice at a time (q143).
         mv = options.get("max_version")
         self.max_version = None if mv is None else int(mv)
+        self._max_version_ok = False  # validated lazily on first cap
         # Cap baseline: the newest version this reader incarnation has
         # planned or committed. None until initialOffset/partitions/
         # commit establishes it — a RESTARTED reader (Spark skips
@@ -292,6 +293,22 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         if cur is None:
             return {"version": self.start_version}
         if self.max_version is not None and cur > self.max_version:
+            if not self._max_version_ok:
+                # validate once before capping: an orphan or
+                # never-committed number would otherwise surface as a
+                # raw manifest FileNotFoundError from deep inside
+                # planning (r10 ADVICE) — name the option instead
+                vv: int | None = cur
+                while vv is not None and vv != self.max_version:
+                    vv = self.table._manifest(vv)["base"]
+                if vv != self.max_version:
+                    raise ValueError(
+                        f"max_version {self.max_version} is not a "
+                        f"committed version of {self.root} (orphan "
+                        "number from a crashed publish, or never "
+                        "committed)"
+                    )
+                self._max_version_ok = True
             cur = self.max_version
         if self.max_versions > 0 and self._baseline is not None:
             # admission control: advance at most N chain steps past the
@@ -359,9 +376,40 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         abs_ = lambda rels: [  # noqa: E731
             os.path.join(self.root, r) for r in rels
         ]
+        abs_stack = lambda st: [  # noqa: E731
+            [int(ver), abs_(fs)] for ver, fs in st
+        ]
+
+        def mor_meta() -> dict:
+            return {
+                "op_col": t._chain_meta(v, "cdc_op") or "op",
+                "seq_col": t._chain_meta(v, "cdc_seq"),
+            }
+
         if base is None:
-            # seed: everything is an insert
+            # seed: everything is an insert — of the table's TRUE seed
+            # state. A vacuum-re-rooted merge-on-read seed carries delta
+            # STACKS (versioned.vacuum materializes the oldest kept
+            # manifest base+stacks verbatim), so the seed state is each
+            # bucket's stack replayed over its base files, not the base
+            # files alone: ignoring the stacks would emit stale base
+            # rows, resurrect stack-deleted keys and drop stack-only
+            # rows (r10 ADVICE, reproduced in test_cdf.py).
             res = t._resolved(v)
+            if any(res["bucket_deltas"].values()):
+                meta = mor_meta()
+                return [
+                    _ChangePartition(
+                        v, self.key, self.fields, [],
+                        abs_(res["bucket_files"].get(b, [])), self.pre,
+                        new_stack=abs_stack(res["bucket_deltas"].get(b, [])),
+                        **meta,
+                    )
+                    for b in sorted(
+                        set(res["bucket_files"]) | set(res["bucket_deltas"])
+                    )
+                    if res["bucket_files"].get(b) or res["bucket_deltas"].get(b)
+                ]
             if res["bucket_files"]:
                 return [
                     _ChangePartition(
@@ -388,16 +436,6 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
                 )
             ]
         base_res = t._resolved(base)
-        abs_stack = lambda st: [  # noqa: E731
-            [int(ver), abs_(fs)] for ver, fs in st
-        ]
-
-        def mor_meta() -> dict:
-            return {
-                "op_col": t._chain_meta(v, "cdc_op") or "op",
-                "seq_col": t._chain_meta(v, "cdc_seq"),
-            }
-
         if "delta" in m:
             # pruned CDC commit: the manifest names the touched buckets.
             # Merge-on-read deltas additionally carry per-bucket STACK

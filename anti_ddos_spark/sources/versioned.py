@@ -786,7 +786,10 @@ def _mor_merged(
     from pyspark.sql.types import StructType
 
     if base_files:
-        base = spark.read.parquet(
+        # mergeSchema: base buckets written before a column was added
+        # coexist with later materializations — same tolerance as the
+        # copy-on-write read path (r10 ADVICE)
+        base = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(root, f) for f in base_files]
         )
     elif schema_json is not None:
@@ -804,7 +807,19 @@ def _mor_merged(
         ).withColumn("_v", F.lit(int(v)))
         for v, files in entries
     ]
-    deltas = reduce(lambda a, b: a.unionByName(b), frames)
+    # allowMissingColumns: a column added between batches exists only in
+    # newer delta files — null-fill it backwards instead of failing the
+    # read (schema evolution; the COW path gets this via mergeSchema)
+    deltas = reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+    # align the base the same way: a chain-new column predates no base
+    # file, so every base row holds NULL for it
+    for f in deltas.schema.fields:
+        if f.name not in (key, seq_col, op_col, "_v") and (
+            f.name not in base.columns
+        ):
+            base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
     payload = [
         c for c in deltas.columns if c not in (key, seq_col, "_v")
     ]
@@ -828,8 +843,15 @@ def _mor_merged(
         .select(key, "_r.*")
     )
     keys = F.broadcast(resolved.select(key))
-    live = resolved.filter(F.col(op_col) != "D").select(*base.columns)
-    return base.join(keys, key, "left_anti").unionByName(live)
+    live = resolved.filter(F.col(op_col) != "D")
+    # a base column no delta batch ever carried (dropped from the
+    # writer's schema mid-chain) resolves to NULL on overlay rows
+    for f in base.schema.fields:
+        if f.name not in live.columns:
+            live = live.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return base.join(keys, key, "left_anti").unionByName(
+        live.select(*base.columns)
+    )
 
 
 def _remove_data_dir(table: VersionedTable, new_files: list[str]) -> None:
@@ -1694,6 +1716,16 @@ def vacuum(
             rooted.pop("bucket_deltas", None)
             if any(res["bucket_deltas"].values()):
                 rooted["bucket_deltas"] = res["bucket_deltas"]
+            # the chain BELOW this manifest is about to be deleted —
+            # stamp any chain-carried metadata the oldest kept manifest
+            # doesn't hold itself (a compact manifest carries no CDC
+            # meta; losing `schema`/`cdc_op`/`cdc_seq` here would break
+            # the CDF reader's seed replay and _table_schema)
+            for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema"):
+                if k not in rooted:
+                    mv = table._chain_meta(oldest["version"], k)
+                    if mv is not None:
+                        rooted[k] = mv
             mpath = os.path.join(
                 table.root, "manifests", f"v{rooted['version']}.json"
             )

@@ -593,3 +593,90 @@ def test_cdf_residue_planning_covers_every_file_exactly_once(tmp_path):
         want_new = sorted(f"{root}/{f}" for fs in new_bf.values() for f in fs)
         assert sorted(old_seen) == want_old  # exactly once each
         assert sorted(new_seen) == want_new
+
+
+def test_cdf_seed_replay_after_vacuum_rerooted_mor_table(spark, tmp_path):
+    """r10 ADVICE (high): vacuum re-roots the oldest kept manifest of a
+    merge-on-read table WITH its delta stacks preserved — a replay from
+    -1 must emit the STACK-REPLAYED seed state as inserts, not the
+    stale base rows (which would resurrect deleted keys and drop every
+    stack row)."""
+    from anti_ddos_spark.sources.versioned import vacuum
+
+    root = str(tmp_path / "mor")
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(60)], SCHEMA
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(7, "u7a", "U", 1), (23, None, "D", 2), (41, "u41", "U", 3)],
+            SCHEMA,
+        ),
+        1,
+    )
+    sink(
+        spark.createDataFrame(
+            [(7, "u7b", "U", 1), (23, "w23", "I", 2), (55, None, "D", 3)],
+            SCHEMA,
+        ),
+        2,
+    )
+    vacuum(t, keep_versions=1, min_age_s=0)
+    v = t.current_version()
+    res = t._resolved(v)
+    assert t._manifest(v)["base"] is None  # re-rooted
+    assert any(res["bucket_deltas"].values())  # ...with live stacks
+
+    snap = sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+    assert len(snap) == 59  # 60 inserts, 55 deleted
+
+    got = _run_stream(spark, root, start_version=-1, expect=len(snap))
+    assert all(r["_op"] == "I" for r in got)
+    assert sorted((r["k"], r["v"]) for r in got) == snap
+    by = {r["k"]: r["v"] for r in got}
+    assert by[7] == "u7b" and by[23] == "w23" and by[41] == "u41"
+    assert 55 not in by
+
+
+def test_cdf_max_version_not_on_chain_fails_loudly(spark, tmp_path):
+    """r10 ADVICE: a max_version that is not a committed version of the
+    chain (vacuumed away, orphan, never existed) must raise a clear
+    ValueError naming the option, not a raw manifest FileNotFoundError
+    from inside planning."""
+    from anti_ddos_spark.sources.cdf import (
+        VersionedCdfStreamReader,
+        _table_schema,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from anti_ddos_spark.sources.versioned import vacuum
+
+    root = str(tmp_path / "tbl")
+    t = _build_table(spark, root)  # versions 0..3
+    vacuum(t, keep_versions=2, min_age_s=0)  # 0 and 1 are gone
+
+    base = _table_schema(root)
+    schema = StructType(
+        list(base.fields)
+        + [
+            StructField("_op", StringType(), False),
+            StructField("_version", LongType(), False),
+        ]
+    )
+    r = VersionedCdfStreamReader(
+        schema,
+        {"root": root, "key": "k", "start_version": "-1", "max_version": "0"},
+    )
+    with pytest.raises(ValueError, match="max_version 0 is not a"):
+        r.latestOffset()

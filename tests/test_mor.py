@@ -318,3 +318,30 @@ def test_cow_batch_over_mor_base_folds_stacks_not_loses_rows(
     # the stack rows survived the fold, plus the COW update
     assert live[0] == "z0" and live[7] == "u7b" and live[23] == "w23"
     assert 55 not in live
+
+
+def test_mor_read_tolerates_schema_evolution(spark, tmp_path):
+    """r10 ADVICE: a MOR table whose batch schema gains a column
+    mid-chain must still read — the new column is null-filled on base
+    rows and on delta rows written before it existed (the same
+    tolerance the copy-on-write path gets from mergeSchema)."""
+    t = VersionedTable(str(tmp_path / "mor"))
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(20)], SCHEMA
+        ),
+        0,
+    )
+    wide = "k long, v string, extra long, op string, seq long"
+    sink(spark.createDataFrame([(3, "u3", 99, "U", 1)], wide), 1)
+    sink(
+        spark.createDataFrame([(5, "u5", "U", 1)], SCHEMA), 2
+    )  # narrow again after the wide batch
+    rows = {r["k"]: (r["v"], r["extra"]) for r in t.read(spark).collect()}
+    assert rows[3] == ("u3", 99)
+    assert rows[5] == ("u5", None)
+    assert rows[0] == ("v0", None)
+    assert len(rows) == 20
