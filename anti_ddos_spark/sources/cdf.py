@@ -373,6 +373,15 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         t = self.table
         m = t._manifest(v)
         base = m["base"]
+        if base is not None and m.get("row_preserving"):
+            # maintenance versions that by construction change no
+            # visible row (compact, OPTIMIZE-ZORDER, bucket stack
+            # folds) declare themselves: plan NOTHING instead of
+            # reading the data to prove silence. Before this flag, one
+            # whole-table OPTIMIZE stalled the feed for a full diff
+            # that provably emitted zero rows — the last O(table)
+            # event in the feed's cost model (r10 verdict task #3).
+            return []
         abs_ = lambda rels: [  # noqa: E731
             os.path.join(self.root, r) for r in rels
         ]
@@ -697,6 +706,11 @@ def version_changes(
     for v in reversed(chain):
         m = table._manifest(v)
         base = m["base"]
+        if base is not None and m.get("row_preserving"):
+            # committer-declared silent version (compact/Z-order/stack
+            # fold): contributes no change rows — skip the join, same
+            # zero-partition treatment as the streaming reader
+            continue
         new = table.read(spark, version=v)
         if base is None:
             frames.append(
@@ -749,4 +763,12 @@ def version_changes(
             F.lit(v).cast("long").alias("_version"),
         )
         frames.append(out)
+    if not frames:
+        # every version in range was committer-declared row-preserving
+        return (
+            table.read(spark, version=to_version)
+            .limit(0)
+            .withColumn("_op", F.lit("I"))
+            .withColumn("_version", F.lit(to_version).cast("long"))
+        )
     return reduce(lambda a, b: a.unionByName(b), frames)

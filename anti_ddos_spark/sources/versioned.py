@@ -1566,6 +1566,11 @@ def compact_buckets(
     }
     if carried_stacks:
         extra["bucket_deltas"] = carried_stacks
+    # bucket compaction folds stacks / merges small files — by
+    # construction it changes NO visible row, and it says so: the
+    # change-feed reader plans zero partitions for flagged versions
+    # instead of diffing data to prove silence (r10 verdict task #3)
+    extra["row_preserving"] = True
     stats = {
         **{
             f: s
@@ -1630,9 +1635,14 @@ def compact(
         # a z-ordered rewrite yields tight per-file ranges on every
         # interleaved column — record them so read(filters=...) skips
         # files from the manifest (footer pruning still applies within
-        # the files that survive)
+        # the files that survive). row_preserving: compaction changes
+        # no visible row, and declares it so the change feed can plan
+        # ZERO partitions for this version instead of a whole-table
+        # diff that provably emits nothing (r10 verdict task #3 — the
+        # last O(table) event in the feed's cost model)
         return table._publish(
             new_files, mode, base,
+            extra={"row_preserving": True},
             new_file_stats=_stats_for_files(
                 table.root, new_files, zorder_cols
             ),

@@ -522,8 +522,9 @@ def test_cdf_rebucket_version_plans_residue_partitions(
 
 
 def test_cdf_compact_is_row_silent_and_rebucket_falls_back(spark, tmp_path):
-    """A row-preserving compact emits zero changes through the
-    whole-table fallback diff; the stream keeps going across it."""
+    """A row-preserving compact emits zero changes (r11: by planned
+    silence — the committer flags the version and the reader plans no
+    partition at all); the stream keeps going across it."""
     from anti_ddos_spark.sources.versioned import compact
 
     root = str(tmp_path / "tbl4")
@@ -680,3 +681,80 @@ def test_cdf_max_version_not_on_chain_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="max_version 0 is not a"):
         r.latestOffset()
+
+
+def test_cdf_row_preserving_versions_plan_zero_partitions(spark, tmp_path):
+    """r10 verdict task #3: an OPTIMIZE (compact / Z-order / bucket
+    stack fold) declares row_preserving in its manifest and the feed
+    planner plans ZERO input partitions for it — no whole-table diff
+    to prove silence — while the feed's rows across the version are
+    unchanged."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from anti_ddos_spark.sources.cdf import VersionedCdfStreamReader
+    from anti_ddos_spark.sources.versioned import compact, compact_buckets
+
+    root = str(tmp_path / "tbl")
+    t = _build_table(spark, root)
+    v_before = t.current_version()
+
+    # whole-table OPTIMIZE-ZORDER
+    compact(t, spark, n_files=2, zorder_cols=["k"])
+    v_z = t.current_version()
+    assert t._manifest(v_z)["row_preserving"] is True
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("_op", StringType()),
+            StructField("_version", LongType()),
+        ]
+    )
+    r = VersionedCdfStreamReader(
+        schema, {"root": root, "key": "k", "start_version": str(v_before)}
+    )
+    assert r._version_partitions(v_z) == []
+    # the batch twin skips it too (version_changes is INCLUSIVE of
+    # from_version, so v_before's own row appears — the silent compact
+    # version contributes nothing)
+    vc = version_changes(spark, t, "k", v_before, v_z)
+    assert vc.filter(F.col("_version") == v_z).count() == 0
+
+    # and a MOR bucket compaction (stack fold) is equally silent
+    root2 = str(tmp_path / "mor")
+    t2 = VersionedTable(root2)
+    sink = streaming_cdc_committer(
+        t2, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(30)], SCHEMA
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(3, "u3", "U", 1)], SCHEMA), 1)
+    v_fold = compact_buckets(t2, spark, max_files_per_bucket=1)
+    assert t2._manifest(v_fold)["row_preserving"] is True
+    r2 = VersionedCdfStreamReader(
+        schema, {"root": root2, "key": "k", "start_version": "-1"}
+    )
+    assert r2._version_partitions(v_fold) == []
+
+    # feed across the silent version == feed up to it (hash-unchanged)
+    upto = _canon(
+        version_changes(spark, t2, "k", 0, t2.current_version() - 1)
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    across = _canon(
+        version_changes(spark, t2, "k", 0, t2.current_version())
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert across == upto and len(upto) == 31
