@@ -74,6 +74,21 @@ from pyspark.sql.types import (
 
 CDF_SOURCE_NAME = "versioned_cdf"
 
+# MEMORY BOUND of one diff partition (r10 verdict task #4). A diff
+# partition materializes BOTH sides of one bucket (base files + replayed
+# MOR stack) as Python dicts inside an Arrow worker. The policy keeps
+# this small by construction — buckets_for targets
+# CDC_TARGET_ROWS_PER_BUCKET (12.5k) rows/bucket, well under this budget
+# for any sane row width — but an operator who pins n_buckets low can
+# exceed it. When a partition's on-disk parquet bytes (old + new + stack
+# files) pass this budget, the diff switches to CHUNKED mode: the key
+# space is split into ceil(bytes/budget) residue classes by a
+# deterministic key hash, and each pass streams the files record-batch
+# by record-batch keeping only its class — peak memory is one record
+# batch plus one chunk's key state, never the whole bucket. Same rows,
+# any budget (parity-pinned in tests/test_cdf.py).
+CDF_DIFF_DISK_BUDGET = 256 << 20  # on-disk parquet bytes per in-memory pass
+
 
 class _ChangePartition(InputPartition):
     """One executor task: diff the OLD state vs the NEW state of one
@@ -99,6 +114,7 @@ class _ChangePartition(InputPartition):
         new_stack: list | None = None,
         op_col: str = "op",
         seq_col: str | None = None,
+        disk_budget: int = CDF_DIFF_DISK_BUDGET,
     ):
         self.version = version
         self.key = key
@@ -110,6 +126,7 @@ class _ChangePartition(InputPartition):
         self.new_stack = new_stack or []
         self.op_col = op_col
         self.seq_col = seq_col
+        self.disk_budget = disk_budget
 
 
 def _diff_rows(part: _ChangePartition):
@@ -118,20 +135,44 @@ def _diff_rows(part: _ChangePartition):
     merge-on-read delta stack are REPLAYED to their merged state first
     (sequential apply_cdc semantics: batches in version order, within a
     batch the highest (seq, op) row per key wins — exact under the CDC
-    contract's unique (key, seq))."""
+    contract's unique (key, seq)).
+
+    MEMORY BOUND (r10 verdict task #4): when the partition's on-disk
+    bytes exceed ``part.disk_budget``, the keyed diff runs in
+    ceil(bytes/budget) passes over disjoint key-hash residue classes —
+    files are streamed record-batch by record-batch and only the
+    current class's rows are retained, so peak memory is one record
+    batch plus one class's key state, never the whole bucket. A key's
+    old and new rows share a residue class by construction (same
+    deterministic hash of the same key value), so per-class diffs are
+    complete and disjoint. Budget 1 forces maximal chunking; the
+    chunked and whole-bucket paths are parity-pinned in tests."""
+    import math
+    import os as _os
+
     import pandas as pd
     import pyarrow.parquet as pq
 
     cols = part.fields
 
-    def load(files: list[str], columns: list[str]) -> "pd.DataFrame":
-        if not files:
-            return pd.DataFrame(columns=columns)
-        frames = [
-            pq.read_table(f, columns=columns).to_pandas()
-            for f in files
-        ]
-        return pd.concat(frames, ignore_index=True)
+    def scan(files: list[str], columns: list[str], chunk=None):
+        """Stream record-batch-sized pandas frames; with
+        chunk=(n_chunks, c) keep only rows whose deterministic key hash
+        ≡ c (mod n_chunks). pandas' hash_pandas_object uses a FIXED
+        default hash key, so the residue of a key value is identical
+        across files, batches and worker processes."""
+        for f in files:
+            pf = pq.ParquetFile(f)
+            for rb in pf.iter_batches(columns=columns):
+                df = rb.to_pandas()
+                if chunk is not None:
+                    n_ch, c = chunk
+                    hv = pd.util.hash_pandas_object(
+                        df[part.key], index=False
+                    ).to_numpy()
+                    df = df[(hv % n_ch) == c]
+                if len(df):
+                    yield df
 
     def emit(row: tuple, op: str) -> tuple:
         # numpy arrays (Arrow list columns) → plain lists so the rows
@@ -144,23 +185,35 @@ def _diff_rows(part: _ChangePartition):
 
     if not part.old_files and not part.old_stack and not part.new_stack:
         # pure-insert partition (seed bucket, append-sink batch): no
-        # diff — emit every row verbatim. Load-bearing for append
-        # tables, whose rows are FACTS, not keyed entities: the keyed
-        # diff below would collapse repeated keys into one insert.
-        new = load(part.new_files, cols)
-        for r in new[cols].itertuples(index=False, name=None):
-            yield emit(r, "I")
+        # diff — emit every row verbatim, one record batch at a time
+        # (never holds more than a batch in memory). Load-bearing for
+        # append tables, whose rows are FACTS, not keyed entities: the
+        # keyed diff below would collapse repeated keys into one insert.
+        for df in scan(part.new_files, cols):
+            for r in df[cols].itertuples(index=False, name=None):
+                yield emit(r, "I")
         return
 
     ki = cols.index(part.key)
+    stack_files = [
+        f
+        for stack in (part.old_stack, part.new_stack)
+        for _v, fs in stack
+        for f in fs
+    ]
+    total_bytes = sum(
+        _os.path.getsize(f)
+        for f in (*part.old_files, *part.new_files, *stack_files)
+    )
+    n_chunks = max(1, math.ceil(total_bytes / max(1, part.disk_budget)))
 
-    def state_of(base_files: list[str], stack: list) -> dict:
-        """key → payload row, the stack replayed over the base."""
-        base = load(base_files, cols)
-        state = {
-            r[ki]: r
-            for r in base[cols].itertuples(index=False, name=None)
-        }
+    def state_of(base_files: list[str], stack: list, chunk) -> dict:
+        """key → payload row, the stack replayed over the base
+        (restricted to the chunk's residue class when chunked)."""
+        state: dict = {}
+        for df in scan(base_files, cols, chunk):
+            for r in df[cols].itertuples(index=False, name=None):
+                state[r[ki]] = r
         if not stack:
             return state
         dcols = list(cols) + [part.op_col] + (
@@ -168,7 +221,10 @@ def _diff_rows(part: _ChangePartition):
         )
         oi = len(cols)
         for _v, files in sorted(stack, key=lambda e: int(e[0])):
-            df = load([f for f in files], dcols)
+            frames = list(scan(files, dcols, chunk))
+            if not frames:
+                continue
+            df = pd.concat(frames, ignore_index=True)
             if part.seq_col:
                 df = df.sort_values(
                     [part.seq_col, part.op_col], kind="mergesort"
@@ -183,9 +239,6 @@ def _diff_rows(part: _ChangePartition):
                 elif op in ("U", "I"):
                     state[k] = r[: len(cols)]
         return state
-
-    o = state_of(part.old_files, part.old_stack)
-    n = state_of(part.new_files, part.new_stack)
 
     def norm(v):
         # array/map payload columns arrive as numpy arrays / lists from
@@ -210,20 +263,25 @@ def _diff_rows(part: _ChangePartition):
                 return False
         return True
 
-    for k in sorted(set(o) | set(n), key=repr):
-        if k in o and k not in n:
-            yield emit(o[k], "D")
-        elif k in n and k not in o:
-            yield emit(n[k], "I")
-        elif not same(o[k], n[k]):
-            if part.update_preimage:
-                # retraction form (real CDFs emit it optionally): the
-                # old row as 'U-' and the new as 'U+' — what downstream
-                # incremental aggregation needs to subtract/add
-                yield emit(o[k], "U-")
-                yield emit(n[k], "U+")
-            else:
-                yield emit(n[k], "U")
+    for c in range(n_chunks):
+        chunk = None if n_chunks == 1 else (n_chunks, c)
+        o = state_of(part.old_files, part.old_stack, chunk)
+        n = state_of(part.new_files, part.new_stack, chunk)
+        for k in sorted(set(o) | set(n), key=repr):
+            if k in o and k not in n:
+                yield emit(o[k], "D")
+            elif k in n and k not in o:
+                yield emit(n[k], "I")
+            elif not same(o[k], n[k]):
+                if part.update_preimage:
+                    # retraction form (real CDFs emit it optionally):
+                    # the old row as 'U-' and the new as 'U+' — what
+                    # downstream incremental aggregation needs to
+                    # subtract/add
+                    yield emit(o[k], "U-")
+                    yield emit(n[k], "U+")
+                else:
+                    yield emit(n[k], "U")
 
 
 def _table_schema(root: str) -> StructType:
@@ -272,6 +330,11 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         mv = options.get("max_version")
         self.max_version = None if mv is None else int(mv)
         self._max_version_ok = False  # validated lazily on first cap
+        # per-partition memory bound (see CDF_DIFF_DISK_BUDGET): over
+        # budget, the executor diff chunks by key-hash residue class
+        self.disk_budget = int(
+            options.get("diff_disk_budget_bytes", CDF_DIFF_DISK_BUDGET)
+        )
         # Cap baseline: the newest version this reader incarnation has
         # planned or committed. None until initialOffset/partitions/
         # commit establishes it — a RESTARTED reader (Spark skips
@@ -344,11 +407,14 @@ class VersionedCdfStreamReader(DataSourceStreamReader):
         # Spark requires >= 1 partition per batch; an empty version
         # range (or a version with no touched buckets) yields one
         # trivially-empty diff
-        return out or [
+        out = out or [
             _ChangePartition(
                 end["version"], self.key, self.fields, [], [], self.pre
             )
         ]
+        for p in out:
+            p.disk_budget = self.disk_budget
+        return out
 
     def _chain_between(self, start_v: int, end_v: int) -> list[int]:
         """COMMITTED versions after ``start_v`` up to ``end_v``, oldest

@@ -1009,7 +1009,16 @@ def buckets_for(n_rows: int) -> int:
     and caps manifest width at 100 TB scale. A table that outgrows its
     layout 4x is re-bucketed by the committer via one full merge — the
     same fallback that already handles compact()'s unbucketed
-    manifests."""
+    manifests.
+
+    This target also bounds the change-feed diff partition's memory:
+    a CDF partition materializes both sides of one bucket in a Python
+    worker, and 12.5k rows/bucket stays orders of magnitude under
+    cdf.CDF_DIFF_DISK_BUDGET (256 MB on-disk) even at 10 KB/row.
+    Tables committed with a custom, much lower n_buckets exceed the
+    budget instead of this policy — the diff then self-chunks by
+    key-hash residue class (see sources/cdf._diff_rows), so the bound
+    holds structurally, not by advice."""
     import math
 
     if n_rows <= 0:

@@ -758,3 +758,97 @@ def test_cdf_row_preserving_versions_plan_zero_partitions(spark, tmp_path):
         .collect()
     )
     assert across == upto and len(upto) == 31
+
+
+def test_cdf_chunked_diff_parity_with_whole_bucket(spark, tmp_path):
+    """r10 verdict task #4: a diff partition whose bytes exceed the
+    disk budget chunks the keyed diff by key-hash residue class. With
+    budget=1 (maximal chunking: one chunk per on-disk byte bucket) the
+    emitted rows must be IDENTICAL to the whole-bucket diff — on a
+    merge-on-read table so the chunked stack replay is covered too."""
+    from anti_ddos_spark.sources.cdf import _diff_rows
+
+    root = str(tmp_path / "mor")
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=True
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(200)], SCHEMA
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(7, "u7", "U", 1), (23, None, "D", 2), (151, "u151", "U", 3)],
+            SCHEMA,
+        ),
+        1,
+    )
+    sink(
+        spark.createDataFrame(
+            [(7, "w7", "U", 1), (61, None, "D", 2)], SCHEMA
+        ),
+        2,
+    )
+
+    from anti_ddos_spark.sources.cdf import (
+        VersionedCdfStreamReader,
+        _table_schema,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        list(_table_schema(root).fields)
+        + [
+            StructField("_op", StringType(), False),
+            StructField("_version", LongType(), False),
+        ]
+    )
+    r = VersionedCdfStreamReader(
+        schema, {"root": root, "key": "k", "start_version": "-1"}
+    )
+    parts = r.partitions(
+        {"version": -1}, {"version": t.current_version()}
+    )
+    assert parts  # seed buckets + two MOR delta versions
+
+    whole = sorted(row for p in parts for row in _diff_rows(p))
+    for p in parts:
+        p.disk_budget = 4096  # a few KB per pass: every partition chunks
+    chunked = sorted(row for p in parts for row in _diff_rows(p))
+    assert chunked == whole
+    assert len(whole) == 200 + 3 + 2
+
+    # and the option plumbs through a REAL stream: tiny budget, same feed
+    register_cdf_source(spark)
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "k")
+        .option("start_version", -1)
+        .option("diff_disk_budget_bytes", 4096)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_budget")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = _canon(spark.table("cdf_budget").collect())
+    want = _canon(
+        version_changes(spark, t, "k", 0, t.current_version())
+        .select("k", "v", "_op", "_version")
+        .collect()
+    )
+    assert got == want
+    spark.catalog.dropTempView("cdf_budget")
