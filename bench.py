@@ -250,7 +250,17 @@ def run_all(out_path: str) -> None:
     Streaming rows additionally get a MARGINAL column: cold time minus
     the same-session empty-stream startup floor, clamped at 0 — the
     engine-work number the diff regresses on (startup noise was the r9
-    radar's recurring false positive)."""
+    radar's recurring false positive).
+
+    Batch rows get the same de-noising treatment (r10 verdict task #2 —
+    r10's sweep read 422 s vs r9's 238 s on unchanged plans, every
+    batch row inflated by host weather): (a) the sweep embeds a
+    PER-SWEEP ANCHOR — the same-box DuckDB headline oracles timed at
+    sweep start AND end at the sweep's sf — and records each batch
+    row's anchor-NORMALIZED ratio, which is the column round-over-round
+    diffs should regress on; (b) the largest batch walls are auto-rerun
+    once standalone (one-sided spikes rarely hit twice) and the
+    best-of-2 feeds the normalized column."""
     import time as _time
 
     from pyspark.sql import functions as F
@@ -259,30 +269,64 @@ def run_all(out_path: str) -> None:
     from anti_ddos_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+    def _anchor() -> float | None:
+        try:
+            sys.path.insert(
+                0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+            )
+            import duck_anchor
+
+            return float(duck_anchor.measure(sf_dir)["value"])
+        except Exception:
+            return None
+
+    anchor_start = _anchor()
     spark = get_spark(app_name="anti_ddos_spark_bench_all")
     spark.sparkContext.setLogLevel("ERROR")
     floor = _stream_startup_floor(spark)
+    reg = full_registry()
+
+    def once(name: str) -> float:
+        q = reg[name]
+        t0 = _time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.agg(
+            F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))
+        ).collect()
+        return _time.perf_counter() - t0
+
     timings: dict[str, float] = {}
     best2: dict[str, float] = {}
-    for name, q in full_registry().items():
-        def once() -> float:
-            t0 = _time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.agg(
-                F.count(F.lit(1)), F.max(F.xxhash64(*df.columns))
-            ).collect()
-            return _time.perf_counter() - t0
-
-        t1 = once()
+    for name in reg:
+        t1 = once(name)
         timings[name] = round(t1, 3)
         if name in STREAMING_QUERIES:
             # startup spikes (checkpoint fsync, GC, query lifecycle)
             # are one-sided noise that rarely hits both runs; the diff
             # regresses on best-of-2 minus the measured startup floor
-            best2[name] = round(min(t1, once()), 3)
+            best2[name] = round(min(t1, once(name)), 3)
     marginal = {
         name: round(max(t - floor, 0.0), 3) for name, t in best2.items()
     }
+    # auto-rerun the largest batch walls standalone: a GC pause or page
+    # cache miss lands on ONE run; min-of-2 on the heaviest rows removes
+    # the spikes that dominated past rounds' manual adjudication
+    batch_names = [n for n in timings if n not in STREAMING_QUERIES]
+    batch_best2: dict[str, float] = {}
+    for name in sorted(batch_names, key=lambda n: -timings[n])[:8]:
+        batch_best2[name] = round(min(timings[name], once(name)), 3)
+    anchor_end = _anchor()
+    anchors = [a for a in (anchor_start, anchor_end) if a]
+    anchor = sum(anchors) / len(anchors) if anchors else None
+    normalized = (
+        {
+            n: round(batch_best2.get(n, timings[n]) / anchor, 4)
+            for n in batch_names
+        }
+        if anchor
+        else {}
+    )
     out = {
         "metric": "full_registry_sweep_cold",
         "value": round(sum(timings.values()), 3),
@@ -293,6 +337,15 @@ def run_all(out_path: str) -> None:
         "stream_startup_floor_sec": round(floor, 3),
         "queries_streaming_best2": best2,
         "queries_streaming_marginal": marginal,
+        "sweep_anchor_sec": {
+            "start": anchor_start,
+            "end": anchor_end,
+            "mean": round(anchor, 3) if anchor else None,
+        },
+        "queries_batch_best2": batch_best2,
+        # ratio of each batch row (best-of-2 where rerun) to the
+        # same-sweep DuckDB anchor — host-speed cancels; regress here
+        "queries_batch_normalized": normalized,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
