@@ -15,8 +15,16 @@ def _rows(df):
     return sorted((r["k"], r["v"]) for r in df.collect())
 
 
-@pytest.fixture()
-def table(spark, tmp_path):
+@pytest.fixture(params=["local", "cas"])
+def table(spark, tmp_path, request, monkeypatch):
+    """Every test in this suite runs under BOTH publish backends (r10
+    verdict task #7): the default local flock+O_EXCL+rename and the
+    object-store CAS emulation (no advisory lock, conditional-PUT
+    pointer flip, losers orphan their manifest). The env var is how
+    _default_backend selects, so tables a test constructs itself — and
+    child processes — inherit the same backend."""
+    if request.param == "cas":
+        monkeypatch.setenv("SPARK_GRAFT_PUBLISH_BACKEND", "cas")
     return spark, VersionedTable(str(tmp_path / "tbl"))
 
 

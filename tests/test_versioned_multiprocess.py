@@ -27,6 +27,20 @@ from __future__ import annotations
 import multiprocessing as mp
 import os
 
+import pytest
+
+
+@pytest.fixture(params=["local", "cas"])
+def backend_env(request, monkeypatch):
+    """Run the process-level races under BOTH publish backends (r10
+    verdict task #7) — spawn children inherit os.environ, so the env
+    var selects the backend inside _worker too. Under 'cas' there is
+    NO flock serialization: both processes race straight to the
+    conditional pointer flip, losers orphan a manifest and retry."""
+    if request.param == "cas":
+        monkeypatch.setenv("SPARK_GRAFT_PUBLISH_BACKEND", "cas")
+    return request.param
+
 
 N_COMMITS = 40
 
@@ -60,7 +74,9 @@ def _worker(root: str, wid: int, q, barrier=None) -> None:
     q.put((wid, committed, conflicts))
 
 
-def test_two_processes_interleave_commits_without_lost_updates(tmp_path):
+def test_two_processes_interleave_commits_without_lost_updates(
+    tmp_path, backend_env
+):
     from anti_ddos_spark.sources.versioned import VersionedTable
 
     root = str(tmp_path / "tbl")
@@ -84,16 +100,25 @@ def test_two_processes_interleave_commits_without_lost_updates(tmp_path):
     total_conflicts = sum(r[2] for r in results)
     all_versions = sorted(v for r in results for v in r[1])
 
-    # every commit landed exactly once; numbering is the contiguous
-    # counter (no orphan gaps here — no crashes were injected)
-    assert len(all_versions) == 2 * N_COMMITS
-    assert all_versions == list(range(1, 2 * N_COMMITS + 1))
-    assert t.current_version() == 2 * N_COMMITS
+    # every commit landed exactly once
+    assert len(all_versions) == len(set(all_versions)) == 2 * N_COMMITS
+    assert t.current_version() == all_versions[-1]
+    if backend_env == "local":
+        # flock serializes the whole section: losers never write a
+        # manifest, so numbering is the contiguous counter
+        assert all_versions == list(range(1, 2 * N_COMMITS + 1))
+        assert t.current_version() == 2 * N_COMMITS
+    else:
+        # CAS: a loser that reached the flip burned an ORPHAN number —
+        # gaps are expected; every orphan is invisible to the chain and
+        # there are at most as many as observed conflicts
+        orphans = set(t.versions()) - set(all_versions) - {0}
+        assert len(orphans) <= total_conflicts
 
-    # the chain is one linked list over exactly those versions
+    # the chain is one linked list over exactly the committed versions
     chain = t.committed_chain()
-    assert [m["version"] for m in chain] == list(
-        range(2 * N_COMMITS, -1, -1)
+    assert [m["version"] for m in chain] == sorted(
+        [0] + all_versions, reverse=True
     )
     for newer, older in zip(chain, chain[1:]):
         assert newer["base"] == older["version"]
@@ -112,7 +137,9 @@ def test_two_processes_interleave_commits_without_lost_updates(tmp_path):
     assert total_conflicts == N_COMMITS
 
 
-def test_process_crash_mid_publish_leaves_walkable_chain(tmp_path):
+def test_process_crash_mid_publish_leaves_walkable_chain(
+    tmp_path, backend_env
+):
     """A publisher killed AFTER writing its manifest but BEFORE the
     pointer flip leaves an ORPHAN: invisible to readers, never
     clobbered by the next allocation (O_EXCL skips it), and the chain
