@@ -907,3 +907,151 @@ EXTRA_QUERIES["q137_ann_recall_contract"] = Query(
 # top-k output (q44/q45) but the recall floors the family promises on
 # planted graded twins. Slot freed by core.py's q08 demotion.
 QUERIES["q137_ann_recall_contract"] = EXTRA_QUERIES.pop("q137_ann_recall_contract")
+
+
+# --- q147: SemDeDup drop-recall CONTRACT (round 11, r10 verdict task #6) ---
+#
+# q137 pins embedding-ANN recall and q141 pins text-dedup banding recall;
+# this closes the triad: SEMANTIC dedup's recall — previously only the
+# script-measured 0.74→0.96 nprobe story (PERF.md round 8) — becomes an
+# in-band contract. Planted graded twins (the q137 beta-mix: twin =
+# e + β·reverse(e), cosines ≈ .99/.94/.86/.71/.45 — deterministic, no
+# RNG) are appended to the corpus and the REAL semantic_dedup_flags runs
+# at the QUALITY_DEFAULTS posture (nprobe=2 membership; centroids="data"
+# is the oracle mode exactly as in the q134 driver row — k-means can't
+# be replicated by a static SQL oracle). Per grade the query emits the
+# fraction of twins DROPPED next to a contracted floor AND ceiling:
+# τ=0.8 splits the grades, so the three eligible grades must mostly
+# drop and the two sub-τ grades must mostly survive. A regression to
+# single-cell candidacy (the measured recall ceiling) reads
+# 84-92/76/44-76 on the eligible grades — all below their floors.
+
+Q147_TAU = 0.8
+# floors/ceilings from measured drop-recall at sf0.001 / sf0.01 with
+# margin (nprobe=2: 100/100 · 100/100 · 96/96 · 20/4 · 0/0):
+Q147_FLOORS = (95, 95, 85, 0, 0)     # sub-τ grades: floor vacuous
+Q147_CEILS = (100, 100, 100, 30, 10)  # eligible grades: ceiling vacuous
+
+
+def q147_semantic_recall_contract(spark: SparkSession, sf: str) -> DataFrame:
+    from anti_ddos_spark.operators.similarity import (
+        as_double,
+        semantic_dedup_flags,
+    )
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    off = emb.agg((F.max("vec_id") + 1).alias("off"))
+    grade = ((F.col("vec_id") / 4) % 5).cast("int")
+    beta = F.element_at(
+        F.array(*[F.lit(float(b)) for b in GRADE_BETAS]), grade + 1
+    )
+    bases = (
+        emb.filter(F.col("vec_id") % 4 == 1)
+        .crossJoin(F.broadcast(off))
+        .select(
+            F.col("vec_id").alias("base_id"),
+            grade.alias("grade_id"),
+            beta.alias("beta"),
+            (F.col("vec_id") + F.col("off")).alias("twin_id"),
+            F.zip_with(
+                "e", F.reverse("e"), lambda x, y: x + beta * y
+            ).alias("m"),
+        )
+    )
+    aug = emb.unionByName(
+        bases.select(F.col("twin_id").alias("vec_id"), F.col("m").alias("e"))
+    ).select("vec_id", F.col("e").alias("embedding"))
+    flags = semantic_dedup_flags(
+        aug,
+        n_centroids=CENTROIDS,
+        tau=Q147_TAU,
+        centroids="data",  # oracle mode (q134 precedent); posture = nprobe
+        nprobe=2,  # the QUALITY_DEFAULTS posture, pinned explicitly
+    )
+    floor_pct = F.element_at(
+        F.array(*[F.lit(f) for f in Q147_FLOORS]), F.col("grade_id") + 1
+    )
+    ceil_pct = F.element_at(
+        F.array(*[F.lit(c) for c in Q147_CEILS]), F.col("grade_id") + 1
+    )
+    drop_pct = F.floor(
+        F.sum("dropped") * 100.0 / F.count(F.lit(1)) + F.lit(0.5)
+    ).cast("int")
+    return (
+        bases.join(
+            flags.select(F.col("vec_id").alias("twin_id"), "kept"),
+            "twin_id",
+        )
+        .withColumn("dropped", 1 - F.col("kept"))
+        .groupBy("grade_id", "beta")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            drop_pct.alias("drop_pct"),
+        )
+        .select(
+            "grade_id", "beta", "n_pairs", "n_dropped", "drop_pct",
+            floor_pct.cast("int").alias("floor_pct"),
+            ceil_pct.cast("int").alias("ceil_pct"),
+            (F.col("drop_pct") >= floor_pct).cast("int").alias("meets_floor"),
+            (F.col("drop_pct") <= ceil_pct).cast("int").alias("within_ceiling"),
+        )
+    )
+
+
+_Q147_FLOOR_SQL = "[" + ",".join(str(f) for f in Q147_FLOORS) + "]"
+_Q147_CEIL_SQL = "[" + ",".join(str(c) for c in Q147_CEILS) + "]"
+
+Q147_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bases AS (
+  SELECT vec_id AS base_id,
+         CAST((vec_id // 4) % 5 AS INT) AS grade_id,
+         {_BETA_SQL}[CAST((vec_id // 4) % 5 AS INT) + 1] AS beta,
+         vec_id + (SELECT max(vec_id) + 1 FROM base) AS twin_id,
+         list_transform(range(1, len(e) + 1),
+           i -> e[i] + {_BETA_SQL}[CAST((vec_id // 4) % 5 AS INT) + 1]
+                       * e[len(e) + 1 - i]) AS m
+  FROM base WHERE vec_id % 4 = 1),
+aug AS (SELECT vec_id, e FROM base
+        UNION ALL SELECT twin_id, m FROM bases),
+cents AS (SELECT vec_id AS centroid_id, e AS cvec
+          FROM base WHERE vec_id < {CENTROIDS}),
+ranked AS (
+  SELECT vec_id, ev, centroid_id, rn FROM (
+    SELECT a.vec_id, a.e AS ev, c.centroid_id,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_cos_sql('a.e', 'c.cvec')} DESC, c.centroid_id ASC) AS rn
+    FROM aug a, cents c) WHERE rn <= 2),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM ranked a JOIN ranked b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE floor(({_cos_sql('a.ev', 'b.ev')}) * 1000000 + 0.5) / 1000000.0
+        >= {Q147_TAU}),
+per_twin AS (
+  SELECT t.grade_id, t.beta,
+         CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+  FROM bases t LEFT JOIN dups d ON d.vec_id = t.twin_id)
+SELECT grade_id, beta,
+       count(*)::BIGINT AS n_pairs,
+       sum(dropped)::BIGINT AS n_dropped,
+       CAST(floor(sum(dropped) * 100.0 / count(*) + 0.5) AS INT) AS drop_pct,
+       CAST({_Q147_FLOOR_SQL}[grade_id + 1] AS INT) AS floor_pct,
+       CAST({_Q147_CEIL_SQL}[grade_id + 1] AS INT) AS ceil_pct,
+       CAST(CAST(floor(sum(dropped) * 100.0 / count(*) + 0.5) AS INT)
+            >= {_Q147_FLOOR_SQL}[grade_id + 1] AS INT) AS meets_floor,
+       CAST(CAST(floor(sum(dropped) * 100.0 / count(*) + 0.5) AS INT)
+            <= {_Q147_CEIL_SQL}[grade_id + 1] AS INT) AS within_ceiling
+FROM per_twin GROUP BY grade_id, beta
+"""
+
+EXTRA_QUERIES["q147_semantic_recall_contract"] = Query(
+    q147_semantic_recall_contract,
+    Q147_SQL,
+    "per-grade SemDeDup drop-recall vs contracted floors AND ceilings "
+    "on planted graded cosine twins (REAL semantic_dedup_flags, "
+    "nprobe=2 posture) — rotation candidate for r12",
+)
