@@ -463,12 +463,103 @@ def _read_index_layout(spark, path: str):
     return cents, nprobe
 
 
+# Assignment scoring engine (r10 verdict task #5). "expr" is the
+# zero-Python Catalyst form; "blas" scores each Arrow batch with ONE
+# numpy matmul against the broadcast centroid matrix inside
+# mapInPandas — the adjudicated vectorized exception class, same
+# (cos desc, cid asc) ordering. Measured at 1M×256
+# (scripts/ivf_assign_blas_probe.py, PERF.md round 11): assignments
+# BYTE-IDENTICAL; assignment stage 200.5 → 2.6 s (77×), full build
+# 105.5 → 4.8 s (22×) — far past the <2× keep-expression rule, so the
+# matmul ships as the default. "expr" remains selectable per call for
+# environments without Arrow Python workers.
+IVF_ASSIGN_SCORING = "blas"
+
+
+def _blas_assign(
+    narrow: DataFrame, cents: DataFrame, nprobe: int, id_col: str
+) -> DataFrame:
+    """BLAS-batch scoring of ``narrow`` (id, _e) against the centroid
+    matrix: one numpy matmul per Arrow batch. The centroid collect is
+    bounded by k (≤ 4096 under buckets_for-scale cell counts; the
+    sidecar is KB-sized by design). Ordering parity with the
+    expression form: ties broken by ascending cid — centroid columns
+    are laid out in ascending cid order, and both argmax (first
+    maximum) and the stable argsort keep the lowest column index on
+    equal cosine. Zero-norm vectors and zero-norm centroids score 0.0,
+    replicating cosine()'s guard."""
+    import numpy as np
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    rows = cents.select("cid", "cvec").orderBy("cid").collect()
+    cids = np.array([r["cid"] for r in rows])
+    C = np.array([r["cvec"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn_safe = np.where(cn > 0, cn, 1.0)
+    Cn = (C / cn_safe[:, None]).T.copy()  # (dim, k), unit columns
+    dead = cn <= 0
+
+    id_field = narrow.schema[id_col]
+    cid_type = cents.schema["cid"].dataType
+    if nprobe == 1:
+        out_schema = StructType(
+            [id_field, StructField("centroid_id", cid_type, True)]
+        )
+    else:
+        out_schema = StructType(
+            [
+                id_field,
+                # non-nullable to match the expression path's
+                # (_rn == 1) comparison schema exactly
+                StructField("is_primary", BooleanType(), False),
+                StructField("centroid_id", cid_type, True),
+            ]
+        )
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["_e"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(V, axis=1)
+            cos = (V / np.where(vn > 0, vn, 1.0)[:, None]) @ Cn
+            cos[vn <= 0, :] = 0.0
+            if dead.any():
+                cos[:, dead] = 0.0
+            if nprobe == 1:
+                best = cos.argmax(axis=1)  # first max = lowest cid
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        "centroid_id": cids[best],
+                    }
+                )
+            else:
+                k = min(nprobe, cos.shape[1])
+                idx = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), k),
+                        "is_primary": np.tile(
+                            np.arange(k) == 0, n
+                        ),
+                        "centroid_id": cids[idx].reshape(-1),
+                    }
+                )
+
+    return narrow.mapInPandas(score, out_schema)
+
+
 def _assign_cells(
     vectors: DataFrame,
     cents: DataFrame,
     nprobe: int,
     id_col: str,
     vec_col: str,
+    scoring: str | None = None,
 ) -> DataFrame:
     """The ONE definition of index assignment (build/append/apply all
     route through it): top-``nprobe`` max-cosine cells per vector;
@@ -483,15 +574,19 @@ def _assign_cells(
     the partial aggregate); nprobe>1 ranks n×k (id, cid, cos) triples
     only; either way the payload joins back ONCE by id. Ordering is
     identical to the old window (desc cos, asc cid — max over
-    (cos, -cid)), so assignments are byte-stable across the change."""
+    (cos, -cid)), so assignments are byte-stable across the change.
+
+    ``scoring`` (round 11): None → module default IVF_ASSIGN_SCORING;
+    "blas" swaps the Catalyst per-element cosine for an Arrow-batched
+    numpy matmul (see _blas_assign) with the same ordering —
+    assignments byte-identical on the 1M×256 probe."""
     from pyspark.sql import Window as W
 
+    scoring = scoring or IVF_ASSIGN_SCORING
     narrow = vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_e")
     )
-    scored = narrow.crossJoin(F.broadcast(cents)).withColumn(
-        "_ccos", cosine(F.col("_e"), F.col("cvec"))
-    )
+
     def join_back(assign: DataFrame, extra_cols: list[str]) -> DataFrame:
         # assign derives from `vectors` itself — rename its id column
         # so the join condition references no shared attribute (a bare
@@ -503,6 +598,16 @@ def _assign_cells(
             .select(*vectors.columns, *extra_cols)
         )
 
+    if scoring == "blas":
+        assign = _blas_assign(narrow, cents, nprobe, id_col)
+        if nprobe == 1:
+            return join_back(assign, ["centroid_id"])
+        return join_back(assign, ["is_primary", "centroid_id"])
+    if scoring != "expr":
+        raise ValueError(f"unknown assignment scoring {scoring!r}")
+    scored = narrow.crossJoin(F.broadcast(cents)).withColumn(
+        "_ccos", cosine(F.col("_e"), F.col("cvec"))
+    )
     if nprobe == 1:
         assign = scored.groupBy(id_col).agg(
             F.max_by(

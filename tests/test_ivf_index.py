@@ -492,3 +492,36 @@ def test_change_feed_drives_index_maintenance_end_to_end(spark, tmp_path):
 
     assert content(path) == content(full)
     spark.catalog.dropTempView("emb_feed")
+
+
+def test_blas_assignment_is_byte_identical_to_expression(spark):
+    """r10 verdict task #5: the BLAS-batch scoring path (shipped
+    default after the 1M×256 probe measured 22× on the build with
+    byte-identical output) must keep exact assignment parity with the
+    zero-Python expression form — same cells, same is_primary ranks,
+    same (cos desc, cid asc) tie-break — at both nprobe postures."""
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        S.as_double(F.col("embedding")).alias("cvec"),
+    )
+    for nprobe in (1, 2):
+        cols = ["vec_id", "centroid_id"] + (
+            ["is_primary"] if nprobe > 1 else []
+        )
+        expr = S._assign_cells(
+            emb, cents, nprobe, "vec_id", "embedding", scoring="expr"
+        )
+        blas = S._assign_cells(
+            emb, cents, nprobe, "vec_id", "embedding", scoring="blas"
+        )
+        ra = sorted(tuple(r) for r in expr.select(cols).collect())
+        rb = sorted(tuple(r) for r in blas.select(cols).collect())
+        assert ra == rb
+        assert [f.dataType for f in expr.select(cols).schema.fields] == [
+            f.dataType for f in blas.select(cols).schema.fields
+        ]
