@@ -1022,25 +1022,26 @@ def semantic_dedup_flags(
         cents = _literal_centroids(vectors.sparkSession, centroids).select(
             F.col("cid").alias("centroid_id"), F.col("cvec")
         )
-    from pyspark.sql import Window as W
-
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        id_col, "e", "centroid_id", cosine(F.col("e"), F.col("cvec")).alias("_ccos")
-    )
-    w = W.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("centroid_id"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= nprobe
-    )
-    assigned = (
-        ranked.filter(F.col("_rn") == 1)
-        .select(id_col, "e", "centroid_id")
-        .withColumn("nrm", norm(F.col("e")))
-    )
-    membership = None
-    if nprobe > 1:
-        membership = ranked.select(id_col, "e", "centroid_id").withColumn(
-            "nrm", norm(F.col("e"))
+    # assignment routes through _assign_cells — the ONE definition the
+    # IVF family shares, which since r11 scores with the BLAS batch
+    # engine by default (byte-identical ordering, 22× on wide builds).
+    # SemDeDup's assignment is the same n×k cosine the index build
+    # pays, so it inherits the win for free.
+    memb = _assign_cells(
+        emb,
+        cents.withColumnRenamed("centroid_id", "cid"),
+        nprobe,
+        id_col,
+        "e",
+    ).withColumn("nrm", norm(F.col("e")))
+    if nprobe == 1:
+        assigned = memb.select(id_col, "e", "centroid_id", "nrm")
+        membership = None
+    else:
+        assigned = memb.filter(F.col("is_primary")).select(
+            id_col, "e", "centroid_id", "nrm"
         )
+        membership = memb.select(id_col, "e", "centroid_id", "nrm")
     return _semantic_flags_from_assigned(
         assigned, tau, id_col, round_dp, membership=membership
     )
