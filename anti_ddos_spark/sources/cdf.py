@@ -160,11 +160,23 @@ def _diff_rows(part: _ChangePartition):
         chunk=(n_chunks, c) keep only rows whose deterministic key hash
         ≡ c (mod n_chunks). pandas' hash_pandas_object uses a FIXED
         default hash key, so the residue of a key value is identical
-        across files, batches and worker processes."""
+        across files, batches and worker processes. Columns a file
+        PREDATES (additive schema evolution: ``columns`` is the chain's
+        newest schema) are padded with None — the same reconciliation
+        the snapshot read applies."""
         for f in files:
             pf = pq.ParquetFile(f)
-            for rb in pf.iter_batches(columns=columns):
-                df = rb.to_pandas()
+            have = set(pf.schema_arrow.names)
+            want = [c for c in columns if c in have]
+            for rb in pf.iter_batches(columns=want):
+                # integer_object_nulls: an int column holding NULLs
+                # (schema evolution null-fills, nullable payloads) must
+                # surface None, not float NaN — NaN in a long column
+                # fails the data source's Arrow row conversion
+                df = rb.to_pandas(integer_object_nulls=True)
+                for c in columns:
+                    if c not in df.columns:
+                        df[c] = None
                 if chunk is not None:
                     n_ch, c = chunk
                     hv = pd.util.hash_pandas_object(
@@ -785,6 +797,11 @@ def version_changes(
             )
             continue
         old = table.read(spark, version=base)
+        # additive evolution: a version that introduced a column diffs
+        # against a base that predates it — old rows hold NULL there
+        for f in new.schema.fields:
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
         cols = new.columns
         n = new.select([F.col(c).alias(f"n_{c}") for c in cols])
         o = old.select([F.col(c).alias(f"o_{c}") for c in cols])
@@ -829,6 +846,12 @@ def version_changes(
             F.lit(v).cast("long").alias("_version"),
         )
         frames.append(out)
+    if len({tuple(f.columns) for f in frames}) > 1:
+        # chain spans a schema evolution: older versions' frames lack
+        # the added columns — null-fill backwards
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
     if not frames:
         # every version in range was committer-declared row-preserving
         return (

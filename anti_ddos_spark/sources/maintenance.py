@@ -183,6 +183,24 @@ def apply_cdc(
     if broadcast_changes:
         keys = F.broadcast(keys)
     upserts = ch.filter(F.col(op_col) != "D").drop(op_col)
-    return snapshot.join(keys, key, "left_anti").unionByName(
-        upserts.select(*snapshot.columns)
+    # additive schema evolution (round 11): a change batch may carry
+    # columns the snapshot predates — null-fill the snapshot for them
+    # (old rows never had a value) instead of silently dropping the
+    # column, and null-fill upserts for snapshot columns the batch no
+    # longer carries. Identical schemas reduce to the original select.
+    aux = {op_col, seq_col} - {None}
+    added = [
+        f
+        for f in upserts.schema.fields
+        if f.name not in snapshot.columns and f.name not in aux
+    ]
+    snap = snapshot
+    for f in added:
+        snap = snap.withColumn(f.name, F.lit(None).cast(f.dataType))
+    for f in snapshot.schema.fields:
+        if f.name not in upserts.columns:
+            upserts = upserts.withColumn(f.name, F.lit(None).cast(f.dataType))
+    out_cols = list(snapshot.columns) + [f.name for f in added]
+    return snap.join(keys, key, "left_anti").unionByName(
+        upserts.select(*out_cols)
     )

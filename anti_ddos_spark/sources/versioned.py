@@ -719,6 +719,28 @@ class VersionedTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
+        else:
+            # CDC tables record their schema per version — serve THAT
+            # (real table formats reconcile files to metadata schema by
+            # name), so a snapshot mixing pre- and post-evolution bucket
+            # generations reads deterministically with nulls for columns
+            # a file predates, instead of whichever footer Spark infers
+            # from. Nullability is relaxed to parquet-inference parity
+            # (everything nullable) so fixed-schema tables read
+            # byte-identically to before.
+            sch = self._chain_meta(v, "schema")
+            if sch is not None:
+                from pyspark.sql.types import StructField, StructType
+
+                st = StructType.fromJson(sch)
+                reader = reader.schema(
+                    StructType(
+                        [
+                            StructField(f.name, f.dataType, True)
+                            for f in st.fields
+                        ]
+                    )
+                )
         return reader.parquet(*files)
 
     # -- point lookup on the CDC key --------------------------------------
@@ -1078,8 +1100,9 @@ def foreach_batch_committer(
             created = os.path.dirname(files[0]) if files else None
             stats = _stats_for_files(table.root, files, stats_cols)
             # recorded so the CDF reader (sources/cdf.py) can serve the
-            # table's schema without opening a data file
-            schema_json = batch_df.schema.jsonValue()
+            # table's schema without opening a data file (additive
+            # union with the chain — see _evolved_schema_json)
+            schema_json = _evolved_schema_json(table, base, batch_df.schema)
             if base is not None:
                 depth = table._manifest(base).get("delta_depth", 0)
                 if depth < MANIFEST_DELTA_DEPTH_MAX:
@@ -1108,6 +1131,28 @@ def foreach_batch_committer(
 # near this constant as the table grows (state_partitions_for's lesson
 # applied to storage).
 CDC_TARGET_ROWS_PER_BUCKET = 12_500
+
+
+def _evolved_schema_json(
+    table: VersionedTable, base: int | None, frame_schema
+) -> dict:
+    """The schema a version RECORDS: the base chain's schema plus any
+    columns this version introduces (by name, in frame order) —
+    additive evolution. Without the union, a batch that happens not to
+    touch post-evolution buckets would shrink the table's recorded
+    schema and the snapshot read (which serves the recorded schema)
+    would silently drop the evolved column again."""
+    from pyspark.sql.types import StructType
+
+    prev = table._chain_meta(base, "schema") if base is not None else None
+    if prev is None:
+        return frame_schema.jsonValue()
+    prev_st = StructType.fromJson(prev)
+    names = {f.name for f in prev_st.fields}
+    fields = list(prev_st.fields) + [
+        f for f in frame_schema.fields if f.name not in names
+    ]
+    return StructType(fields).jsonValue()
 
 
 def buckets_for(n_rows: int) -> int:
@@ -1335,7 +1380,9 @@ def streaming_cdc_committer(
                         if st:
                             new_stats[rel] = st
                     new_rows[b] = total
-            schema_json = batch_df.drop(*drop).schema.jsonValue()
+            schema_json = _evolved_schema_json(
+                table, base, batch_df.drop(*drop).schema
+            )
             meta = {
                 "n_buckets": nb,
                 "cdc_key": key,
@@ -1505,10 +1552,16 @@ def streaming_cdc_committer(
                         new_stats[rel] = st
                 new_rows[b] = total
             # recorded so a delete-everything batch (files=[]) stays
-            # readable as an empty snapshot — see VersionedTable.read
-            schema_json = StructType(
-                [f for f in merged.schema.fields if f.name != "_bucket"]
-            ).jsonValue()
+            # readable as an empty snapshot — see VersionedTable.read;
+            # additive union with the chain so a narrow-bucket batch
+            # never shrinks an evolved schema
+            schema_json = _evolved_schema_json(
+                table,
+                base,
+                StructType(
+                    [f for f in merged.schema.fields if f.name != "_bucket"]
+                ),
+            )
             depth = bm.get("delta_depth", 0)
             if carried and depth < MANIFEST_DELTA_DEPTH_MAX:
                 # bounded manifest: only the touched buckets travel

@@ -852,3 +852,48 @@ def test_cdf_chunked_diff_parity_with_whole_bucket(spark, tmp_path):
     )
     assert got == want
     spark.catalog.dropTempView("cdf_budget")
+
+
+def test_cdf_and_read_survive_additive_schema_evolution(spark, tmp_path):
+    """Round 11: a CDC batch that ADDS a column evolves the table
+    additively end-to-end — the committer records the UNION schema
+    (and a later narrow batch must not shrink it), apply_cdc
+    null-fills instead of dropping, the snapshot read serves the
+    recorded schema over mixed-generation buckets, and both feed
+    consumers emit the evolved column with NULL for rows that predate
+    it. Time travel to a pre-evolution version keeps its own schema."""
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(20)], SCHEMA
+        ),
+        0,
+    )
+    wide = "k long, v string, extra long, op string, seq long"
+    sink(spark.createDataFrame([(3, "u3", 99, "U", 1)], wide), 1)
+    sink(spark.createDataFrame([(5, "u5", "U", 1)], SCHEMA), 2)
+
+    snap = t.read(spark)
+    assert snap.columns == ["k", "v", "extra"]
+    rows = {r["k"]: (r["v"], r["extra"]) for r in snap.collect()}
+    assert rows[3] == ("u3", 99)
+    assert rows[5] == ("u5", None) and rows[0] == ("v0", None)
+    assert len(rows) == 20
+    # time travel: the pre-evolution version serves its own schema
+    assert t.read(spark, version=0).columns == ["k", "v"]
+
+    want = sorted(
+        (r["k"], r["v"], r["extra"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", 0, t.current_version())
+        .collect()
+    )
+    assert (3, "u3", 99, "U", 1) in want
+    assert (3, "v3", None, "I", 0) in want
+    assert (5, "u5", None, "U", 2) in want
+
+    got = _run_stream(spark, root, start_version=-1, expect=22)
+    assert sorted(
+        (r["k"], r["v"], r["extra"], r["_op"], r["_version"]) for r in got
+    ) == want
