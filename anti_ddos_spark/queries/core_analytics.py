@@ -1725,6 +1725,111 @@ EXTRA_QUERIES["q145_mor_cdc_state"] = Query(
 )
 
 
+# --- q148: additive schema evolution as an oracle row (round 11) ----------
+
+def q148_schema_evolution_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive schema EVOLUTION through the CDC committer, pinned by
+    value: batch 1 inserts every even order (narrow schema), batch 2 is
+    WIDE — it adds a ``tag`` column while tripling prices of keys ≡4
+    (mod 6) — and batch 3 is narrow again (doubles ≡0 mod 6). The final
+    snapshot must serve the evolved union schema over the resulting
+    mixed-generation buckets: tagged rows keep their tag, rows that
+    predate (or never carried) the column read NULL, and the narrow
+    batch after the wide one must not have shrunk the recorded schema
+    (the per-residue aggregate selects ``tag`` — a shrink fails the
+    query outright). ``tt_narrow_ok`` additionally pins time travel:
+    the pre-evolution seed version still serves its own narrow schema.
+    Built on round 11's evolution plumbing (apply_cdc additive union,
+    _evolved_schema_json, chain-schema snapshot reads)."""
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    o = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    b1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 6 == 4)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("tag", F.lit("hot"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey") + 1_000_000)
+        .select("o_orderkey", "o_totalprice", "tag", "op", "seq")
+    )
+    b3 = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey") + 2_000_000)
+    )
+    root = tempfile.mkdtemp(prefix="ad_evotbl_")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", seq_col="seq", txn_app_id="q148"
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b3, 2)
+    tt_narrow_ok = "tag" not in tbl.read(spark, version=0).columns
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rows = (
+        tbl.read(spark)
+        .groupBy((F.col("o_orderkey") % 6).cast("long").alias("residue"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+            F.sum(
+                F.when(F.col("tag").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_tagged"),
+        )
+        .collect()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["residue"], r["n_orders"], r["total_cents"], r["n_tagged"],
+          bool(tt_narrow_ok)) for r in rows],
+        "residue long, n_orders long, total_cents long, n_tagged long, "
+        "tt_narrow_ok boolean",
+    )
+
+
+Q148_SQL = """
+WITH snap AS (
+  SELECT o_orderkey, o_totalprice * 2 AS p, NULL AS tag
+  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 3, 'hot'
+  FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, NULL
+  FROM orders WHERE o_orderkey % 6 = 2 AND o_orderkey % 2 = 0)
+SELECT CAST(o_orderkey % 6 AS BIGINT) AS residue,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(sum(CASE WHEN tag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tagged,
+       TRUE AS tt_narrow_ok
+FROM snap GROUP BY residue
+"""
+
+EXTRA_QUERIES["q148_schema_evolution_snapshot"] = Query(
+    q148_schema_evolution_snapshot,
+    Q148_SQL,
+    "additive schema evolution through the CDC committer: narrow -> "
+    "wide -> narrow chain, snapshot serves the union schema with NULLs "
+    "for pre-evolution rows, time travel keeps the narrow seed schema "
+    "- rotation candidate for r12",
+)
+
+
 # --- q135: bucketed streaming-CDC table state (round 8) --------------------
 
 # one live scratch root per sf — same lifecycle as q131

@@ -134,6 +134,7 @@ FULL_SET = ['q01_pricing_summary',
  'q145_mor_cdc_state',
  'q146_mor_streaming_cdf',
  'q147_semantic_recall_contract',
+ 'q148_schema_evolution_snapshot',
  'q14_string_ops',
  'q15_datetime_agg',
  'q16_json_extract',
