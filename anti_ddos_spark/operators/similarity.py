@@ -473,12 +473,23 @@ def _read_index_layout(spark, path: str):
 # 105.5 → 4.8 s (22×) — far past the <2× keep-expression rule, so the
 # matmul ships as the default. "expr" remains selectable per call for
 # environments without Arrow Python workers.
+#
+# Parity caveat (round-12): blas/expr byte-identity is EMPIRICAL, not
+# guaranteed — numpy's matmul reduction order varies across BLAS builds
+# (OpenBLAS/MKL/ARM), so a last-ulp cosine difference could in
+# principle flip a (cos desc, cid asc) winner on a different host. The
+# evidence: xxhash equality at 1M×256 plus nprobe 1/2/3 parity AND an
+# adversarial near-tie fixture (two centroids at ulp-equal cosine —
+# tie-break pinned to the lowest cid on both paths) in
+# tests/test_ivf_index.py. When debugging an oracle-hash mismatch on
+# new hardware, rerun with scoring="expr" per call to isolate the BLAS
+# variance before suspecting the plan.
 IVF_ASSIGN_SCORING = "blas"
 
 
 def _blas_assign(
     narrow: DataFrame, cents: DataFrame, nprobe: int, id_col: str
-) -> DataFrame:
+) -> DataFrame | None:
     """BLAS-batch scoring of ``narrow`` (id, _e) against the centroid
     matrix: one numpy matmul per Arrow batch. The centroid collect is
     bounded by k (≤ 4096 under buckets_for-scale cell counts; the
@@ -492,6 +503,11 @@ def _blas_assign(
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     rows = cents.select("cid", "cvec").orderBy("cid").collect()
+    if not rows:
+        # empty centroid set: np.stack/matmul would shape-error here —
+        # signal the caller to degrade to the expression path, whose
+        # crossJoin with zero centroids yields zero assignments
+        return None
     cids = np.array([r["cid"] for r in rows])
     C = np.array([r["cvec"] for r in rows], dtype=np.float64)
     cn = np.linalg.norm(C, axis=1)
@@ -600,9 +616,11 @@ def _assign_cells(
 
     if scoring == "blas":
         assign = _blas_assign(narrow, cents, nprobe, id_col)
-        if nprobe == 1:
-            return join_back(assign, ["centroid_id"])
-        return join_back(assign, ["is_primary", "centroid_id"])
+        if assign is not None:
+            if nprobe == 1:
+                return join_back(assign, ["centroid_id"])
+            return join_back(assign, ["is_primary", "centroid_id"])
+        scoring = "expr"  # empty centroid set — expr degrades gracefully
     if scoring != "expr":
         raise ValueError(f"unknown assignment scoring {scoring!r}")
     scored = narrow.crossJoin(F.broadcast(cents)).withColumn(

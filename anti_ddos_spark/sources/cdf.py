@@ -86,7 +86,11 @@ CDF_SOURCE_NAME = "versioned_cdf"
 # deterministic key hash, and each pass streams the files record-batch
 # by record-batch keeping only its class — peak memory is one record
 # batch plus one chunk's key state, never the whole bucket. Same rows,
-# any budget (parity-pinned in tests/test_cdf.py).
+# any budget (parity-pinned in tests/test_cdf.py). Class membership is
+# a deterministic hash of the key's STRING form (value-canonical, so
+# per-file dtype drift can't split a key across classes); all executors
+# of one diff must run the same pandas version — a homogeneous-cluster
+# requirement, standard for any pandas-UDF deployment.
 CDF_DIFF_DISK_BUDGET = 256 << 20  # on-disk parquet bytes per in-memory pass
 
 
@@ -179,8 +183,21 @@ def _diff_rows(part: _ChangePartition):
                         df[c] = None
                 if chunk is not None:
                     n_ch, c = chunk
+                    # astype(str) canonicalizes BEFORE hashing: the raw
+                    # column's dtype can differ per file (int64 vs
+                    # object after evolution null-padding), and
+                    # hash_pandas_object hashes dtype-sensitively — a
+                    # key whose old and new rows landed in different
+                    # residue classes would surface as a spurious I/D
+                    # pair instead of one U row. String canonical form
+                    # makes the class a function of the VALUE only.
+                    # (Residue classes must also agree across worker
+                    # processes within ONE diff: pandas' fixed default
+                    # hash key gives that on a homogeneous cluster —
+                    # mixed pandas versions across executors are not
+                    # supported, see CDF_DIFF_DISK_BUDGET.)
                     hv = pd.util.hash_pandas_object(
-                        df[part.key], index=False
+                        df[part.key].astype(str), index=False
                     ).to_numpy()
                     df = df[(hv % n_ch) == c]
                 if len(df):

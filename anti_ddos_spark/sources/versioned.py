@@ -882,9 +882,38 @@ class VersionedTable:
                 F.col(key_col).isin(values)
             ).limit(0)
         files = [os.path.join(self.root, rel) for rel in rels]
-        return spark.read.parquet(*files).filter(
-            F.col(key_col).isin(values)
+        # recorded-schema pin: the owned buckets may straddle schema
+        # generations — serve the same columns the snapshot read of
+        # this version serves (NULL where a file predates a column),
+        # not whichever footer Spark samples (round-12 ADVICE)
+        return _pinned_reader(
+            spark, self._chain_meta(v, "schema")
+        ).parquet(*files).filter(F.col(key_col).isin(values))
+
+
+def _pinned_reader(spark: SparkSession, schema_json: dict | None):
+    """A ``spark.read`` pinned to the chain-recorded schema
+    (nullability relaxed to parquet-inference parity) — the same
+    reconciliation ``VersionedTable.read`` serves on snapshots, shared
+    by every DIRECT file read that can span schema generations: the
+    streaming committer's pruned-snapshot read, ``compact_buckets``'
+    stack-free branch, and ``read_point``'s bucket-pruned branch.
+    Without the pin, a read mixing pre- and post-evolution buckets lets
+    Spark infer ONE footer's schema and silently drop the evolved
+    column (round-12 ADVICE: on the committer path that loss was then
+    REWRITTEN into the table). Falls back to ``mergeSchema`` when the
+    chain predates schema recording, so drifted footers still union
+    instead of letting one win."""
+    from pyspark.sql.types import StructField, StructType
+
+    if schema_json is None:
+        return spark.read.option("mergeSchema", "true")
+    st = StructType.fromJson(schema_json)
+    return spark.read.schema(
+        StructType(
+            [StructField(f.name, f.dataType, True) for f in st.fields]
         )
+    )
 
 
 def _mor_merged(
@@ -1499,8 +1528,16 @@ def streaming_cdc_committer(
                     for b in sorted(touched)
                     for rel in base_buckets.get(b, [])
                 ]
+                # pinned to the chain-recorded schema: a batch touching
+                # both a pre- and a post-evolution bucket must read the
+                # evolved column (NULL where a file predates it) — a
+                # bare parquet read could infer the NARROW footer and
+                # the rewrite below would drop the column's values for
+                # good (round-12 ADVICE high)
                 snapshot = (
-                    spark.read.parquet(*pruned)
+                    _pinned_reader(
+                        spark, table._chain_meta(base, "schema")
+                    ).parquet(*pruned)
                     if pruned
                     else batch_df.drop(*drop).limit(0)
                 )
@@ -1688,9 +1725,22 @@ def compact_buckets(
             schema_json=table._chain_meta(base, "schema"),
         )
     else:
-        merged = spark.read.parquet(
-            *[os.path.join(table.root, f) for f in base_files_t]
-        )
+        # recorded-schema pin: targets can mix pre- and post-evolution
+        # file generations, and the rewrite is stamped row_preserving
+        # (the feed plans zero partitions) — an inferred narrow footer
+        # here would erase the evolved column invisibly
+        merged = _pinned_reader(
+            spark, table._chain_meta(base, "schema")
+        ).parquet(*[os.path.join(table.root, f) for f in base_files_t])
+    rec = table._chain_meta(base, "schema")
+    if rec is not None:
+        missing = {f["name"] for f in rec["fields"]} - set(merged.columns)
+        if missing:
+            raise RuntimeError(
+                "compact_buckets would drop recorded columns "
+                f"{sorted(missing)} — refusing to publish a "
+                "row_preserving version that loses data"
+            )
     df = merged.withColumn(
         "_bucket",
         F.pmod(F.xxhash64(F.col(cdc_key)), F.lit(nb)).cast("int"),

@@ -897,3 +897,78 @@ def test_cdf_and_read_survive_additive_schema_evolution(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"], r["extra"], r["_op"], r["_version"]) for r in got
     ) == want
+
+
+def test_pruned_committer_preserves_evolved_column_across_generations(
+    spark, tmp_path
+):
+    """Round-12 ADVICE high: the committer's pruned copy-on-write read
+    must serve the chain-RECORDED schema. A narrow batch that touches
+    both a post-evolution bucket (its files carry the evolved column)
+    and a pre-evolution bucket (they don't) previously read the
+    snapshot with whichever footer Spark inferred — inferring the
+    narrow one silently dropped the evolved column and the rewrite made
+    the loss permanent. Pin: the evolved value survives exactly such a
+    batch, on both the snapshot and the change feed."""
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(20)], SCHEMA
+        ),
+        0,
+    )
+    wide = "k long, v string, extra long, op string, seq long"
+    sink(spark.createDataFrame([(3, "u3", 99, "U", 100)], wide), 1)
+
+    # the committer's own routing expression names each key's bucket
+    buckets = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in range(20)], "k long")
+        .select(
+            "k",
+            F.pmod(F.xxhash64(F.col("k")), F.lit(8)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    same = next(k for k in range(20) if k != 3 and buckets[k] == buckets[3])
+    other = next(k for k in range(20) if buckets[k] != buckets[3])
+
+    # the regression batch: NARROW schema, one key in the wide bucket
+    # (not key 3 — its evolved value must be carried, not rewritten)
+    # and one in a narrow bucket → the pruned snapshot read spans both
+    # generations
+    sink(
+        spark.createDataFrame(
+            [(same, "usame", "U", 200), (other, "uother", "U", 201)],
+            SCHEMA,
+        ),
+        2,
+    )
+    snap = t.read(spark)
+    assert snap.columns == ["k", "v", "extra"]
+    rows = {r["k"]: (r["v"], r["extra"]) for r in snap.collect()}
+    assert rows[3] == ("u3", 99)  # survived the mixed-generation rewrite
+    assert rows[same] == ("usame", None)
+    assert rows[other] == ("uother", None)
+    assert len(rows) == 20
+
+    # the feed sees the same three updates, evolved column intact
+    feed = sorted(
+        (r["k"], r["v"], r["extra"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", 0, t.current_version())
+        .collect()
+    )
+    assert (3, "u3", 99, "U", 1) in feed
+    assert (same, "usame", None, "U", 2) in feed
+    assert (other, "uother", None, "U", 2) in feed
+
+    # point lookup across generations serves the recorded schema too
+    # (round-12 ADVICE medium: read_point's pruned branch was a bare
+    # parquet read)
+    got = {
+        r["k"]: (r["v"], r["extra"])
+        for r in t.read_point(spark, [3, other]).collect()
+    }
+    assert got == {3: ("u3", 99), other: ("uother", None)}

@@ -525,3 +525,69 @@ def test_blas_assignment_is_byte_identical_to_expression(spark):
         assert [f.dataType for f in expr.select(cols).schema.fields] == [
             f.dataType for f in blas.select(cols).schema.fields
         ]
+
+
+def test_blas_near_tie_break_and_empty_centroids(spark):
+    """Round-12 verdict task #6 + ADVICE low. (a) Tie-break pin: two
+    centroids at ulp-equal cosine to every probe — the (cos desc,
+    cid asc) winner must be the LOWEST cid on BOTH scoring paths
+    (numpy's first-max argmax / stable argsort vs Catalyst max_by over
+    (cos, -cid)); this is the invariant that protects every downstream
+    oracle hash from BLAS-build reduction-order variance. (b) An empty
+    centroid set must degrade to zero assignments, not shape-error in
+    np.stack/matmul."""
+    from pyspark.sql import functions as F
+
+    from anti_ddos_spark.operators import similarity as S
+
+    probes = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.6, 0.8, 0.0]), (3, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # cid 7 and cid 2 are IDENTICAL vectors (exact cosine tie); cid 5
+    # is the same direction scaled (cosine is scale-invariant → a
+    # three-way tie); cid 9 is orthogonal, never the winner
+    tied = [
+        (7, [2.0, 1.0, 0.0]),
+        (2, [2.0, 1.0, 0.0]),
+        (5, [4.0, 2.0, 0.0]),
+        (9, [-1.0, 2.0, 0.0]),
+    ]
+    cents = spark.createDataFrame(tied, "cid long, cvec array<double>")
+    for nprobe in (1, 2, 3):
+        cols = ["vec_id", "centroid_id"] + (
+            ["is_primary"] if nprobe > 1 else []
+        )
+        got = {}
+        for scoring in ("expr", "blas"):
+            out = S._assign_cells(
+                probes, cents, nprobe, "vec_id", "embedding",
+                scoring=scoring,
+            )
+            got[scoring] = sorted(tuple(r) for r in out.select(cols).collect())
+        assert got["expr"] == got["blas"]
+        # the tied family resolves in ascending-cid order: primary is
+        # always cid 2, the second probe cell is cid 5
+        prim = {
+            r[0]: r[1]
+            for r in got["blas"]
+            if nprobe == 1 or r[2]  # is_primary
+        }
+        assert prim == {1: 2, 2: 2, 3: 2}
+        if nprobe >= 2:
+            # every probe's non-primary cells continue in ascending-cid
+            # order through the tie: 5 next, then 7
+            by_probe = {}
+            for vec_id, cid, is_primary in got["blas"]:
+                if not is_primary:
+                    by_probe.setdefault(vec_id, []).append(cid)
+            want = [5] if nprobe == 2 else [5, 7]
+            assert by_probe == {1: want, 2: want, 3: want}
+
+    empty = cents.limit(0)
+    for scoring in ("expr", "blas"):
+        out = S._assign_cells(
+            probes, empty, 1, "vec_id", "embedding", scoring=scoring
+        )
+        assert out.count() == 0
+        assert "centroid_id" in out.columns

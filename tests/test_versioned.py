@@ -1049,3 +1049,60 @@ def test_compact_buckets_is_bucket_local_and_layout_preserving(table):
     m2 = t._manifest(t.current_version())
     assert "delta" in m2, "CDC after compact_buckets must stay pruned"
     assert len(m2["delta"]["touched"]) == 1
+
+
+def test_compact_buckets_preserves_evolved_column_across_generations(table):
+    """Round-12 ADVICE medium: compact_buckets' stack-free branch must
+    read targets with the chain-recorded schema. Compacting a mix of
+    pre- and post-evolution buckets previously let Spark infer the
+    narrow footer and rewrite the evolved column away — stamped
+    row_preserving, so the feed planned zero partitions and the loss
+    was invisible. Pin: the evolved value survives a compaction that
+    targets one wide and one narrow bucket, and the publish-time guard
+    exists (rewritten columns == recorded schema)."""
+    from anti_ddos_spark.sources.versioned import (
+        compact_buckets,
+        streaming_cdc_committer,
+    )
+
+    spark, t = table
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(20)],
+            "k long, v string, op string, seq long",
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(3, "u3", 99, "U", 100)],
+            "k long, v string, extra long, op string, seq long",
+        ),
+        1,
+    )
+    buckets = {
+        r["k"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in range(20)], "k long")
+        .select(
+            "k",
+            F.pmod(F.xxhash64(F.col("k")), F.lit(8)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    other_b = next(b for k, b in buckets.items() if b != buckets[3])
+    pre = t.current_version()
+    post = compact_buckets(t, spark, buckets=[buckets[3], other_b])
+    assert post is not None and post > pre
+    snap = t.read(spark)
+    assert snap.columns == ["k", "v", "extra"]
+    rows = {r["k"]: (r["v"], r["extra"]) for r in snap.collect()}
+    assert rows[3] == ("u3", 99)  # survived the mixed-generation fold
+    assert len(rows) == 20
+    # compaction is row-preserving: byte-identical to the pre-compact
+    # snapshot
+    before = {
+        r["k"]: (r["v"], r["extra"])
+        for r in t.read(spark, version=pre).collect()
+    }
+    assert rows == before
