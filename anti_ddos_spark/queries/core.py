@@ -817,3 +817,12 @@ EXTRA_QUERIES["q08_window_rank"] = QUERIES.pop("q08_window_rank")
 # oracle via full_registry().
 EXTRA_QUERIES["q131_snapshot_diff"] = QUERIES.pop("q131_snapshot_diff")
 QUERIES["q145_mor_cdc_state"] = EXTRA_QUERIES.pop("q145_mor_cdc_state")
+
+# Round-12 rotation (r11 verdict task #1): q148 promotes additive
+# schema evolution through the CDC stack to a driver row — the
+# narrow→wide→narrow committer chain, the union-schema snapshot with
+# NULLs for pre-evolution rows, and the time-travel boolean, all
+# value-hashed (slot funded by the textops demotions, see textops.py).
+QUERIES["q148_schema_evolution_snapshot"] = EXTRA_QUERIES.pop(
+    "q148_schema_evolution_snapshot"
+)

@@ -1055,3 +1055,14 @@ EXTRA_QUERIES["q147_semantic_recall_contract"] = Query(
     "on planted graded cosine twins (REAL semantic_dedup_flags, "
     "nprobe=2 posture) — rotation candidate for r12",
 )
+
+# Round-12 rotation (r11 verdict task #1): q44's multi-probe LSH ANN is
+# transitively covered by q45 (IVF multiprobe, driver) and q137's
+# driver-pinned recall floors; its slot promotes q147 — the SemDeDup
+# drop-recall CONTRACT — completing the driver-pinned recall triad
+# (q137 ANN / q141 text / q147 semantic). q44 keeps its full DuckDB
+# oracle via full_registry().
+EXTRA_QUERIES["q44_lsh_ann_multiprobe"] = QUERIES.pop("q44_lsh_ann_multiprobe")
+QUERIES["q147_semantic_recall_contract"] = EXTRA_QUERIES.pop(
+    "q147_semantic_recall_contract"
+)

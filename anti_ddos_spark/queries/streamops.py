@@ -1819,3 +1819,9 @@ EXTRA_QUERIES["q146_mor_streaming_cdf"] = Query(
     "(executor-side state replay per bucket) must produce the identical "
     "feed — oracle is q140's SQL verbatim — rotation candidate for r11",
 )
+
+# Round-12 rotation (r11 verdict task #1): q146 promotes the
+# merge-on-read change feed — the driver now pins the streaming replay
+# of delta-stack versions (executor-side state replay per bucket)
+# against q140's relational oracle, alongside q145's MOR overlay state.
+QUERIES["q146_mor_streaming_cdf"] = EXTRA_QUERIES.pop("q146_mor_streaming_cdf")

@@ -1354,3 +1354,14 @@ EXTRA_QUERIES["q141_text_recall_contract"] = Query(
 # full_registry().
 EXTRA_QUERIES["q34_ngram_jaccard"] = QUERIES.pop("q34_ngram_jaccard")
 QUERIES["q141_text_recall_contract"] = EXTRA_QUERIES.pop("q141_text_recall_contract")
+
+# Round-12 rotation (r11 verdict task #1, eighth rotation): q104's
+# epoch-shuffle rides the same zero-Window global-rank machinery the
+# driver still pins via q103, and q136's frozen-vocab fold twin stays
+# driver-pinned through q138 (join-apply over the SAME committed
+# artifact) and q139 (the in-stream form). Both keep full DuckDB
+# oracles via full_registry(); their slots fund the round-11 storage/
+# contract family (q146/q147/q148) promoted in streamops.py,
+# similarity.py and core_analytics.py.
+for _name in ("q104_epoch_shuffle", "q136_bpe_frozen_vocab"):
+    EXTRA_QUERIES[_name] = QUERIES.pop(_name)

@@ -6,12 +6,13 @@ task #2 — plus q02 out for q123_jaccard_capped, the round-7 df-capped
 join, and a third r7 rotation: q05/q07 out for q126_mergeable_hll /
 q127_split_leakage_audit) and the core/textops modules were
 mechanically split; this test freezes the
-resulting registry ORDER after the ROUND-11 rotation (q20/q34/q131 out;
-q141/q143/q145 in — r10 verdict task #1, the round-10 storage/consumer
-family made driver-visible: text-dedup banding-recall floors+ceilings,
-incremental view maintenance from the change feed across restarts, and
-the merge-on-read committer's stack-overlaid state; the driver records
-CORRECTNESS rows for the first 50 entries in dict order) and the
+resulting registry ORDER after the ROUND-12 rotation (q44/q104/q136
+out; q146/q147/q148 in — r11 verdict task #1, the eighth rotation: the
+round-11 storage/contract family made driver-visible — the SemDeDup
+drop-recall contract completing the recall triad, additive schema
+evolution through the CDC stack, and the merge-on-read streaming
+change feed; the driver records CORRECTNESS rows for the first 50
+entries in dict order) and the
 full_registry
 NAME SET so any future refactor that silently reorders or drops a
 query fails fast. Update these literals only on an intentional
@@ -33,6 +34,7 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q132_layout_pruning',
  'q135_bucketed_cdc_state',
  'q145_mor_cdc_state',
+ 'q148_schema_evolution_snapshot',
  'q24_flow_features_full',
  'q25_asof_join',
  'q26_range_join',
@@ -45,18 +47,16 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q80_curation_pipeline',
  'q113_release_gate',
  'q103_curriculum_order',
- 'q104_epoch_shuffle',
  'q123_jaccard_capped',
  'q127_split_leakage_audit',
- 'q136_bpe_frozen_vocab',
  'q138_bpe_vocab_join_apply',
  'q141_text_recall_contract',
  'q42_cosine_neardup_pairs',
- 'q44_lsh_ann_multiprobe',
  'q45_ivf_multiprobe_topk',
  'q51_semantic_dedup',
  'q134_semantic_dedup_nprobe',
  'q137_ann_recall_contract',
+ 'q147_semantic_recall_contract',
  'q70_streaming_sessionize',
  'q71_stateful_accum',
  'q73_streaming_dedup',
@@ -71,6 +71,7 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q129_stream_stream_full_join',
  'q139_streaming_bpe_tokens',
  'q143_ivm_maintained_aggregate',
+ 'q146_mor_streaming_cdf',
  'q133_rf_frozen_scores']
 
 FULL_SET = ['q01_pricing_summary',
