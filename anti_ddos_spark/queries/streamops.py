@@ -1453,6 +1453,7 @@ def _commit_cdc_orders_fixture(
     tmp: str,
     app_id: str,
     merge_on_read: bool = False,
+    max_key: int | None = None,
 ):
     """The shared 3-version CDC fixture behind q140 and q143: three
     deterministic change batches over ``orders`` committed through the
@@ -1462,7 +1463,14 @@ def _commit_cdc_orders_fixture(
     ≡5 (mod 10) and doubles prices of keys ≡0 (mod 6). Every even key
     is ≡{0,2,4} (mod 6), so the final snapshot is fully determined by
     those residues — which is what makes the static-SQL oracles exact.
-    Returns the table root."""
+    ``max_key`` slices orders to ``o_orderkey <= max_key`` BEFORE the
+    batches are derived (the caller's oracle SQL must carry the same
+    predicate): the batch topology — three versions, the same residue
+    classes, 16 floor-clamped buckets, live MOR stacks — is unchanged,
+    only the row volume stops scaling with sf (r11 verdict task #3:
+    these are oracle-scaffolding rows; the MOR scale evidence lives in
+    scripts/mor_probe.py, not in this fixture's wall). Returns the
+    table root."""
     from anti_ddos_spark.sources.versioned import (
         VersionedTable,
         streaming_cdc_committer,
@@ -1471,6 +1479,8 @@ def _commit_cdc_orders_fixture(
     o = t(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+    if max_key is not None:
+        o = o.filter(F.col("o_orderkey") <= max_key)
     b1 = (
         o.filter(F.col("o_orderkey") % 2 == 0)
         .withColumn("op", F.lit("I"))
@@ -1624,7 +1634,13 @@ def q146_mor_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
     to the copy-on-write case by definition, so the ORACLE IS Q140'S
     SQL VERBATIM — a replay that read stale base rows as live, applied
     a stack out of order, or mis-resolved a within-batch (seq, op) tie
-    produces different change rows and breaks the hash."""
+    produces different change rows and breaks the hash.
+
+    Round-12 re-oracle (r11 verdict task #3): the fixture slices
+    orders to ``o_orderkey <= 6000`` — same three-version topology and
+    live stacks, row volume no longer scales with sf — and the oracle
+    is q140's derivation WITH the same slice (Q146_SQL below), a
+    deliberate hash re-pin."""
     import shutil
 
     from anti_ddos_spark.sources.cdf import register_cdf_source
@@ -1633,7 +1649,7 @@ def q146_mor_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
     run_id = next(_counter)
     tmp = tempfile.mkdtemp(prefix="q146_morcdf_")
     root = _commit_cdc_orders_fixture(
-        spark, sf, tmp, "q146", merge_on_read=True
+        spark, sf, tmp, "q146", merge_on_read=True, max_key=6000
     )
     # the fixture must actually exercise the stack path: batches 2-3
     # append to stacks (depth ≤ 2 < MOR_MAX_STACK_DEPTH, no folds)
@@ -1811,13 +1827,26 @@ QUERIES["q143_ivm_maintained_aggregate"] = EXTRA_QUERIES.pop(
     "q143_ivm_maintained_aggregate"
 )
 
+# q140's derivation over the SLICED fixture (o_orderkey <= 6000): the
+# MOR replay is logically identical to the copy-on-write feed, so the
+# oracle differs from Q140_SQL only by the slice predicate
+Q146_SQL = Q140_SQL.replace(
+    "FROM orders WHERE o_orderkey % 2 = 0",
+    "FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey <= 6000",
+).replace(
+    "FROM orders WHERE o_orderkey % 10 = 5",
+    "FROM orders WHERE o_orderkey % 10 = 5 AND o_orderkey <= 6000",
+)
+assert Q146_SQL.count("6000") == 2
+
 EXTRA_QUERIES["q146_mor_streaming_cdf"] = Query(
     q146_mor_streaming_cdf,
-    Q140_SQL,
+    Q146_SQL,
     "the change feed of a merge-on-read table: the same logical batches "
-    "as q140 land as delta-stack appends and the streaming replay "
-    "(executor-side state replay per bucket) must produce the identical "
-    "feed — oracle is q140's SQL verbatim — rotation candidate for r11",
+    "as q140 (orders sliced to o_orderkey <= 6000, r12 re-oracle) land "
+    "as delta-stack appends and the streaming replay (executor-side "
+    "state replay per bucket) must produce the identical feed — oracle "
+    "is q140's derivation over the sliced fixture",
 )
 
 # Round-12 rotation (r11 verdict task #1): q146 promotes the
