@@ -103,3 +103,82 @@ def test_cas_flip_requires_expected_base_even_from_none(tmp_path):
     # the winner's seed is live; exactly one committed version
     assert first.current_version() == 1  # loser burned v0 first
     assert [m["version"] for m in first.committed_chain()] == [1]
+
+
+def test_vacuum_collects_cas_orphans_with_age_gate(spark, tmp_path):
+    """r11 verdict task #5: lost CAS races orphan their manifests by
+    design; over a long-lived table they accumulate and vacuum must
+    collect them like expired chain manifests — but ONLY past the age
+    gate, because under an object-store backend no lock excludes an
+    in-flight commit whose manifest exists and whose pointer flip
+    hasn't happened yet (deleting that young manifest would let the
+    flip publish a pointer to nothing)."""
+    import json as _json
+
+    from anti_ddos_spark.sources.cdf import version_changes
+    from anti_ddos_spark.sources.versioned import (
+        streaming_cdc_committer,
+        vacuum,
+    )
+
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(root, backend=CasEmulationBackend())
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=8)
+    schema = "k long, v string, op string, seq long"
+    sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", "I", i) for i in range(10)], schema
+        ),
+        0,
+    )
+    sink(spark.createDataFrame([(3, "u3", "U", 100)], schema), 1)
+
+    # three lost races: each allocated a manifest number, lost the
+    # conditional flip, and walked away — the exact on-disk state a
+    # CommitConflict leaves behind
+    base = t.current_version()
+    orphans = []
+    for i in range(3):
+        v = max(t.versions()) + 1
+        path = os.path.join(root, "manifests", f"v{v}.json")
+        assert t.backend.create_manifest_excl(
+            path,
+            _json.dumps(
+                {
+                    "version": v,
+                    "base": base,
+                    "files": [f"data/d-lost{i}/p.parquet"],
+                    "op": "append",
+                }
+            ),
+        )
+        orphans.append(v)
+
+    # a later commit skips the burned numbers, never clobbers them
+    sink(spark.createDataFrame([(5, "u5", "U", 200)], schema), 2)
+    live = {m["version"] for m in t.committed_chain()}
+    assert set(orphans).isdisjoint(live)
+    feed_before = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", 0, t.current_version())
+        .collect()
+    )
+
+    # young orphans survive the age gate (possible in-flight commits)
+    res = vacuum(t, keep_versions=10, min_age_s=3600)
+    assert res["dropped_orphan_manifests"] == 0
+    assert set(orphans) <= set(t.versions())
+
+    # past the gate they are collected; chain, time travel and a full
+    # feed replay are untouched
+    res = vacuum(t, keep_versions=10, min_age_s=0)
+    assert res["dropped_orphan_manifests"] == 3
+    assert set(t.versions()) == live
+    assert t.read(spark).count() == 10
+    assert t.read(spark, version=sorted(live)[0]).count() == 10
+    feed_after = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", 0, t.current_version())
+        .collect()
+    )
+    assert feed_after == feed_before

@@ -1,0 +1,130 @@
+"""Schema evolution under a TYPE change (round-12 verdict task #4).
+
+The additive path (new columns) was pinned in round 11; this suite
+defines the remaining behavior: a column whose type changes either
+widens LOSSLESSLY (byte→short→int→long, float→double,
+byte/short/int/float→double — the chain records the WIDER type and
+every generation's files stay readable under the pinned recorded
+schema, verified against Spark's parquet reader) or the commit fails
+BEFORE any file is staged with SchemaEvolutionConflict naming
+(column, recorded type, batch type). mergeSchema cannot read a widened
+chain (parquet footer merge rejects int vs long), which is exactly why
+every direct file read routes through the recorded-schema pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from anti_ddos_spark.sources.cdf import version_changes
+from anti_ddos_spark.sources.versioned import (
+    SchemaEvolutionConflict,
+    VersionedTable,
+    streaming_cdc_committer,
+)
+
+NARROW = "k long, v int, op string, seq long"
+WIDE = "k long, v long, op string, seq long"
+BIG = 2**40  # does not fit an int32 — proves the widened read is real
+
+
+def _seed(spark, root: str, merge_on_read: bool = False):
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        t, "k", seq_col="seq", n_buckets=8, merge_on_read=merge_on_read
+    )
+    sink(
+        spark.createDataFrame(
+            [(i, i * 10, "I", i) for i in range(10)], NARROW
+        ),
+        0,
+    )
+    return t, sink
+
+
+def test_lossless_widening_commits_and_reads(spark, tmp_path):
+    t, sink = _seed(spark, str(tmp_path / "tbl"))
+    assert t.read(spark).schema["v"].dataType.simpleString() == "int"
+
+    # widen: a long batch with a value an int32 cannot hold
+    sink(spark.createDataFrame([(3, BIG, "U", 100)], WIDE), 1)
+    snap = t.read(spark)
+    assert snap.schema["v"].dataType.simpleString() == "bigint"
+    rows = {r["k"]: r["v"] for r in snap.collect()}
+    assert rows[3] == BIG and rows[0] == 0 and len(rows) == 10
+
+    # a narrow (int) batch AFTER the widening must not shrink the type
+    sink(spark.createDataFrame([(5, 55, "U", 200)], NARROW), 2)
+    snap = t.read(spark)
+    assert snap.schema["v"].dataType.simpleString() == "bigint"
+    rows = {r["k"]: r["v"] for r in snap.collect()}
+    assert rows[3] == BIG and rows[5] == 55
+
+    # point lookup spans pre- and post-widening buckets
+    got = {r["k"]: r["v"] for r in t.read_point(spark, [3, 0]).collect()}
+    assert got == {3: BIG, 0: 0}
+
+    # time travel: the pre-widening version keeps its own narrow type
+    assert (
+        t.read(spark, version=0).schema["v"].dataType.simpleString()
+        == "int"
+    )
+
+
+def test_conflicting_type_fails_loudly_with_no_version(spark, tmp_path):
+    t, sink = _seed(spark, str(tmp_path / "tbl"))
+    v_before = t.current_version()
+    with pytest.raises(SchemaEvolutionConflict) as ei:
+        sink(
+            spark.createDataFrame(
+                [(3, "oops", "U", 100)],
+                "k long, v string, op string, seq long",
+            ),
+            1,
+        )
+    msg = str(ei.value)
+    assert "'v'" in msg and "int" in msg and "string" in msg
+    assert ei.value.column == "v"
+    # nothing was published and the table still reads
+    assert t.current_version() == v_before
+    assert t.read(spark).count() == 10
+
+    # long→int is NARROWING, not widening: also a conflict
+    t2, sink2 = _seed(spark, str(tmp_path / "tbl2"))
+    sink2(spark.createDataFrame([(3, BIG, "U", 100)], WIDE), 1)
+    with pytest.raises(SchemaEvolutionConflict):
+        # chain now records long for v; a DOUBLE batch would lose
+        # integers past 2^53 — refused
+        sink2(
+            spark.createDataFrame(
+                [(5, 1.5, "U", 200)],
+                "k long, v double, op string, seq long",
+            ),
+            2,
+        )
+
+
+def test_cdf_replays_across_a_widening(spark, tmp_path):
+    t, sink = _seed(spark, str(tmp_path / "tbl"))
+    sink(spark.createDataFrame([(3, BIG, "U", 100)], WIDE), 1)
+    sink(spark.createDataFrame([(5, 55, "U", 200)], NARROW), 2)
+    feed = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", 0, t.current_version())
+        .collect()
+    )
+    assert (3, BIG, "U", 1) in feed
+    assert (5, 55, "U", 2) in feed
+    assert (3, 30, "I", 0) in feed  # pre-widening value intact
+
+
+def test_widening_through_merge_on_read_overlay(spark, tmp_path):
+    t, sink = _seed(spark, str(tmp_path / "tbl"), merge_on_read=True)
+    sink(spark.createDataFrame([(3, BIG, "U", 100)], WIDE), 1)
+    sink(spark.createDataFrame([(5, 55, "U", 200)], NARROW), 2)
+    res = t._resolved(t.current_version())
+    assert any(res["bucket_deltas"].values())  # overlay is live
+    snap = t.read(spark)
+    assert snap.schema["v"].dataType.simpleString() == "bigint"
+    rows = {r["k"]: r["v"] for r in snap.collect()}
+    assert rows[3] == BIG and rows[5] == 55 and rows[0] == 0
