@@ -402,9 +402,19 @@ def run_all(out_path: str) -> None:
     best2: dict[str, float] = {}
     run_counts: dict[str, int] = {}
     stream_at: dict[str, float] = {}
-    for i, name in enumerate(reg):
-        if i and i % 20 == 0:
+    last_sample = [0.0]
+
+    def _maybe_sample() -> None:
+        # time-based cadence: index-based sampling bunches in the fast
+        # batch block and leaves the slow streaming block (10-30 s per
+        # row) unsampled for hundreds of seconds
+        now = _time.perf_counter() - sweep_t0
+        if now - last_sample[0] >= 60.0:
             _track_sample()
+            last_sample[0] = now
+
+    for name in reg:
+        _maybe_sample()
         t1 = once(name)
         timings[name] = round(t1, 3)
         if name in STREAMING_QUERIES:
@@ -449,15 +459,22 @@ def run_all(out_path: str) -> None:
             stream_at[name] = _time.perf_counter() - sweep_t0
     anchor_end = _anchor()
     _track_sample()
-    # host-speed-normalized streaming marginal: divide by the mini
-    # anchor interpolated at the row's own measurement time — the
-    # round-over-round regress-on column for streaming rows (batch rows
-    # regress on queries_batch_normalized)
+    # host-speed-normalized streaming marginal, SECONDS-preserving:
+    # scale each marginal by (track median / track value local to its
+    # measurement) — a row measured in a 2x-loaded window halves, one
+    # in a fast window grows, and the column compares directly across
+    # rounds in familiar units. (Dividing by the raw ~10 ms mini
+    # anchor would be consistent but unreadable.) The regress-on column
+    # for streaming rows; batch rows regress on queries_batch_normalized.
     marginal_normalized = {}
+    track_vals = sorted(v for _t, v in anchor_track)
+    track_median = (
+        track_vals[len(track_vals) // 2] if track_vals else None
+    )
     for name, m in marginal.items():
         local = _track_interp(stream_at.get(name, 0.0))
-        if local:
-            marginal_normalized[name] = round(m / local, 3)
+        if local and track_median:
+            marginal_normalized[name] = round(m * track_median / local, 3)
     anchors = [a for a in (anchor_start, anchor_end) if a]
     anchor = sum(anchors) / len(anchors) if anchors else None
     normalized = (
@@ -482,6 +499,7 @@ def run_all(out_path: str) -> None:
         # time-local host-speed track (mini DuckDB oracle, min-of-2) and
         # the streaming regress-on column it normalizes
         "mini_anchor_track": anchor_track,
+        "mini_anchor_median": track_median,
         "queries_streaming_marginal_normalized": marginal_normalized,
         "queries_streaming_end_rerun": end_rerun,
         # streaming query lifecycles per pass (listener-counted):
