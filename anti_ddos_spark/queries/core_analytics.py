@@ -1829,6 +1829,126 @@ SELECT CAST(o_orderkey % 6 AS BIGINT) AS residue,
 FROM snap GROUP BY residue
 """
 
+# --- q149: type-widening evolution as an oracle row (round 12) ------------
+
+def q149_type_widening_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """TYPE-change schema evolution pinned by value (round-12 task #4's
+    semantics as an oracle row): batch 1 inserts every even order with
+    an INT payload column, batch 2 WIDENS it — updating keys ≡4 (mod 6)
+    with values past int32 range (k + 5·10⁹), so the chain must record
+    bigint and the widened read is provably real, not a cast of small
+    values — batch 3 attempts a STRING payload and must fail with
+    SchemaEvolutionConflict publishing nothing (``conflict_ok``), and
+    batch 4 is narrow int again (doubles keys ≡0 mod 6) and must not
+    shrink the recorded bigint (``widened_ok``). ``tt_narrow_ok`` pins
+    time travel: the pre-widening seed still serves int. The final
+    per-residue aggregate sums values only a widened chain can hold.
+    Orders sliced to o_orderkey ≤ 6000 (the q145/q146 fixture-trim
+    discipline — topology over volume)."""
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import (
+        SchemaEvolutionConflict,
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    o = t(spark, sf, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") <= 6000
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("v", F.col("o_orderkey").cast("int"))
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 6 == 4)
+        .withColumn("v", F.col("o_orderkey") + F.lit(5_000_000_000))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey") + 1_000_000)
+    )
+    b4 = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn("v", (F.col("o_orderkey") * 2).cast("int"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey") + 2_000_000)
+    )
+    root = tempfile.mkdtemp(prefix="ad_widetbl_")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", seq_col="seq", txn_app_id="q149"
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    v_before = tbl.current_version()
+    conflict_ok = False
+    try:
+        sink(
+            spark.createDataFrame(
+                [(4, "oops", "U", 9_000_000)],
+                "o_orderkey long, v string, op string, seq long",
+            ),
+            2,
+        )
+    except SchemaEvolutionConflict:
+        conflict_ok = tbl.current_version() == v_before
+    sink(b4, 3)
+    snap = tbl.read(spark)
+    widened_ok = snap.schema["v"].dataType.simpleString() == "bigint"
+    tt_narrow_ok = (
+        tbl.read(spark, version=0).schema["v"].dataType.simpleString()
+        == "int"
+    )
+    rows = (
+        snap.groupBy((F.col("o_orderkey") % 6).cast("long").alias("residue"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("v").cast("long").alias("total_v"),
+        )
+        .collect()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["residue"], r["n_orders"], r["total_v"], bool(widened_ok),
+             bool(conflict_ok), bool(tt_narrow_ok))
+            for r in rows
+        ],
+        "residue long, n_orders long, total_v long, widened_ok boolean, "
+        "conflict_ok boolean, tt_narrow_ok boolean",
+    )
+
+
+Q149_SQL = """
+WITH snap AS (
+  SELECT o_orderkey AS k, o_orderkey * 2 AS v
+  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey <= 6000
+  UNION ALL
+  SELECT o_orderkey, o_orderkey
+  FROM orders WHERE o_orderkey % 6 = 2 AND o_orderkey <= 6000
+  UNION ALL
+  SELECT o_orderkey, o_orderkey + 5000000000
+  FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey <= 6000)
+SELECT CAST(k % 6 AS BIGINT) AS residue,
+       count(*) AS n_orders,
+       CAST(sum(v) AS BIGINT) AS total_v,
+       TRUE AS widened_ok, TRUE AS conflict_ok, TRUE AS tt_narrow_ok
+FROM snap GROUP BY residue
+"""
+
+EXTRA_QUERIES["q149_type_widening_snapshot"] = Query(
+    q149_type_widening_snapshot,
+    Q149_SQL,
+    "type-widening schema evolution through the CDC committer: int "
+    "payload widened to bigint with past-int32 values, a string batch "
+    "refused via SchemaEvolutionConflict (in-band boolean, no version "
+    "published), a narrow int batch cannot shrink the widened type, "
+    "time travel keeps the seed's int — rotation candidate for r13",
+)
+
+
 EXTRA_QUERIES["q148_schema_evolution_snapshot"] = Query(
     q148_schema_evolution_snapshot,
     Q148_SQL,

@@ -310,8 +310,11 @@ def run_all(out_path: str) -> None:
     # the sweep, giving a time-LOCAL anchor track where the two full
     # anchors only bracket it. Streaming marginals normalize against
     # the track value interpolated at their own measurement time.
+    # q24's oracle (~0.3-0.7 s of real aggregation CPU) is the probe:
+    # the lighter relational oracles run in ~10-20 ms at the oracle sf
+    # — timer-noise territory, useless as a load signal.
     sweep_t0 = _time.perf_counter()
-    _mini_sql = reg["q01_pricing_summary"].sql
+    _mini_sql = reg["q24_flow_features_full"].sql
 
     def _mini_anchor() -> float | None:
         try:

@@ -136,6 +136,7 @@ FULL_SET = ['q01_pricing_summary',
  'q146_mor_streaming_cdf',
  'q147_semantic_recall_contract',
  'q148_schema_evolution_snapshot',
+ 'q149_type_widening_snapshot',
  'q14_string_ops',
  'q15_datetime_agg',
  'q16_json_extract',
