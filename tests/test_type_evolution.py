@@ -128,3 +128,53 @@ def test_widening_through_merge_on_read_overlay(spark, tmp_path):
     assert snap.schema["v"].dataType.simpleString() == "bigint"
     rows = {r["k"]: r["v"] for r in snap.collect()}
     assert rows[3] == BIG and rows[5] == 55 and rows[0] == 0
+
+
+def test_streaming_cdf_replays_across_a_widening(spark, tmp_path):
+    """The REAL streaming CDF path across a type widening: the source's
+    output schema comes from the chain's NEWEST recorded schema
+    (bigint), while pre-widening delta/base files carry int32 footers —
+    the executor's Arrow scan must surface those rows as Python ints
+    the bigint row converter accepts, and the feed must value-match the
+    relational twin."""
+    import os
+
+    from anti_ddos_spark.sources.cdf import register_cdf_source
+
+    root = str(tmp_path / "tbl")
+    t, sink = _seed(spark, root)
+    sink(spark.createDataFrame([(3, BIG, "U", 100)], WIDE), 1)
+    sink(spark.createDataFrame([(5, 55, "U", 200)], NARROW), 2)
+
+    want = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", 0, t.current_version())
+        .collect()
+    )
+    register_cdf_source(spark)
+    name = "widen_cdf"
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "k")
+        .option("start_version", -1)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert got == want
+    assert (3, BIG, "U", 1) in got
