@@ -1216,10 +1216,14 @@ _TO_DOUBLE = {"byte", "short", "integer", "float"}
 
 def _widened_type(a, b):
     """The wider of two atomic Spark types when one losslessly widens
-    into the other, else None."""
+    into the other, else None. Called only for a != b, so equal
+    typeNames mean a PARAMETRIC mismatch (array<int> vs array<long>,
+    decimal precision, struct reshapes) — off the lattice, None:
+    silently keeping either side's type would let the pinned read
+    misdescribe the other generation's files."""
     an, bn = a.typeName(), b.typeName()
     if an == bn:
-        return a
+        return None
     if an in _INT_RANK and bn in _INT_RANK:
         return a if _INT_RANK[an] >= _INT_RANK[bn] else b
     if an == "float" and bn == "double":

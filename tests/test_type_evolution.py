@@ -178,3 +178,55 @@ def test_streaming_cdf_replays_across_a_widening(spark, tmp_path):
     spark.catalog.dropTempView(name)
     assert got == want
     assert (3, BIG, "U", 1) in got
+
+
+def test_nullability_flip_is_absorbed_and_complex_change_refused(
+    spark, tmp_path
+):
+    """Two lattice edges pinned: (a) a nullability flip is NOT a type
+    change — reads serve the recorded schema relaxed to nullable
+    (parquet-inference parity), so batches may disagree on nullability
+    freely; (b) a COMPLEX type change (array element widening included)
+    is not on the lossless lattice and must refuse loudly rather than
+    guess."""
+    root = str(tmp_path / "tbl")
+    t = VersionedTable(root)
+    sink = streaming_cdc_committer(t, "k", seq_col="seq", n_buckets=4)
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StringType, StructField,
+        StructType,
+    )
+
+    nn = StructType([
+        StructField("k", LongType(), False),
+        StructField("v", IntegerType(), False),  # non-nullable
+        StructField("op", StringType(), True),
+        StructField("seq", LongType(), True),
+    ])
+    sink(spark.createDataFrame([(1, 10, "I", 0), (2, 20, "I", 1)], nn), 0)
+    # nullable flavor of the same types: commits fine, values merge
+    sink(spark.createDataFrame([(2, 25, "U", 100)], NARROW), 1)
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert rows == {1: 10, 2: 25}
+
+    # array<int> -> array<long> is NOT supported (complex types are off
+    # the lattice) — refused with the column named, nothing published
+    t2 = VersionedTable(str(tmp_path / "tbl2"))
+    sink2 = streaming_cdc_committer(t2, "k", seq_col="seq", n_buckets=4)
+    arr_i = StructType([
+        StructField("k", LongType(), True),
+        StructField("v", ArrayType(IntegerType()), True),
+        StructField("op", StringType(), True),
+        StructField("seq", LongType(), True),
+    ])
+    arr_l = StructType([
+        StructField("k", LongType(), True),
+        StructField("v", ArrayType(LongType()), True),
+        StructField("op", StringType(), True),
+        StructField("seq", LongType(), True),
+    ])
+    sink2(spark.createDataFrame([(1, [1, 2], "I", 0)], arr_i), 0)
+    with pytest.raises(SchemaEvolutionConflict) as ei:
+        sink2(spark.createDataFrame([(1, [2**40], "U", 1)], arr_l), 1)
+    assert ei.value.column == "v"
+    assert t2.current_version() == 0
