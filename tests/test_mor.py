@@ -345,3 +345,58 @@ def test_mor_read_tolerates_schema_evolution(spark, tmp_path):
     assert rows[5] == ("u5", None)
     assert rows[0] == ("v0", None)
     assert len(rows) == 20
+
+
+def test_mor_read_plans_one_delta_scan_per_version(spark, tmp_path):
+    """Round 12: the MOR overlay read makes ONE parquet scan per stack
+    VERSION (plus the base), never one per (bucket, version) entry —
+    the deltas subtree appears a fixed number of times in the physical
+    plan (resolution, anti-join, union), so the total scan count is a
+    function of stack DEPTH only. Pin: a table with 4x the buckets
+    plans exactly the same number of scans (per-entry reads would scale
+    it with the bucket count)."""
+    from anti_ddos_spark.plans import plan_summary
+    from anti_ddos_spark.sources.versioned import (
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    schema = "k long, v string, op string, seq long"
+
+    def build(nb):
+        t = VersionedTable(str(tmp_path / f"tbl{nb}"))
+        sink = streaming_cdc_committer(
+            t, "k", seq_col="seq", n_buckets=nb, merge_on_read=True
+        )
+        sink(
+            spark.createDataFrame(
+                [(i, f"v{i}", "I", i) for i in range(64)], schema
+            ),
+            0,
+        )
+        sink(
+            spark.createDataFrame(
+                [(i, f"u{i}", "U", 100 + i) for i in range(64)], schema
+            ),
+            1,
+        )
+        sink(
+            spark.createDataFrame(
+                [(i, f"w{i}", "U", 200 + i) for i in range(0, 64, 2)],
+                schema,
+            ),
+            2,
+        )
+        res = t._resolved(t.current_version())
+        assert sum(1 for st in res["bucket_deltas"].values() if st) == nb
+        return t
+
+    t2, t8 = build(2), build(8)
+    scans2 = plan_summary(t2.read(spark))["text"].count("Scan parquet")
+    scans8 = plan_summary(t8.read(spark))["text"].count("Scan parquet")
+    # depth-bounded: 4x the buckets, identical plan scan count
+    assert scans2 == scans8, (scans2, scans8)
+    # and well under the per-entry form (>= nb x depth scans at nb=8)
+    assert scans8 < 8 * 2
+    rows = {r["k"]: r["v"] for r in t8.read(spark).collect()}
+    assert rows[0] == "w0" and rows[1] == "u1" and len(rows) == 64
