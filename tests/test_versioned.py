@@ -279,7 +279,11 @@ def test_vacuum_age_gate_and_empty_table(table):
 
     spark, t = table
     # empty table: nothing deleted, no crash
-    assert vacuum(t) == {"dropped_manifests": 0, "dropped_data_dirs": 0}
+    assert vacuum(t) == {
+        "dropped_manifests": 0,
+        "dropped_orphan_manifests": 0,
+        "dropped_data_dirs": 0,
+    }
 
     t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
     # simulate an in-flight commit: data dir written, not yet published
