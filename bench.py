@@ -416,10 +416,12 @@ def run_all(out_path: str) -> None:
             _track_sample()
             last_sample[0] = now
 
+    batch_at: dict[str, float] = {}
     for name in reg:
         _maybe_sample()
         t1 = once(name)
         timings[name] = round(t1, 3)
+        batch_at[name] = _time.perf_counter() - sweep_t0
         if name in STREAMING_QUERIES:
             # startup spikes (checkpoint fsync, GC, query lifecycle)
             # are one-sided noise that rarely hits both runs; the diff
@@ -440,7 +442,10 @@ def run_all(out_path: str) -> None:
     batch_names = [n for n in timings if n not in STREAMING_QUERIES]
     batch_best2: dict[str, float] = {}
     for name in sorted(batch_names, key=lambda n: -timings[n])[:8]:
-        batch_best2[name] = round(min(timings[name], once(name)), 3)
+        t2 = once(name)
+        if t2 < timings[name]:
+            batch_at[name] = _time.perf_counter() - sweep_t0
+        batch_best2[name] = round(min(timings[name], t2), 3)
     # end-of-sweep streaming rerun (r11 verdict task #2): the largest
     # marginals get one more run in the sweep's quietest window with a
     # FRESH startup floor; the final marginal is the best of mid-sweep
@@ -478,6 +483,21 @@ def run_all(out_path: str) -> None:
         local = _track_interp(stream_at.get(name, 0.0))
         if local and track_median:
             marginal_normalized[name] = round(m * track_median / local, 3)
+    # batch rows get the SAME time-local host correction (r12 close-out
+    # observation: the two-point anchor mean inherits the anchor's own
+    # in-sweep swing — r11's moved 2x between start and end, skewing
+    # every batch-normalized comparison); this column is
+    # seconds-preserving host-corrected wall, the batch regress-on
+    # column once both sides of a diff carry it
+    batch_hostnorm = {}
+    for name in batch_names:
+        local = _track_interp(batch_at.get(name, 0.0))
+        if local and track_median:
+            batch_hostnorm[name] = round(
+                batch_best2.get(name, timings[name])
+                * track_median / local,
+                3,
+            )
     anchors = [a for a in (anchor_start, anchor_end) if a]
     anchor = sum(anchors) / len(anchors) if anchors else None
     normalized = (
@@ -515,6 +535,7 @@ def run_all(out_path: str) -> None:
             "mean": round(anchor, 3) if anchor else None,
         },
         "queries_batch_best2": batch_best2,
+        "queries_batch_hostnorm": batch_hostnorm,
         # ratio of each batch row (best-of-2 where rerun) to the
         # same-sweep DuckDB anchor — host-speed cancels; regress here
         "queries_batch_normalized": normalized,
