@@ -1949,6 +1949,146 @@ EXTRA_QUERIES["q149_type_widening_snapshot"] = Query(
 )
 
 
+# --- q150: CAS orphan-manifest GC lifecycle as an oracle row (round 12) ---
+
+def q150_vacuum_orphan_gc(spark: SparkSession, sf: str) -> DataFrame:
+    """The object-store publish protocol's ORPHAN lifecycle pinned by
+    value: a CDC table committed under ``CasEmulationBackend`` (no
+    advisory lock — the S3/GCS shape) accumulates two injected
+    lost-race manifests (the exact on-disk state a losing conditional
+    PUT leaves), a later batch skips the burned numbers, and vacuum
+    collects the orphans behind the age gate — young orphans survive
+    (an in-flight commit's manifest is indistinguishable), aged ones
+    go. In-band booleans pin each stage (``gate_held``: a
+    min_age_s=3600 vacuum dropped nothing; ``orphans_collected``:
+    min_age_s=0 dropped exactly the two; ``feed_intact``: a full
+    version_changes replay after collection matches the pre-vacuum
+    feed row-for-row); the per-customer aggregate of the surviving
+    snapshot is value-checked against the relational final state.
+    Orders sliced to o_orderkey ≤ 6000 (fixture-trim discipline)."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.cdf import version_changes
+    from anti_ddos_spark.sources.versioned import (
+        CasEmulationBackend,
+        VersionedTable,
+        streaming_cdc_committer,
+        vacuum,
+    )
+
+    o = t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).filter(F.col("o_orderkey") <= 6000)
+    root = tempfile.mkdtemp(prefix="ad_castbl_")
+    tbl = VersionedTable(root, backend=CasEmulationBackend())
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", seq_col="seq", txn_app_id="q150"
+    )
+    sink(
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.col("o_orderkey")),
+        0,
+    )
+    sink(
+        o.filter(F.col("o_orderkey") % 6 == 4)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey") + 1_000_000),
+        1,
+    )
+    base = tbl.current_version()
+    orphans = []
+    for i in range(2):
+        v = max(tbl.versions()) + 1
+        tbl.backend.create_manifest_excl(
+            _os.path.join(root, "manifests", f"v{v}.json"),
+            _json.dumps({
+                "version": v, "base": base,
+                "files": [f"data/d-lost{i}/p.parquet"], "op": "append",
+            }),
+        )
+        orphans.append(v)
+    sink(
+        o.filter(F.col("o_orderkey") % 6 == 2)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.col("o_orderkey") + 2_000_000),
+        2,
+    )
+
+    def feed():
+        return sorted(
+            tuple(r)
+            for r in version_changes(
+                spark, tbl, "o_orderkey", 0, tbl.current_version()
+            ).collect()
+        )
+
+    feed_before = feed()
+    res = vacuum(tbl, keep_versions=10, min_age_s=3600)
+    gate_held = (
+        res["dropped_orphan_manifests"] == 0
+        and set(orphans) <= set(tbl.versions())
+    )
+    res = vacuum(tbl, keep_versions=10, min_age_s=0)
+    orphans_collected = (
+        res["dropped_orphan_manifests"] == 2
+        and not (set(orphans) & set(tbl.versions()))
+    )
+    feed_intact = feed() == feed_before
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rows = (
+        tbl.read(spark)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .collect()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["o_custkey"], r["n_orders"], r["total_cents"],
+             bool(gate_held), bool(orphans_collected), bool(feed_intact))
+            for r in rows
+        ],
+        "o_custkey long, n_orders long, total_cents long, "
+        "gate_held boolean, orphans_collected boolean, "
+        "feed_intact boolean",
+    )
+
+
+Q150_SQL = """
+WITH snap AS (
+  SELECT o_custkey, o_totalprice * 3 AS p
+  FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey <= 6000
+  UNION ALL
+  SELECT o_custkey, o_totalprice AS p
+  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey <= 6000)
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       TRUE AS gate_held, TRUE AS orphans_collected,
+       TRUE AS feed_intact
+FROM snap GROUP BY o_custkey
+"""
+
+EXTRA_QUERIES["q150_vacuum_orphan_gc"] = Query(
+    q150_vacuum_orphan_gc,
+    Q150_SQL,
+    "CAS orphan-manifest GC lifecycle: lost-race orphans under the "
+    "no-lock backend, the age gate holding for young manifests, "
+    "collection leaving chain + feed replay intact — value-checked "
+    "per-customer snapshot with in-band stage booleans — rotation "
+    "candidate for r13",
+)
+
+
 EXTRA_QUERIES["q148_schema_evolution_snapshot"] = Query(
     q148_schema_evolution_snapshot,
     Q148_SQL,
