@@ -230,3 +230,49 @@ def test_nullability_flip_is_absorbed_and_complex_change_refused(
         sink2(spark.createDataFrame([(1, [2**40], "U", 1)], arr_l), 1)
     assert ei.value.column == "v"
     assert t2.current_version() == 0
+
+
+def test_chunked_cdf_budget_replays_across_a_widening(spark, tmp_path):
+    """The 4 KB-budget CHUNKED diff across a widening: residue classes
+    hash the key's canonical STRING form (round-12 ADVICE — per-file
+    dtype drift like int32-vs-int64 payload generations must not split
+    a key across classes into spurious I/D pairs), and every chunk's
+    scan pads/reads the widened column. Feed parity with the unchunked
+    relational twin, through a REAL stream."""
+    from anti_ddos_spark.sources.cdf import register_cdf_source
+
+    root = str(tmp_path / "tbl")
+    t, sink = _seed(spark, root)
+    sink(spark.createDataFrame([(3, BIG, "U", 100)], WIDE), 1)
+    sink(spark.createDataFrame([(5, 55, "U", 200)], NARROW), 2)
+    want = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in version_changes(spark, t, "k", 0, t.current_version())
+        .collect()
+    )
+    register_cdf_source(spark)
+    name = "widen_cdf_budget"
+    q = (
+        spark.readStream.format("versioned_cdf")
+        .option("root", root)
+        .option("key", "k")
+        .option("start_version", -1)
+        .option("diff_disk_budget_bytes", 4096)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+    got = sorted(
+        (r["k"], r["v"], r["_op"], r["_version"])
+        for r in spark.table(name).collect()
+    )
+    spark.catalog.dropTempView(name)
+    assert got == want
+    assert (3, BIG, "U", 1) in got
