@@ -632,7 +632,7 @@ class VersionedTable:
                 "bucket_files": res["bucket_files"],
                 "bucket_rows": res["bucket_rows"],
             }
-            for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema"):
+            for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema", "delta_schema"):
                 v = self._chain_meta(to_version, k)
                 if v is not None:
                     extra[k] = v
@@ -714,6 +714,7 @@ class VersionedTable:
                 op_col=self._chain_meta(v, "cdc_op") or "op",
                 seq_col=self._chain_meta(v, "cdc_seq"),
                 schema_json=self._chain_meta(v, "schema"),
+                delta_schema_json=self._chain_meta(v, "delta_schema"),
             )
         if filters:
             rels, _ = self.pruned_files(v, filters)
@@ -750,22 +751,11 @@ class VersionedTable:
             # name), so a snapshot mixing pre- and post-evolution bucket
             # generations reads deterministically with nulls for columns
             # a file predates, instead of whichever footer Spark infers
-            # from. Nullability is relaxed to parquet-inference parity
-            # (everything nullable) so fixed-schema tables read
-            # byte-identically to before.
+            # from. Same pin every direct file read uses (nullability
+            # relaxed to parquet-inference parity).
             sch = self._chain_meta(v, "schema")
             if sch is not None:
-                from pyspark.sql.types import StructField, StructType
-
-                st = StructType.fromJson(sch)
-                reader = reader.schema(
-                    StructType(
-                        [
-                            StructField(f.name, f.dataType, True)
-                            for f in st.fields
-                        ]
-                    )
-                )
+                reader = _pinned_reader(spark, sch)
         return reader.parquet(*files)
 
     # -- point lookup on the CDC key --------------------------------------
@@ -900,6 +890,7 @@ class VersionedTable:
                 op_col=self._chain_meta(v, "cdc_op") or "op",
                 seq_col=self._chain_meta(v, "cdc_seq"),
                 schema_json=self._chain_meta(v, "schema"),
+                delta_schema_json=self._chain_meta(v, "delta_schema"),
             )
             return merged.filter(F.col(key_col).isin(values))
         if not rels:
@@ -936,9 +927,37 @@ def _pinned_reader(spark: SparkSession, schema_json: dict | None):
     st = StructType.fromJson(schema_json)
     return spark.read.schema(
         StructType(
-            [StructField(f.name, f.dataType, True) for f in st.fields]
+            [
+                StructField(f.name, _relaxed(f.dataType), True)
+                for f in st.fields
+            ]
         )
     )
+
+
+def _relaxed(dt):
+    """``dt`` with every nullability bit True, recursively — the
+    parquet-inference-parity form the pinned readers serve. Top-level
+    field nullability was already relaxed (r11); parametric types carry
+    their own bits (containsNull / valueContainsNull / struct-field
+    nullable), and a chain seeded with a non-null parametric flavor
+    must still read later nullable-flavored generations."""
+    from pyspark.sql.types import (
+        ArrayType, MapType, StructField, StructType,
+    )
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_relaxed(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_relaxed(dt.keyType), _relaxed(dt.valueType), True)
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _relaxed(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
 
 
 def _mor_merged(
@@ -950,6 +969,7 @@ def _mor_merged(
     op_col: str,
     seq_col: str,
     schema_json: dict | None = None,
+    delta_schema_json: dict | None = None,
 ) -> DataFrame:
     """The merge-on-read READ: base rows overlaid with the per-bucket
     delta stacks, replicating the sequential apply_cdc semantics in one
@@ -999,15 +1019,27 @@ def _mor_merged(
             by_version.setdefault(int(v), []).extend(files)
     if not by_version:
         return base
+    # the same recorded-schema pin every other direct file read uses
+    # (r13 task #5): the chain's `delta_schema` (evolved payload +
+    # op/seq at widened types) describes EVERY delta generation — a
+    # column added mid-chain null-fills in files that predate it, a
+    # narrow-typed footer reads under the widened type. Chains that
+    # predate delta_schema recording fall back to per-version footer
+    # inference + unionByName coercion (the pre-r13 behavior).
+    dreader = (
+        _pinned_reader(spark, delta_schema_json)
+        if delta_schema_json is not None
+        else spark.read
+    )
     frames = [
-        spark.read.parquet(
+        dreader.parquet(
             *[os.path.join(root, f) for f in sorted(files)]
         ).withColumn("_v", F.lit(v))
         for v, files in sorted(by_version.items())
     ]
-    # allowMissingColumns: a column added between batches exists only in
-    # newer delta files — null-fill it backwards instead of failing the
-    # read (schema evolution; the COW path gets this via mergeSchema)
+    # allowMissingColumns: under the pin the frames share one schema
+    # (no-op); on the fallback path a column added between batches
+    # exists only in newer delta files — null-fill it backwards
     deltas = reduce(
         lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
     )
@@ -1200,27 +1232,72 @@ def foreach_batch_committer(
 CDC_TARGET_ROWS_PER_BUCKET = 12_500
 
 
-# Lossless widening lattice (round-12 verdict task #4). Every edge is
-# verified against Spark's parquet vectorized reader: a file written at
-# the narrow type reads correctly under a schema pinned at the wide one
-# (int32 footer under LongType/DoubleType — probed on this Spark), so a
-# widened chain stays readable across ALL its generations via the
-# recorded-schema pin. long→double and int→float are NOT here — they
-# lose integer precision past 2^53 / 2^24. NB mergeSchema cannot read a
-# widened chain (parquet merge fails on int vs long footers); the
-# recorded schema is the only correct path, which _pinned_reader and
-# VersionedTable.read already serve.
+# Lossless widening lattice (round-12 verdict task #4; parametric
+# recursion r13 task #4). Every edge is verified against Spark's parquet
+# reader, vectorized AND row-based: a file written at the narrow type
+# reads correctly under a schema pinned at the wide one (int32 footer
+# under LongType/DoubleType; array<int32> under array<long>;
+# map<int32,int32> under map<long,long>; nested arrays; same-shape
+# struct fields — all probed on this Spark), so a widened chain stays
+# readable across ALL its generations via the recorded-schema pin.
+# long→double and int→float are NOT here — they lose integer precision
+# past 2^53 / 2^24. NB mergeSchema cannot read a widened chain (parquet
+# merge fails on int vs long footers); the recorded schema is the only
+# correct path, which _pinned_reader and VersionedTable.read serve.
 _INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
 _TO_DOUBLE = {"byte", "short", "integer", "float"}
 
 
 def _widened_type(a, b):
-    """The wider of two atomic Spark types when one losslessly widens
-    into the other, else None. Called only for a != b, so equal
-    typeNames mean a PARAMETRIC mismatch (array<int> vs array<long>,
-    decimal precision, struct reshapes) — off the lattice, None:
-    silently keeping either side's type would let the pinned read
-    misdescribe the other generation's files."""
+    """The wider of two Spark types when one losslessly widens into the
+    other, else None. Called only for a != b.
+
+    Atomic edges are the probed lattice above. PARAMETRIC types widen
+    RECURSIVELY (round-13 verdict task #4): array elements, map
+    keys/values and same-shape struct fields each widen through the
+    same lattice — every such edge probed against Spark's parquet
+    reader (vectorized and row-based): a file whose footer holds the
+    narrow element reads correctly under a schema pinned at the wide
+    one. Nullability bits inside parametric types (containsNull /
+    valueContainsNull / field nullable) are NOT type changes — they
+    relax by OR, same contract as top-level field nullability. Off the
+    lattice (struct reshapes — field set or order changes — decimal
+    precision, any non-lossless element edge): None, and the commit
+    refuses loudly; silently keeping either side's type would let the
+    pinned read misdescribe the other generation's files."""
+    from pyspark.sql.types import (
+        ArrayType, MapType, StructField, StructType,
+    )
+
+    def _sub(x, y):
+        # recursion helper: equal subtypes stay; unequal must widen
+        return x if x == y else _widened_type(x, y)
+
+    if isinstance(a, ArrayType) and isinstance(b, ArrayType):
+        we = _sub(a.elementType, b.elementType)
+        if we is None:
+            return None
+        return ArrayType(we, a.containsNull or b.containsNull)
+    if isinstance(a, MapType) and isinstance(b, MapType):
+        wk = _sub(a.keyType, b.keyType)
+        wv = _sub(a.valueType, b.valueType)
+        if wk is None or wv is None:
+            return None
+        return MapType(
+            wk, wv, a.valueContainsNull or b.valueContainsNull
+        )
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        if [f.name for f in a.fields] != [f.name for f in b.fields]:
+            return None  # reshape (add/drop/reorder): off the lattice
+        out = []
+        for fa, fb in zip(a.fields, b.fields):
+            wf = _sub(fa.dataType, fb.dataType)
+            if wf is None:
+                return None
+            out.append(
+                StructField(fa.name, wf, fa.nullable or fb.nullable)
+            )
+        return StructType(out)
     an, bn = a.typeName(), b.typeName()
     if an == bn:
         return None
@@ -1273,6 +1350,58 @@ def _evolved_schema_json(
         fields.append(StructField(f.name, wide, True))
     names = {f.name for f in prev_st.fields}
     fields += [f for f in frame_schema.fields if f.name not in names]
+    return StructType(fields).jsonValue()
+
+
+def _evolved_delta_schema_json(
+    table: VersionedTable,
+    base: int | None,
+    payload_schema_json: dict,
+    batch_schema,
+    op_col: str,
+    seq_col: str,
+) -> dict:
+    """The schema ALL of a MOR chain's delta files read under (r13
+    verdict task #5): the version's evolved payload schema plus the
+    op/seq merge columns at their chain-widened types. Recorded as
+    ``delta_schema`` on every MOR commit so ``_mor_merged`` can pin its
+    per-version delta scans the same way every other direct file read
+    is pinned — one read discipline, no reliance on unionByName's
+    implicit coercion across widened generations. op/seq follow the
+    same lattice as payload columns (a seq that drifts off-lattice
+    between batches would corrupt the merge order — refuse loudly)."""
+    from pyspark.sql.types import StructField, StructType
+
+    prev = (
+        table._chain_meta(base, "delta_schema")
+        if base is not None
+        else None
+    )
+    prev_by = (
+        {f.name: f for f in StructType.fromJson(prev).fields}
+        if prev is not None
+        else {}
+    )
+    fields = [
+        StructField(f.name, f.dataType, True)
+        for f in StructType.fromJson(payload_schema_json).fields
+    ]
+    have = {f.name for f in fields}
+    for c in (op_col, seq_col):
+        if c is None or c in have:
+            continue
+        bt = batch_schema[c].dataType
+        pf = prev_by.get(c)
+        if pf is not None and pf.dataType != bt:
+            wide = _widened_type(pf.dataType, bt)
+            if wide is None:
+                raise SchemaEvolutionConflict(
+                    c,
+                    pf.dataType.simpleString(),
+                    bt.simpleString(),
+                )
+            bt = wide
+        fields.append(StructField(c, bt, True))
     return StructType(fields).jsonValue()
 
 
@@ -1477,6 +1606,9 @@ def streaming_cdc_committer(
                     op_col=op_col,
                     seq_col=seq_col,
                     schema_json=table._chain_meta(base, "schema"),
+                    delta_schema_json=table._chain_meta(
+                        base, "delta_schema"
+                    ),
                 )
                 batch_slice = batch_b.filter(
                     F.col("_bucket").isin([int(b) for b in compact_bs])
@@ -1510,6 +1642,10 @@ def streaming_cdc_committer(
                 "cdc_op": op_col,
                 "cdc_seq": seq_col,
                 "schema": schema_json,
+                "delta_schema": _evolved_delta_schema_json(
+                    table, base, schema_json, valid.schema,
+                    op_col, seq_col,
+                ),
             }
             if not materialize:
                 delta: dict = {
@@ -1739,9 +1875,14 @@ def streaming_cdc_committer(
             if merge_on_read:
                 # the seed / full-merge version of a MOR table is
                 # stack-free, but later readers still need the merge
-                # column names on the chain
+                # column names (and the delta-read pin schema, kept
+                # evolving monotonically across the merge) on the chain
                 extra["cdc_op"] = op_col
                 extra["cdc_seq"] = seq_col
+                extra["delta_schema"] = _evolved_delta_schema_json(
+                    table, base, schema_json, batch_df.schema,
+                    op_col, seq_col,
+                )
             file_stats = {**carried_stats, **new_stats}
             if file_stats:
                 extra["file_stats"] = file_stats
@@ -1874,7 +2015,7 @@ def compact_buckets(
             **new_rows,
         },
     }
-    for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema"):
+    for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema", "delta_schema"):
         v = table._chain_meta(base, k)
         if v is not None:
             extra[k] = v
@@ -2054,7 +2195,7 @@ def vacuum(
             # doesn't hold itself (a compact manifest carries no CDC
             # meta; losing `schema`/`cdc_op`/`cdc_seq` here would break
             # the CDF reader's seed replay and _table_schema)
-            for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema"):
+            for k in ("n_buckets", "cdc_key", "cdc_op", "cdc_seq", "schema", "delta_schema"):
                 if k not in rooted:
                     mv = table._chain_meta(oldest["version"], k)
                     if mv is not None:
