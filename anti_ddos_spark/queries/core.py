@@ -826,3 +826,17 @@ QUERIES["q145_mor_cdc_state"] = EXTRA_QUERIES.pop("q145_mor_cdc_state")
 QUERIES["q148_schema_evolution_snapshot"] = EXTRA_QUERIES.pop(
     "q148_schema_evolution_snapshot"
 )
+
+# Round-13 rotation (r12 verdict task #1, ninth rotation): the round-12
+# storage family becomes driver-visible — q144 pins the bucket-pruned
+# point-lookup read path (the exact path the r13 `_pinned_reader`
+# unification touches), q149 the typed widening lattice
+# (int→bigint chain with a past-int32 value, refused string batch,
+# no-shrink, time travel), q150 the CAS orphan-manifest GC lifecycle.
+# Slots funded by q26 (joins.py), q68 (textops.py), q88 (streamops.py).
+for _name in (
+    "q144_point_lookup",
+    "q149_type_widening_snapshot",
+    "q150_vacuum_orphan_gc",
+):
+    QUERIES[_name] = EXTRA_QUERIES.pop(_name)

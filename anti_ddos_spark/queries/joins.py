@@ -177,3 +177,13 @@ QUERIES: dict[str, Query] = {
         "interval join via time-bucket equi-join + exact range post-filter",
     ),
 }
+
+
+# Round-13 rotation (r12 verdict task #1, ninth rotation): q26's
+# interval-join machinery is transitively driver-pinned through the
+# stream-stream interval joins (q93 inner, q118 left, q129 full outer)
+# and q25 keeps the as-of twin driver-visible; its slot funds the
+# round-12 storage family promoted in queries/core.py. q26 keeps its
+# full DuckDB hash oracle via full_registry().
+EXTRA_QUERIES: dict[str, Query] = {}
+EXTRA_QUERIES["q26_range_join"] = QUERIES.pop("q26_range_join")

@@ -1854,3 +1854,13 @@ EXTRA_QUERIES["q146_mor_streaming_cdf"] = Query(
 # of delta-stack versions (executor-side state replay per bucket)
 # against q140's relational oracle, alongside q145's MOR overlay state.
 QUERIES["q146_mor_streaming_cdf"] = EXTRA_QUERIES.pop("q146_mor_streaming_cdf")
+
+# Round-13 rotation (r12 verdict task #1, ninth rotation): q88's
+# window-count + z-score path stays covered by q87's local oracle and
+# the q128 driver row (windowed streaming aggregation with in-band
+# bounds); its slot funds the round-12 storage family promoted in
+# queries/core.py. Keeps its full DuckDB hash oracle via
+# full_registry().
+EXTRA_QUERIES["q88_streaming_rate_anomaly"] = QUERIES.pop(
+    "q88_streaming_rate_anomaly"
+)

@@ -1365,3 +1365,11 @@ QUERIES["q141_text_recall_contract"] = EXTRA_QUERIES.pop("q141_text_recall_contr
 # similarity.py and core_analytics.py.
 for _name in ("q104_epoch_shuffle", "q136_bpe_frozen_vocab"):
     EXTRA_QUERIES[_name] = QUERIES.pop(_name)
+
+# Round-13 rotation (r12 verdict task #1, ninth rotation): q68's
+# sub-document span dedup is covered by q141's graded recall CONTRACT
+# (driver row) and the q56/q57/q76 locals on the same span machinery;
+# its slot funds the round-12 storage family promoted in
+# queries/core.py. Keeps its full DuckDB hash oracle via
+# full_registry().
+EXTRA_QUERIES["q68_window_dedup"] = QUERIES.pop("q68_window_dedup")

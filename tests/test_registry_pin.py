@@ -6,12 +6,11 @@ task #2 — plus q02 out for q123_jaccard_capped, the round-7 df-capped
 join, and a third r7 rotation: q05/q07 out for q126_mergeable_hll /
 q127_split_leakage_audit) and the core/textops modules were
 mechanically split; this test freezes the
-resulting registry ORDER after the ROUND-12 rotation (q44/q104/q136
-out; q146/q147/q148 in — r11 verdict task #1, the eighth rotation: the
-round-11 storage/contract family made driver-visible — the SemDeDup
-drop-recall contract completing the recall triad, additive schema
-evolution through the CDC stack, and the merge-on-read streaming
-change feed; the driver records CORRECTNESS rows for the first 50
+resulting registry ORDER after the ROUND-13 rotation (q26/q68/q88
+out; q144/q149/q150 in — r12 verdict task #1, the ninth rotation: the
+round-12 storage family made driver-visible — the bucket-pruned point
+lookup, the typed widening lattice, and the CAS orphan-manifest GC
+lifecycle; the driver records CORRECTNESS rows for the first 50
 entries in dict order) and the
 full_registry
 NAME SET so any future refactor that silently reorders or drops a
@@ -35,15 +34,16 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q135_bucketed_cdc_state',
  'q145_mor_cdc_state',
  'q148_schema_evolution_snapshot',
+ 'q144_point_lookup',
+ 'q149_type_widening_snapshot',
+ 'q150_vacuum_orphan_gc',
  'q24_flow_features_full',
  'q25_asof_join',
- 'q26_range_join',
  'q60_media_profile',
  'q35_minhash_prod',
  'q37_curation_funnel',
  'q39_neardup_clusters',
  'q49_repetition_profile',
- 'q68_window_dedup',
  'q80_curation_pipeline',
  'q113_release_gate',
  'q103_curriculum_order',
@@ -62,7 +62,6 @@ REGISTRY_ORDER = ['q01_pricing_summary',
  'q73_streaming_dedup',
  'q74_streaming_minhash_buckets',
  'q72_tws_sessionize',
- 'q88_streaming_rate_anomaly',
  'q93_stream_stream_join',
  'q114_bounded_dedup_replay',
  'q115_streaming_scored_flows',
