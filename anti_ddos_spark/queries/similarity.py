@@ -1066,3 +1066,171 @@ EXTRA_QUERIES["q44_lsh_ann_multiprobe"] = QUERIES.pop("q44_lsh_ann_multiprobe")
 QUERIES["q147_semantic_recall_contract"] = EXTRA_QUERIES.pop(
     "q147_semantic_recall_contract"
 )
+
+
+# --- q151: IVF drift monitor + retrain policy as an oracle row ------------
+
+_Q151_QIDS = (0, 42, 100001, 100043, 100245, 100319)
+_Q151_DRIFT_OFFSET = 100000
+_Q151_NPROBE = 3
+_Q151_RECALL_FLOOR = 0.75  # over the DRIFT population (4 qids)
+
+
+def q151_ivf_drift_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """The IVF staleness lifecycle as one oracle row (r12 verdict task
+    #6, the q137/q141/q147 contract pattern): build a REAL materialized
+    index over half the embeddings (kmeans-learned centroids,
+    deterministic farthest-point init), plant drift by appending the
+    other half pushed into a tight cone (|x|+0.5 — mass the build never
+    saw, far from every learned centroid), and pin the policy walk
+    in-band: the fresh index agrees with its own baseline, the planted
+    drift trips ivf_drift_report (intra-cosine drop and/or occupancy-
+    skew growth past the default thresholds), ivf_retrain clears it,
+    and post-retrain the REAL search path (ivf_search_index, partition-
+    pruned probes) recovers the drift population's true nearest
+    neighbours at nprobe=3 of 8. The per-query true-NN rows (argmax
+    cosine over the full corpus) are VALUE-checked against DuckDB; the
+    lifecycle booleans are the in-band contract. Base-population ANN
+    recall is q137's contract, not this row's — here base qids
+    contribute value-checked NN rows only."""
+    import tempfile
+
+    from anti_ddos_spark.operators.similarity import (
+        as_double,
+        cosine,
+        ivf_append_index,
+        ivf_build_index,
+        ivf_drift_report,
+        ivf_retrain,
+        ivf_search_index,
+    )
+
+    emb = t(spark, sf, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    base = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", F.col("e").alias("embedding")
+    )
+    drift = emb.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") + _Q151_DRIFT_OFFSET).alias("vec_id"),
+        F.transform("e", lambda x: F.abs(x) + F.lit(0.5)).alias(
+            "embedding"
+        ),
+    )
+    path = tempfile.mkdtemp(prefix="ad_drift_") + "/ivf"
+    ivf_build_index(
+        base, path, n_centroids=CENTROIDS, centroids="learned",
+        membership_nprobe=1,
+    )
+    r0 = ivf_drift_report(spark, path)
+    ivf_append_index(drift, path)
+    r1 = ivf_drift_report(spark, path)
+    ivf_retrain(spark, path)
+    r2 = ivf_drift_report(spark, path)
+
+    corpus = base.unionByName(drift).localCheckpoint()
+    # ONE vectorized brute-force pass for every query id (broadcast
+    # 6-row query frame — never a per-query scan loop)
+    from pyspark.sql import Window as W
+
+    qv = corpus.filter(
+        F.col("vec_id").isin(list(_Q151_QIDS))
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    nw = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    nn = (
+        corpus.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(nw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            F.col("vec_id").alias("true_nn"),
+            rnd(F.col("cos"), 6).alias("cos_r"),
+        )
+    )
+    truth = {r["qid"]: r["true_nn"] for r in nn.collect()}
+    qvecs = {r["qid"]: list(r["qe"]) for r in qv.collect()}
+    hits = 0
+    n_drift_q = 0
+    for qid in _Q151_QIDS:
+        if qid < _Q151_DRIFT_OFFSET:
+            continue  # base-population recall is q137's contract
+        n_drift_q += 1
+        got = {
+            r["vec_id"]
+            for r in ivf_search_index(
+                spark, path, [float(x) for x in qvecs[qid]],
+                k=TOPK + 1, nprobe=_Q151_NPROBE,
+            ).collect()
+            if r["vec_id"] != qid
+        }
+        hits += truth[qid] in got
+    flags = {
+        "baseline_clean": not r0["retrain_recommended"],
+        "drift_tripped": bool(r1["retrain_recommended"]),
+        "retrain_cleared": not r2["retrain_recommended"],
+        "drift_recall_ok": hits >= _Q151_RECALL_FLOOR * n_drift_q,
+    }
+    out = nn
+    for name, val in flags.items():
+        out = out.withColumn(name, F.lit(int(val)))
+    return out.withColumn(
+        "population",
+        F.when(
+            F.col("qid") >= _Q151_DRIFT_OFFSET, F.lit("drift")
+        ).otherwise(F.lit("base")),
+    ).select(
+        "qid", "population", "true_nn", "cos_r",
+        "baseline_clean", "drift_tripped", "retrain_cleared",
+        "drift_recall_ok",
+    ).orderBy("qid")
+
+
+_Q151_QID_SQL = ",".join(f"({q})" for q in _Q151_QIDS)
+
+Q151_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE vec_id % 2 = 0),
+drift AS (
+  SELECT vec_id + {_Q151_DRIFT_OFFSET} AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> abs(x) + 0.5) AS e
+  FROM embeddings WHERE vec_id % 2 = 1),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM drift),
+qv AS (
+  SELECT qid, e AS qe FROM (VALUES {_Q151_QID_SQL}) v(qid)
+  JOIN corpus ON corpus.vec_id = qid),
+nn AS (
+  SELECT qid, vec_id AS true_nn, cos FROM (
+    SELECT q.qid, c.vec_id,
+           {_cos_sql('c.e', 'q.qe')} AS cos,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_cos_sql('c.e', 'q.qe')} DESC, c.vec_id ASC
+           ) AS rn
+    FROM qv q, corpus c WHERE c.vec_id != q.qid) x
+  WHERE rn = 1)
+SELECT qid,
+       CASE WHEN qid >= {_Q151_DRIFT_OFFSET}
+            THEN 'drift' ELSE 'base' END AS population,
+       true_nn,
+       floor(cos * 1000000 + 0.5) / 1000000.0 AS cos_r,
+       1 AS baseline_clean, 1 AS drift_tripped,
+       1 AS retrain_cleared, 1 AS drift_recall_ok
+FROM nn ORDER BY qid
+"""
+
+EXTRA_QUERIES["q151_ivf_drift_contract"] = Query(
+    q151_ivf_drift_contract,
+    Q151_SQL,
+    "IVF drift-monitor lifecycle: planted drift trips the default "
+    "policy, retrain clears it, post-retrain drift-population recall "
+    "holds through the real partition-pruned search; per-qid true-NN "
+    "rows value-checked — rotation candidate for r14",
+)
