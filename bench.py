@@ -546,16 +546,28 @@ def run_all(out_path: str) -> None:
 
 
 def run_diff(path_a: str, path_b: str, threshold: float) -> None:
-    """Mechanized round-over-round sweep diff (r11 verdict task #8):
-    compare two BENCH_ALL artifacts on their REGRESS-ON columns —
-    ``queries_batch_normalized`` for batch rows and
-    ``queries_streaming_marginal_normalized`` (falling back to the raw
-    marginal when either side predates the column) for streaming rows —
-    and print sorted deltas. A row is FLAGGED when its relative change
-    exceeds ``threshold`` AND the absolute move is non-trivial (>0.05
-    normalized ratio / >0.5 s marginal), so sub-noise jitter on
-    sub-second rows never pages anyone. Prints one human block plus one
-    JSON line."""
+    """Mechanized round-over-round sweep diff (r11 verdict task #8;
+    r12 tasks #2/#8): compare two BENCH_ALL artifacts on their
+    REGRESS-ON columns — ``queries_batch_hostnorm`` (seconds-preserving
+    host-corrected wall; falls back like-for-like to
+    ``queries_batch_normalized`` when either side predates it) for
+    batch rows and ``queries_streaming_marginal_normalized`` (falling
+    back to the raw marginal the same way) for streaming rows — and
+    print sorted deltas. A row is FLAGGED when its relative change
+    exceeds ``threshold`` AND the absolute move is non-trivial (>0.5 s
+    on seconds columns / >0.05 on the ratio column), so sub-noise
+    jitter on sub-second rows never pages anyone.
+
+    Streaming rows additionally carry a SCATTER BAND derived from the
+    row's own history (every ``BENCH_ALL_r*.json`` beside the
+    artifacts, r12 task #8 — streaming marginals scatter 1.4-4.6x on
+    identical code, measured r12): with >=2 prior observations the
+    band is [min, max] padded 25%, and a row inside its band is never
+    flagged, whatever the pairwise delta says. Ends the per-round
+    weather-adjudication prose. Prints one human block plus one JSON
+    line."""
+    import glob as _glob
+
     with open(path_a) as f:
         a = json.load(f)
     with open(path_b) as f:
@@ -567,9 +579,29 @@ def run_diff(path_a: str, path_b: str, threshold: float) -> None:
                 return k, art[k]
         return keys[-1], {}
 
-    out: dict = {"a": path_a, "b": path_b, "threshold": threshold}
-    for kind, keys, abs_floor in (
-        ("batch", ["queries_batch_normalized"], 0.05),
+    # history for the scatter bands: sibling BENCH_ALL_r*.json artifacts
+    # (the compared pair included, de-duplicated by realpath)
+    hist_paths: list[str] = []
+    seen = set()
+    for d in {os.path.dirname(os.path.abspath(p)) or "." for p in (path_a, path_b)}:
+        for p in sorted(_glob.glob(os.path.join(d, "BENCH_ALL_r*.json"))):
+            rp = os.path.realpath(p)
+            if rp not in seen:
+                seen.add(rp)
+                hist_paths.append(p)
+    history: list[dict] = []
+    for p in hist_paths:
+        try:
+            with open(p) as f:
+                history.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            continue
+
+    out: dict = {"a": path_a, "b": path_b, "threshold": threshold,
+                 "history_artifacts": len(history)}
+    for kind, keys, fallback_floor in (
+        ("batch", ["queries_batch_hostnorm", "queries_batch_normalized"],
+         0.05),
         (
             "streaming",
             [
@@ -581,27 +613,47 @@ def run_diff(path_a: str, path_b: str, threshold: float) -> None:
     ):
         ka, ca = _column(a, keys)
         kb, cb = _column(b, keys)
-        if kind == "streaming" and ka != kb:
-            # one side predates normalization — compare like with like
-            ca = a.get("queries_streaming_marginal", {})
-            cb = b.get("queries_streaming_marginal", {})
-            ka = kb = "queries_streaming_marginal"
+        if ka != kb:
+            # one side predates the preferred column — compare like
+            # with like on the last-resort column
+            ca = a.get(keys[-1], {})
+            cb = b.get(keys[-1], {})
+            ka = kb = keys[-1]
+        # seconds columns use the 0.5 s absolute floor; the batch
+        # RATIO column keeps its 0.05 floor
+        abs_floor = (
+            fallback_floor if kb == "queries_batch_normalized" else 0.5
+        )
+        # per-row history on the SAME column (like-for-like)
+        hist_col: dict[str, list[float]] = {}
+        if kind == "streaming" and history:
+            for art in history:
+                col = art.get(kb) or {}
+                for name, v in col.items():
+                    hist_col.setdefault(name, []).append(v)
         rows = []
         for name in sorted(set(ca) & set(cb)):
             va, vb = ca[name], cb[name]
             delta = round(vb - va, 3)
             rel = (vb - va) / va if va > 0 else (0.0 if vb == 0 else 9.99)
             flagged = abs(rel) > threshold and abs(delta) > abs_floor
-            rows.append(
-                {
-                    "query": name,
-                    "a": va,
-                    "b": vb,
-                    "delta": delta,
-                    "rel": round(rel, 3),
-                    "flagged": flagged,
-                }
-            )
+            row = {
+                "query": name,
+                "a": va,
+                "b": vb,
+                "delta": delta,
+                "rel": round(rel, 3),
+                "flagged": flagged,
+            }
+            hv = hist_col.get(name, [])
+            if flagged and len(hv) >= 2:
+                lo = round(min(hv) * 0.75, 3)
+                hi = round(max(hv) * 1.25, 3)
+                row["band"] = [lo, hi]
+                if lo <= vb <= hi:
+                    row["flagged"] = False
+                    row["in_band"] = True
+            rows.append(row)
         rows.sort(key=lambda r: -abs(r["delta"]))
 
         def _capped(names: set) -> list | str:
@@ -625,6 +677,13 @@ def run_diff(path_a: str, path_b: str, threshold: float) -> None:
                 f"  FLAG {r['query']}: {r['a']} -> {r['b']} "
                 f"({r['delta']:+}, {r['rel']:+.0%})"
             )
+        for r in rows:
+            if r.get("in_band"):
+                print(
+                    f"  band {r['query']}: {r['a']} -> {r['b']} "
+                    f"({r['rel']:+.0%}) inside history band "
+                    f"[{r['band'][0]}, {r['band'][1]}]"
+                )
         for r in rows[: 5 if flagged else 3]:
             if not r["flagged"]:
                 print(
