@@ -110,8 +110,52 @@ def segment_expr(word: Column, merges: list[tuple[str, str]]) -> Column:
     return e
 
 
-def tokens_expr(text_col: Column, merges: list[tuple[str, str]]) -> Column:
-    """BPE token stream of a text column (array<string>); zero shuffle."""
+def _spark_sql_segment(chars_sql: str, merges: list[tuple[str, str]]) -> str:
+    """Spark-SQL text of the k merge folds over ``chars_sql`` — the
+    same Catalyst ``aggregate`` tree ``segment_expr`` builds, emitted
+    as ONE expression string. Lambda variables are uniqued per nesting
+    level, mirroring ``_sql_segment`` (the DuckDB twin)."""
+    e = chars_sql
+    for i, (a, b) in enumerate(merges):
+        acc, x = f"a{i}", f"x{i}"
+        e = (
+            f"aggregate({e}, CAST(array() AS array<string>), "
+            f"({acc}, {x}) -> CASE WHEN size({acc}) > 0 "
+            f"AND element_at({acc}, -1) = '{a}' AND {x} = '{b}' "
+            f"THEN concat(slice({acc}, 1, size({acc}) - 1), "
+            f"array('{a}{b}')) "
+            f"ELSE concat({acc}, array({x})) END)"
+        )
+    return e
+
+
+def tokens_sql(text_sql: str, merges: list[tuple[str, str]]) -> str:
+    """Spark-SQL expression text for the full BPE token stream of the
+    column/expression ``text_sql``: words → per-word merge folds →
+    flatten. Parsed by Catalyst in ONE round-trip where the
+    Column-lambda form pays ~k py4j constructions (measured: ~2-3 s of
+    pure driver-side expression BUILD at k=32 on this gateway, before
+    any row is read — r12 verdict task #3). The resolved plan is
+    byte-identical to ``tokens_expr`` on a Column (parity-pinned in
+    tests/test_bpe.py)."""
+    words = (
+        f"filter(split(lower({text_sql}), '{WORD_SPLIT_RE}'), "
+        f"w0 -> length(w0) > 0)"
+    )
+    seg = _spark_sql_segment("split(w, '')", merges)
+    return f"flatten(transform({words}, w -> {seg}))"
+
+
+def tokens_expr(
+    text_col: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """BPE token stream of a text column (array<string>); zero shuffle.
+
+    Pass the column NAME (str) for the fast path — the whole fold tree
+    parses in one ``expr()`` call. A Column argument keeps the original
+    lambda construction (k py4j round-trips; same resolved plan)."""
+    if isinstance(text_col, str):
+        return F.expr(tokens_sql(text_col, merges))
     return F.flatten(
         F.transform(words_expr(text_col), lambda w: segment_expr(w, merges))
     )

@@ -1965,7 +1965,8 @@ def q150_vacuum_orphan_gc(spark: SparkSession, sf: str) -> DataFrame:
     version_changes replay after collection matches the pre-vacuum
     feed row-for-row); the per-customer aggregate of the surviving
     snapshot is value-checked against the relational final state.
-    Orders sliced to o_orderkey ≤ 6000 (fixture-trim discipline)."""
+    Orders sliced to o_orderkey ≤ 2400 (fixture-trim discipline,
+    re-tightened r13 — 16-bucket topology retained at ~75 rows/bucket)."""
     import json as _json
     import os as _os
     import shutil
@@ -1981,7 +1982,7 @@ def q150_vacuum_orphan_gc(spark: SparkSession, sf: str) -> DataFrame:
 
     o = t(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
-    ).filter(F.col("o_orderkey") <= 6000)
+    ).filter(F.col("o_orderkey") <= 2400)
     root = tempfile.mkdtemp(prefix="ad_castbl_")
     tbl = VersionedTable(root, backend=CasEmulationBackend())
     sink = streaming_cdc_committer(
@@ -2065,10 +2066,10 @@ def q150_vacuum_orphan_gc(spark: SparkSession, sf: str) -> DataFrame:
 Q150_SQL = """
 WITH snap AS (
   SELECT o_custkey, o_totalprice * 3 AS p
-  FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey <= 6000
+  FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey <= 2400
   UNION ALL
   SELECT o_custkey, o_totalprice AS p
-  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey <= 6000)
+  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey <= 2400)
 SELECT o_custkey,
        count(*) AS n_orders,
        CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT)

@@ -1396,7 +1396,7 @@ def q139_streaming_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     docs.coalesce(1).write.parquet(src)
 
     stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
-    toks = tokens_expr(F.col("text"), merges)
+    toks = tokens_expr("text", merges)
     out = stream.select(
         "doc_id",
         F.size(words_expr(F.col("text"))).alias("n_words"),

@@ -711,7 +711,7 @@ def q124_bpe_tokenize(spark: SparkSession, sf: str) -> DataFrame:
 
     merges = _bpe_merges(spark, sf)
     d = t(spark, sf, "documents")
-    toks = tokens_expr(F.col("text"), merges)
+    toks = tokens_expr("text", merges)
     return d.select(
         "doc_id",
         F.size(words_expr(F.col("text"))).alias("n_words"),
@@ -776,7 +776,7 @@ def q136_bpe_frozen_vocab(spark: SparkSession, sf: str) -> DataFrame:
 
     merges = _frozen_bpe_merges()
     d = t(spark, sf, "documents")
-    toks = tokens_expr(F.col("text"), merges)
+    toks = tokens_expr("text", merges)
     return d.select(
         "doc_id",
         F.size(words_expr(F.col("text"))).alias("n_words"),

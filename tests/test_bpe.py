@@ -699,3 +699,34 @@ def test_large_vocab_apply_matches_fold_apply_with_duplicate_pairs(spark):
         .collect()
     }
     assert got == want
+
+
+def test_tokens_expr_string_fast_path_matches_lambda_form(spark):
+    """r12 verdict task #3: the one-expr() build (string argument) and
+    the Column-lambda build must resolve to the same tokens — including
+    the left-first overlap contract ("aaa" under (a,a) -> [aa, a])."""
+    import pyspark.sql.functions as F
+
+    from anti_ddos_spark.operators.bpe import tokens_expr
+
+    merges = [("a", "a"), ("aa", "b"), ("c", "d")]
+    df = spark.createDataFrame(
+        [(1, "aaa aab"), (2, "cd CDcd!x"), (3, ""), (4, "aaab cda")],
+        "doc_id long, text string",
+    )
+    fast = sorted(
+        (r["doc_id"], tuple(r["toks"]))
+        for r in df.select(
+            "doc_id", tokens_expr("text", merges).alias("toks")
+        ).collect()
+    )
+    slow = sorted(
+        (r["doc_id"], tuple(r["toks"]))
+        for r in df.select(
+            "doc_id", tokens_expr(F.col("text"), merges).alias("toks")
+        ).collect()
+    )
+    assert fast == slow
+    d = dict(fast)
+    # "aaa" -> [aa, a] (left-first); "aab" -> [aa, b] -> [aab]
+    assert d[1] == ("aa", "a", "aab")
