@@ -2194,3 +2194,143 @@ EXTRA_QUERIES["q135_bucketed_cdc_state"] = Query(
     "through the real committer, live snapshot hash-checked against "
     "the relational reconstruction",
 )
+
+
+def q152_array_widening_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """q149's walk for a PARAMETRIC type (round-13 task #4 as an oracle
+    row): the payload is array<int>, batch 2 widens it to array<bigint>
+    with first elements past int32 range (k + 5·10⁹ — the widened read
+    is provably real), a string-element batch must refuse via
+    SchemaEvolutionConflict publishing nothing (``conflict_ok``), a
+    later narrow array<int> batch cannot shrink the element type
+    (``widened_ok``), time travel keeps the seed's array<int>
+    (``tt_narrow_ok``), and a point lookup of a widened key reads its
+    past-int32 element through the bucket-pruned pinned path
+    (``point_ok``). Per-residue sum of first elements only a widened
+    chain can hold. Orders sliced ≤ 2400 (fixture-trim discipline)."""
+    import shutil
+    import tempfile
+
+    from anti_ddos_spark.sources.versioned import (
+        SchemaEvolutionConflict,
+        VersionedTable,
+        streaming_cdc_committer,
+    )
+
+    o = t(spark, sf, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") <= 2400
+    )
+    b1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .withColumn(
+            "v",
+            F.array(
+                F.col("o_orderkey").cast("int"),
+                (F.col("o_orderkey") % 100).cast("int"),
+            ),
+        )
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.col("o_orderkey"))
+    )
+    b2 = (
+        o.filter(F.col("o_orderkey") % 6 == 4)
+        .withColumn(
+            "v",
+            F.array(
+                F.col("o_orderkey") + F.lit(5_000_000_000),
+                F.lit(1).cast("long"),
+            ),
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey") + 1_000_000)
+    )
+    b4 = (
+        o.filter(F.col("o_orderkey") % 6 == 0)
+        .withColumn(
+            "v", F.array((F.col("o_orderkey") * 2).cast("int"))
+        )
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.col("o_orderkey") + 2_000_000)
+    )
+    root = tempfile.mkdtemp(prefix="ad_arrwidetbl_")
+    tbl = VersionedTable(root)
+    sink = streaming_cdc_committer(
+        tbl, "o_orderkey", seq_col="seq", txn_app_id="q152"
+    )
+    sink(b1, 0)
+    k_w = b2.agg(F.min("o_orderkey")).collect()[0][0]
+    sink(b2, 1)
+    v_before = tbl.current_version()
+    conflict_ok = False
+    try:
+        sink(
+            spark.createDataFrame(
+                [(4, ["oops"], "U", 9_000_000)],
+                "o_orderkey long, v array<string>, op string, seq long",
+            ),
+            2,
+        )
+    except SchemaEvolutionConflict:
+        conflict_ok = tbl.current_version() == v_before
+    sink(b4, 3)
+    snap = tbl.read(spark)
+    widened_ok = (
+        snap.schema["v"].dataType.simpleString() == "array<bigint>"
+    )
+    tt_narrow_ok = (
+        tbl.read(spark, version=0).schema["v"].dataType.simpleString()
+        == "array<int>"
+    )
+    pt = tbl.read_point(spark, [int(k_w)]).collect()
+    point_ok = (
+        len(pt) == 1 and list(pt[0]["v"]) == [k_w + 5_000_000_000, 1]
+    )
+    rows = (
+        snap.groupBy(
+            (F.col("o_orderkey") % 6).cast("long").alias("residue")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.element_at("v", 1)).cast("long").alias("total_first"),
+        )
+        .collect()
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["residue"], r["n_orders"], r["total_first"],
+             bool(widened_ok), bool(conflict_ok), bool(tt_narrow_ok),
+             bool(point_ok))
+            for r in rows
+        ],
+        "residue long, n_orders long, total_first long, "
+        "widened_ok boolean, conflict_ok boolean, tt_narrow_ok boolean, "
+        "point_ok boolean",
+    )
+
+
+Q152_SQL = """
+WITH snap AS (
+  SELECT o_orderkey AS k, CAST(o_orderkey * 2 AS BIGINT) AS first_el
+  FROM orders WHERE o_orderkey % 6 = 0 AND o_orderkey <= 2400
+  UNION ALL
+  SELECT o_orderkey, CAST(o_orderkey AS BIGINT)
+  FROM orders WHERE o_orderkey % 6 = 2 AND o_orderkey <= 2400
+  UNION ALL
+  SELECT o_orderkey, o_orderkey + 5000000000
+  FROM orders WHERE o_orderkey % 6 = 4 AND o_orderkey <= 2400)
+SELECT CAST(k % 6 AS BIGINT) AS residue,
+       count(*) AS n_orders,
+       CAST(sum(first_el) AS BIGINT) AS total_first,
+       TRUE AS widened_ok, TRUE AS conflict_ok, TRUE AS tt_narrow_ok,
+       TRUE AS point_ok
+FROM snap GROUP BY residue
+"""
+
+EXTRA_QUERIES["q152_array_widening_snapshot"] = Query(
+    q152_array_widening_snapshot,
+    Q152_SQL,
+    "parametric (array-element) type widening through the CDC stack: "
+    "widened chain value-checked per residue, refusal/no-shrink/time-"
+    "travel/point-lookup pinned in-band — rotation candidate for r14",
+)

@@ -139,6 +139,7 @@ FULL_SET = ['q01_pricing_summary',
  'q14_string_ops',
  'q150_vacuum_orphan_gc',
  'q151_ivf_drift_contract',
+ 'q152_array_widening_snapshot',
  'q15_datetime_agg',
  'q16_json_extract',
  'q17_pivot',
