@@ -23,16 +23,19 @@ def test_driver_registry_fits_cap_and_orders_critical_queries_first():
     """Round 2 lesson: the driver records CORRECTNESS rows for at most the
     first 50 registry entries in dict order — q25/q26/q60-q62 silently got
     no row. Pin the invariants that prevent a regression. (q61/q62 were
-    DELIBERATELY rotated out in round 8 — r7 verdict task #2 — and now
-    live in EXTRA_QUERIES with their oracles; the invariant is that an
-    accidental reorder can't push a driver row past the cap, and that a
-    demoted row keeps its oracle.)"""
+    DELIBERATELY rotated out in round 8 — r7 verdict task #2, and q26
+    in round 13's ninth rotation — and now live in EXTRA_QUERIES with
+    their oracles; the invariant is that an accidental reorder can't
+    push a driver row past the cap, and that a demoted row keeps its
+    oracle.)"""
     names = list(registry())
     assert len(names) <= DRIVER_QUERY_CAP
-    for must_have in ("q25_asof_join", "q26_range_join", "q60_media_profile"):
+    for must_have in ("q25_asof_join", "q60_media_profile"):
         assert must_have in names[:DRIVER_QUERY_CAP]
     full = full_registry()
-    for demoted in ("q61_media_features", "q62_frame_sample"):
+    for demoted in (
+        "q26_range_join", "q61_media_features", "q62_frame_sample"
+    ):
         assert demoted not in names
         assert full[demoted].sql is not None
 
