@@ -275,23 +275,33 @@ def spread_small_scan(df: DataFrame, key_col: str) -> DataFrame:
     estimate, so the guard can only err toward a redundant — and
     cap-bounded — slim shuffle, never toward starving."""
     sess = df.sparkSession
-    try:
-        total = 0
-        for f in df.inputFiles():
-            if not f.startswith("file:"):
-                return df
-            total += os.path.getsize(f[len("file:"):])
-            if total > SCAN_SPREAD_BYTES_CAP:
-                # decision already determined (no-op) — don't pay
-                # O(files) driver stat calls on a large local input
-                return df
-    except Exception:  # noqa: BLE001 — estimation only, never load-bearing
+    total = local_scan_bytes(df)
+    if total is None:
         return df
     if _should_spread(total, sess.sparkContext.defaultParallelism):
         return df.repartition(
             sess.sparkContext.defaultParallelism, F.col(key_col)
         )
     return df
+
+
+def local_scan_bytes(df: DataFrame, cap: int = SCAN_SPREAD_BYTES_CAP) -> int | None:
+    """Leaf-file byte total of a LOCAL scan-backed frame, or None when
+    the input is non-local, unlistable, or already past ``cap`` (the
+    caller's decision is determined at the cap — don't pay O(files)
+    driver stat calls on a large input). Shared by spread_small_scan
+    and the similarity operators' small-fixture parallelism guards."""
+    try:
+        total = 0
+        for f in df.inputFiles():
+            if not f.startswith("file:"):
+                return None
+            total += os.path.getsize(f[len("file:"):])
+            if total > cap:
+                return None
+    except Exception:  # noqa: BLE001 — estimation only, never load-bearing
+        return None
+    return total
 
 
 def minhash_candidates(

@@ -38,6 +38,60 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
 
 
+def _sql_double(x: float) -> str:
+    """A double literal as SQL, exact to the bit: ``repr`` round-trips
+    the shortest decimal that re-parses to the same IEEE double, and a
+    string→DOUBLE cast is correctly rounded (constant-folded at plan
+    time). A bare ``1.5`` literal would parse as DECIMAL in Spark SQL."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _dot_lit_sql(vec_sql: str, h: list[float]) -> str:
+    """SQL text of dot(vec, literal plane) — the SAME ordered
+    zip_with/aggregate fold as dot() above (value-identical), emitted
+    as a string so an n_planes×dim plane set costs ONE expr() parse
+    instead of thousands of py4j Column round-trips (measured r13:
+    building 8×64 literal arrays via F.lit cost ~3 s of driver time per
+    call; the parsed string form is ~60 ms)."""
+    arr = "array(" + ", ".join(_sql_double(x) for x in h) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def literal_band_sigs_sql(
+    vec_sql: str, planes: list[list[float]], planes_per_band: int
+) -> str:
+    """SQL text of the banded sign signatures of ``vec_sql`` against a
+    literal plane set: ``array<struct<band_id:int, sig:bigint>>``.
+
+    Value-identical to the crossJoin+groupBy form (same dot fold, same
+    CASE-on-null-dot → 0 bit, same integer sum per band) but a PURE
+    PER-ROW projection: no plane broadcast, no 8× row blow-up, no
+    groupBy exchange — the signature stage of the LSH family collapses
+    to zero shuffles (guide §2.4). One expr() parse per call."""
+    if len(planes) % planes_per_band:
+        raise ValueError("len(planes) must be a multiple of planes_per_band")
+    n_bands = len(planes) // planes_per_band
+    structs = []
+    for b in range(n_bands):
+        terms = []
+        for i in range(planes_per_band):
+            h = planes[b * planes_per_band + i]
+            dot_s = _dot_lit_sql(vec_sql, h)
+            terms.append(
+                f"(CASE WHEN ({dot_s}) >= 0 THEN CAST({1 << i} AS BIGINT) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        structs.append(
+            f"named_struct('band_id', CAST({b} AS INT), 'sig', "
+            + " + ".join(terms)
+            + ")"
+        )
+    return "array(" + ", ".join(structs) + ")"
+
+
 def literal_plane_band_sigs(
     vec: Column, planes: list[list[float]], planes_per_band: int
 ) -> Column:
@@ -136,9 +190,17 @@ def hyperplane_signatures(
     - ``"data"``: the table's leading vectors 1..n_bands*planes_per_band
       — deterministic, what the DuckDB oracle replicates without RNG;
     - a DataFrame (pid 1..n, h): explicit planes, used as-is.
-    Scale shape: planes broadcast, signature is a map-side crossJoin +
-    one groupBy shuffle on (id, band); downstream candidate joins are
-    equi-joins on (band, sig), never an all-pairs product.
+    Scale shape (r13): the k-bounded plane set is COLLECTED (k rows —
+    same driver-action class as the old count() guard) and baked into
+    the plan as literals, so the signature is a pure per-row projection:
+    no plane broadcast, no k× crossJoin blow-up, no groupBy exchange
+    (guide §2.4 — the old form paid one full shuffle of (id, band, e)
+    rows here). Values are identical: same dot fold per plane, same
+    bit weights, same integer sum per band (the old groupBy additionally
+    merged duplicate ids' votes into one garbage signature; ids are
+    unique in every supported corpus, and the DuckDB oracles group the
+    same way). Downstream candidate joins stay equi-joins on
+    (band, sig), never an all-pairs product.
     """
     n_planes = n_bands * planes_per_band
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
@@ -162,28 +224,24 @@ def hyperplane_signatures(
             raise ValueError(f"unknown planes mode {planes!r}")
     # A sparse/offset id space silently yields FEWER planes, shrinking
     # every signature and inflating collisions with no error — fail loud
-    # instead. The planes side is k rows; the count is a build-time
-    # scalar, not a per-row action.
-    got = planes.count()
-    if got != n_planes:
+    # instead. The planes side is k rows; the collect is a build-time
+    # k-bounded driver action (it replaces the old count() guard and
+    # additionally validates the ids are exactly 1..n).
+    rows = planes.select("pid", "h").collect()
+    if len(rows) != n_planes or sorted(r["pid"] for r in rows) != list(
+        range(1, n_planes + 1)
+    ):
         raise ValueError(
-            f"expected {n_planes} hyperplanes, found {got} — "
+            f"expected {n_planes} hyperplanes, found {len(rows)} — "
             f"plane ids must cover 1..{n_planes} (or pass an explicit "
             "planes DataFrame, e.g. gaussian_planes())"
         )
-    return (
-        emb.crossJoin(F.broadcast(planes))
-        .withColumn("band_id", F.floor((F.col("pid") - 1) / planes_per_band).cast("int"))
-        .withColumn("idx", ((F.col("pid") - 1) % planes_per_band).cast("int"))
-        .groupBy(id_col, "band_id")
-        .agg(
-            F.sum(
-                F.when(dot(F.col("e"), F.col("h")) >= 0, F.expr("shiftleft(1, idx)"))
-                .otherwise(0)
-            ).alias("sig"),
-            F.first("e").alias("e"),
-        )
-    )
+    by_pid = {int(r["pid"]): [float(x) for x in r["h"]] for r in rows}
+    plane_vecs = [by_pid[p] for p in range(1, n_planes + 1)]
+    sig_expr = F.expr(literal_band_sigs_sql("e", plane_vecs, planes_per_band))
+    return emb.select(
+        F.col(id_col), F.col("e"), F.inline(sig_expr)
+    ).select(id_col, "band_id", "sig", "e")
 
 
 def lsh_neardup_pairs(
@@ -220,6 +278,22 @@ def lsh_neardup_pairs(
         )
         .distinct()
     )
+    # Verification parallelism guard (r13, same class as
+    # dedup.spread_small_scan): the candidate set is ~16-byte rows, so
+    # AQE's byte-based coalescing packs it into 1-2 post-shuffle
+    # partitions while the per-ROW cost (a dim-wide interpreted cosine
+    # fold) is what dominates — measured at sf0.1: the verify stage ran
+    # 2 tasks / 30 idle cores and was ~60% of q42's wall. A small
+    # compressed input can never produce a candidate set whose
+    # round-robin respread isn't noise; a corpus-sized input skips the
+    # guard entirely (there AQE's byte sizing is the right call and an
+    # extra exchange of trillions of pairs would be a scale-killer).
+    from anti_ddos_spark.operators.dedup import local_scan_bytes
+
+    if local_scan_bytes(vectors) is not None:
+        cand = cand.repartition(
+            vectors.sparkSession.sparkContext.defaultParallelism
+        )
     # norms precomputed once per VECTOR, not once per pair: higher-order
     # folds (aggregate/zip_with) run interpreted, so the per-pair cosine
     # must be the single dot-product fold — recomputing both norms per
