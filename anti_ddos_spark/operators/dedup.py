@@ -514,7 +514,13 @@ def simhash(
     and the summation stays in range because the negative sign-bit term
     can only move the non-negative partial sum downward.
     """
-    tok = docs.select(id_col, F.explode(words(F.col(text_col))).alias("w"))
+    # Same starved-scan guard as minhash_candidates: the word explode
+    # multiplies rows ~200× inside the scan task, so a one-file fixture
+    # runs the whole vote computation single-threaded without it
+    # (no-op on corpus-sized inputs).
+    tok = spread_small_scan(docs.select(id_col, text_col), id_col).select(
+        id_col, F.explode(words(F.col(text_col))).alias("w")
+    )
     n_words32 = (bits + 31) // 32
     for wi in range(n_words32):
         h = F.conv(F.substring(F.md5("w"), 1 + 8 * wi, 8), 16, 10).cast("long")

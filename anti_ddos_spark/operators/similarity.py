@@ -290,7 +290,9 @@ def lsh_neardup_pairs(
     # extra exchange of trillions of pairs would be a scale-killer).
     from anti_ddos_spark.operators.dedup import local_scan_bytes
 
-    if local_scan_bytes(vectors) is not None:
+    # strictly positive: a file-less frame (in-memory relation, view)
+    # reports 0 bytes and must not be treated as a starved small scan
+    if (local_scan_bytes(vectors) or 0) > 0:
         cand = cand.repartition(
             vectors.sparkSession.sparkContext.defaultParallelism
         )

@@ -32,7 +32,22 @@ from anti_ddos_spark.queries.flow import (
     events_as_packets,
 )
 from anti_ddos_spark.schemas import FLOW_SCHEMA
+from anti_ddos_spark.session import approx_key_count, sized_stream_partitions
 from anti_ddos_spark.streaming.sessionize_stream import streaming_flow_features
+
+# Cardinality-sized state partitions (r13): every stateful streaming row
+# now starts its query under session.sized_stream_partitions — the
+# round-7 STATE_KEYS_PER_TASK policy applied at query creation instead
+# of inheriting the session's core-count shuffle default. A stateful
+# micro-batch pays per-partition state-store machinery every batch, so
+# oracle-scale key counts on 32 partitions burned partitions × batches
+# of pure overhead AND carried most of the historic streaming scatter:
+# measured on q118 at sf0.01 — 7-13 s wall at 32 partitions vs
+# 2.97-3.04 s at the policy's floor of 8. n_keys comes from ONE tiny
+# approx_count_distinct job over the batch frame each fixture is built
+# from (or the literal bound where the key space is structural);
+# production callers pass known cardinalities and the same policy sizes
+# UP to the cluster's cores.
 
 _counter = itertools.count()
 
@@ -83,14 +98,20 @@ def q70_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         stream, gap_s=FLOW_GAP_S, watermark="0 seconds"
     )
     name = f"q70_flows_{run_id}"
-    q = (
-        flows.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with sized_stream_partitions(
+        spark,
+        approx_key_count(
+            packets, "src_ip", "dst_ip", "src_port", "dst_port", "protocol"
+        ),
+    ):
+        q = (
+            flows.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination(300)
     _finish_stream_run(spark, tmp, name)
     out = spark.table(name)
@@ -132,14 +153,20 @@ def q71_stateful_accum(spark: SparkSession, sf: str) -> DataFrame:
     stream = spark.readStream.schema(packets.schema).parquet(src)
     flows = stateful_flow_features_accum(stream, timeout_ms=3_600_000)
     name = f"q71_flows_{run_id}"
-    q = (
-        flows.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with sized_stream_partitions(
+        spark,
+        approx_key_count(
+            packets, "src_ip", "dst_ip", "src_port", "dst_port", "protocol"
+        ),
+    ):
+        q = (
+            flows.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     # ProcessingTimeTimeout keeps availableNow spinning no-data batches
     # (it must re-check wall-clock timeouts), so the query never
     # self-terminates inside the huge timeout window. The data batches
@@ -199,14 +226,15 @@ def q73_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     stream = spark.readStream.schema("digest STRING").parquet(src)
     deduped = stream.dropDuplicates(["digest"])
     name = f"q73_digests_{run_id}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with sized_stream_partitions(spark, approx_key_count(docs, "digest")):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(240)
     if not finished:
         q.stop()
@@ -256,15 +284,21 @@ def q74_streaming_minhash_buckets(spark: SparkSession, sf: str) -> DataFrame:
     deduped = banded.dropDuplicates(["band_id", "band_key"]).select(
         "band_id", "band_key"
     )
+    from anti_ddos_spark.config import LSH_BANDS
+
     name = f"q74_buckets_{run_id}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # bucket-state keys ≤ bands × docs (band_id, band_key pairs)
+    with sized_stream_partitions(
+        spark, LSH_BANDS * approx_key_count(docs, "doc_id")
+    ):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(240)
     if not finished:
         q.stop()
@@ -327,14 +361,20 @@ def q72_tws_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     stream = spark.readStream.schema(packets.schema).parquet(src)
     flows = tws_flow_features(stream, timeout_ms=3_600_000)
     name = f"q72_flows_{run_id}"
-    q = (
-        flows.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with sized_stream_partitions(
+        spark,
+        approx_key_count(
+            packets, "src_ip", "dst_ip", "src_port", "dst_port", "protocol"
+        ),
+    ):
+        q = (
+            flows.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     # processing-time timers keep availableNow alive (same behavior as
     # q71's ProcessingTimeTimeout); poll until emission stabilizes.
     import time as _time
@@ -458,14 +498,18 @@ def q75_streaming_embedding_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .dropDuplicates(["band_id", "sig"])
     )
     name = f"q75_buckets_{run_id}"
-    q = (
-        buckets.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # the key space is structural: n_bands × 2^planes_per_band buckets
+    with sized_stream_partitions(
+        spark, NEARDUP_BANDS * (1 << NEARDUP_PLANES_PER_BAND)
+    ):
+        q = (
+            buckets.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(240)
     if not finished:
         q.stop()
@@ -539,14 +583,17 @@ def q76_streaming_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
     )
     name = f"q76_hits_{run_id}"
-    q = (
-        hits.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # dedup/agg state is per contaminated (doc, gram); docs is the
+    # group bound and hits-per-doc are few (benchmark-sized gram set)
+    with sized_stream_partitions(spark, approx_key_count(docs, "doc_id")):
+        q = (
+            hits.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(240)
     if not finished:
         q.stop()
@@ -662,14 +709,16 @@ def q83_streaming_drift(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_cand"))
     )
     name = f"q83_bins_{run_id}"
-    q = (
-        counts.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # structural key space: the drift monitor keeps one row per bin
+    with sized_stream_partitions(spark, 8):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(240)
     if not finished:
         q.stop()
@@ -730,14 +779,21 @@ def q88_streaming_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w.start").alias("minute"), "n")
     )
     name = f"q88_rates_{run_id}"
-    q = (
-        counts.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # window-count state: one row per sealed minute in the fixture span
+    with sized_stream_partitions(
+        spark,
+        approx_key_count(
+            ev.select(F.date_trunc("minute", "ts").alias("m")), "m"
+        ),
+    ):
+        q = (
+            counts.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(240)
     if not finished:
         q.stop()
@@ -947,14 +1003,15 @@ def q114_bounded_dedup_replay(spark: SparkSession, sf: str) -> DataFrame:
         delay=f"{BOUNDED_DEDUP_DELAY_S} seconds",
     )
     name = f"q114_bounded_{run_id}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with sized_stream_partitions(spark, approx_key_count(base, "digest")):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("q114 replay did not finish in 300 s")
@@ -1025,14 +1082,20 @@ def q115_streaming_scored_flows(spark: SparkSession, sf: str) -> DataFrame:
         watermark="0 seconds",
     )
     name = f"q115_scored_{run_id}"
-    q = (
-        scored.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    with sized_stream_partitions(
+        spark,
+        approx_key_count(
+            packets, "src_ip", "dst_ip", "src_port", "dst_port", "protocol"
+        ),
+    ):
+        q = (
+            scored.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("q115 scored stream did not finish in 300 s")
@@ -1124,14 +1187,16 @@ def _stream_stream_interval_join(
     )
 
     name = f"{family}_{run_id}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # join state is keyed by user within the ±60 s interval horizon
+    with sized_stream_partitions(spark, approx_key_count(ev, "user_id")):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     if not q.awaitTermination(240):
         q.stop()
         q.awaitTermination(60)
@@ -1241,14 +1306,21 @@ def q128_streaming_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w.start").alias("minute"), "est")
     )
     name = f"q128_distinct_{run_id}"
-    q = (
-        est.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
+    # sketch state: one HLL++ partial per sealed minute window
+    with sized_stream_partitions(
+        spark,
+        approx_key_count(
+            ev.select(F.date_trunc("minute", "ts").alias("m")), "m"
+        ),
+    ):
+        q = (
+            est.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
     finished = q.awaitTermination(240)
     if not finished:
         q.stop()
@@ -1752,6 +1824,13 @@ def q143_ivm_maintained_aggregate(spark: SparkSession, sf: str) -> DataFrame:
     )
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     name = None
+    # view state is one row per customer group; the partition count is
+    # pinned into the shared checkpoint at run 0, so size it ONCE around
+    # the whole restart chain (an upper bound from the source table —
+    # the fixture commits a slice of orders)
+    n_groups = approx_key_count(
+        t(spark, sf, "orders").select("o_custkey"), "o_custkey"
+    )
     for i, end_version in enumerate(chain):
         name = f"q143_ivm_{run_id}_{i}"
         view = (
@@ -1770,14 +1849,15 @@ def q143_ivm_maintained_aggregate(spark: SparkSession, sf: str) -> DataFrame:
             )
             .filter(F.col("n_orders") != 0)
         )
-        q = (
-            view.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        with sized_stream_partitions(spark, n_groups):
+            q = (
+                view.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
         finished = q.awaitTermination(240)
         if not finished:
             q.stop()

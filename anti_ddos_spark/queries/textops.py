@@ -66,7 +66,12 @@ FROM d
 # --- q31: per-document text profile (stats/tokens/lang/quality) ----------
 
 def q31_doc_profile(spark: SparkSession, sf: str) -> DataFrame:
-    return document_profile(t(spark, sf, "documents"))
+    from anti_ddos_spark.operators.dedup import spread_small_scan
+
+    # Same single-task-scan guard as q37: the profile is pure per-row
+    # expressions, so its wall is the scan's parallelism (1 task on the
+    # one-file fixture; no-op at corpus scale).
+    return document_profile(spread_small_scan(t(spark, sf, "documents"), "doc_id"))
 
 
 def _q31_sql(src: str = "documents") -> str:
@@ -257,9 +262,18 @@ def q37_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
     pure column expressions; the final agg is map-side combinable on a
     5-value key. No Python anywhere — the funnel a 100 TB curation run
     would use, not a demo."""
+    from anti_ddos_spark.operators.dedup import spread_small_scan
     from anti_ddos_spark.operators.text import document_profile
 
-    docs = t(spark, sf, "documents")
+    # Small-fixture parallelism guard (r13): documents is ONE snappy
+    # parquet file, so the scan is a single unsplittable task and the
+    # digest + profile work (the funnel's entire per-row cost) ran
+    # single-threaded — measured 2.2-3.2 s on 1 of 32 cores at sf0.1.
+    # spread_small_scan hash-spreads the rows first (no-op on any
+    # corpus-sized input, which has real scan parallelism); both the
+    # digest aggregate and the semi-join survivor side reuse the one
+    # spread exchange.
+    docs = spread_small_scan(t(spark, sf, "documents"), "doc_id")
     kept = (
         docs.groupBy(F.md5("text").alias("digest"))
         .agg(F.min("doc_id").alias("doc_id"))

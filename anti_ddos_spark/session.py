@@ -91,6 +91,51 @@ def state_partitions_for(
     return min(max(want, floor), max(cores, floor))
 
 
+def sized_stream_partitions(spark: SparkSession, n_keys: int):
+    """Context manager applying ``state_partitions_for(n_keys)`` to
+    ``spark.sql.shuffle.partitions`` for the duration of a streaming
+    query START (Structured Streaming reads the conf at query creation
+    and pins it into the checkpoint; the previous value is restored on
+    exit, so batch plans and later queries are untouched).
+
+    This ships the round-7 cardinality policy into the query fns
+    instead of leaving it a documented knob: stateful micro-batches pay
+    per-partition state-store machinery (open/commit/snapshot) EVERY
+    batch, so a toy-cardinality stream on the session's core-count
+    default burns partitions × batches of pure overhead — measured r13
+    on the stream-stream interval join at the oracle sf: 7-13 s wall at
+    32 state partitions vs 2.97-3.04 s at the policy's floor of 8, and
+    the 2× run-to-run scatter collapsed with it. On a real-cardinality
+    stream the same call sizes UP (keys/3200, capped at cores)."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        key = "spark.sql.shuffle.partitions"
+        old = spark.conf.get(key)
+        spark.conf.set(key, str(state_partitions_for(n_keys)))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return _ctx()
+
+
+def approx_key_count(df, *cols: str) -> int:
+    """Distinct-key estimate for sized_stream_partitions — ONE tiny
+    aggregate job over the (batch) key frame the streaming fixture is
+    built from. approx_count_distinct is deterministic for fixed input;
+    the estimate only sizes partitions, never results. Production
+    callers with known cardinality should pass it directly instead."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.approx_count_distinct(F.struct(*[F.col(c) for c in cols])).alias("n")
+    ).head()
+    return int(row["n"]) if row and row["n"] is not None else 1
+
+
 def get_spark(
     app_name: str = "anti_ddos_spark",
     master: str | None = None,
