@@ -145,7 +145,29 @@ def array_flow_features(pkts_unsorted: Column) -> list[Column]:
     Returns aliased Columns; apply in a single select after the
     collect_list aggregation. Field-for-field equal to the batch
     window+agg implementation (proven by the batch≡streaming tests).
-    """
+
+    Memoized per (input expression text, JVM) like features._AGG_MEMO:
+    building the ~80 deep higher-order Columns costs ~2-3 s of driver
+    py4j round-trips per call (measured r13 — the dominant build cost
+    of every streaming sessionizer start, which constructs this tree
+    for each new query), and the trees depend only on the input
+    expression. All production callers pass ``F.col("pkts")``, so the
+    memo key is the column's expression text."""
+    from anti_ddos_spark.features import _jvm_key
+
+    key = ("array_flow_features", str(pkts_unsorted._jc), _jvm_key())
+    cols = _ARRAY_FEATS_MEMO.get(key)
+    if cols is None:
+        cols = _ARRAY_FEATS_MEMO[key] = _build_array_flow_features(
+            pkts_unsorted
+        )
+    return list(cols)
+
+
+_ARRAY_FEATS_MEMO: dict[tuple, list[Column]] = {}
+
+
+def _build_array_flow_features(pkts_unsorted: Column) -> list[Column]:
     pkts = F.array_sort(pkts_unsorted)
     n = F.size(pkts)
     first = F.element_at(pkts, 1)
