@@ -283,16 +283,22 @@ def lsh_neardup_pairs(
     # AQE's byte-based coalescing packs it into 1-2 post-shuffle
     # partitions while the per-ROW cost (a dim-wide interpreted cosine
     # fold) is what dominates — measured at sf0.1: the verify stage ran
-    # 2 tasks / 30 idle cores and was ~60% of q42's wall. A small
-    # compressed input can never produce a candidate set whose
-    # round-robin respread isn't noise; a corpus-sized input skips the
-    # guard entirely (there AQE's byte sizing is the right call and an
-    # extra exchange of trillions of pairs would be a scale-killer).
+    # 2 tasks / 30 idle cores and was ~60% of q42's wall. The gate
+    # bounds the QUADRATIC worst case, not the input size: permissive
+    # banding can saturate (candidates → n²/2), and respreading a
+    # saturated decade-scale pair set is an extra full shuffle of
+    # hundreds of MB (measured at the 10× replication: the respread
+    # REGRESSED the spill-bound q42 decade row). So spread only when
+    # even all-pairs saturation stays trivial: n_est²/2 × 16 B ≤ 256 MB
+    # (n_est from a deliberately LOW 256 B/row on the compressed scan —
+    # underestimating row size overestimates n, making the gate
+    # conservative). Beyond that, AQE's byte sizing is the right call
+    # and the guard is a no-op, as it must be on any corpus-sized input.
     from anti_ddos_spark.operators.dedup import local_scan_bytes
 
-    # strictly positive: a file-less frame (in-memory relation, view)
-    # reports 0 bytes and must not be treated as a starved small scan
-    if (local_scan_bytes(vectors) or 0) > 0:
+    total = local_scan_bytes(vectors) or 0  # 0 ⇒ file-less frame: skip
+    n_est = total // 256
+    if total > 0 and (n_est * n_est // 2) * 16 <= (256 << 20):
         cand = cand.repartition(
             vectors.sparkSession.sparkContext.defaultParallelism
         )
