@@ -155,7 +155,16 @@ def array_flow_features(pkts_unsorted: Column) -> list[Column]:
     memo key is the column's expression text."""
     from anti_ddos_spark.features import _jvm_key
 
-    key = ("array_flow_features", str(pkts_unsorted._jc), _jvm_key())
+    text = str(pkts_unsorted._jc)
+    # Memo only UNRESOLVED plain column references (r13 ADVICE): a
+    # RESOLVED attribute (df['pkts']) stringifies without its exprId,
+    # so two different DataFrames' bound columns could collide and the
+    # memo would hand A's bound tree to a query on B. Resolved
+    # attributes print with their qualifier/#id or non-name characters;
+    # a plain unresolved name is alphanumeric/_ only.
+    if not text.replace("_", "").isalnum():
+        return _build_array_flow_features(pkts_unsorted)
+    key = ("array_flow_features", text, _jvm_key())
     cols = _ARRAY_FEATS_MEMO.get(key)
     if cols is None:
         cols = _ARRAY_FEATS_MEMO[key] = _build_array_flow_features(

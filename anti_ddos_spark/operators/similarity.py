@@ -173,6 +173,62 @@ def gaussian_planes(spark, n_planes: int, dim: int, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, "pid: long, h: array<double>")
 
 
+def _resolve_plane_vectors(
+    emb: DataFrame,
+    n_bands: int,
+    planes_per_band: int,
+    id_col: str,
+    planes: DataFrame | str | None,
+) -> list[list[float]]:
+    """Resolve the hyperplane set to a plane-ordered list of Python
+    float vectors (the literal-projection build input shared by
+    hyperplane_signatures and lsh_neardup_pairs). ``emb`` is the
+    (id, e double[]) frame; ``planes`` as in hyperplane_signatures.
+
+    The collect is a build-time k-bounded driver action (it replaces
+    the old count() guard and additionally validates the ids are
+    exactly 1..n). A sparse/offset id space silently yields FEWER
+    planes, shrinking every signature and inflating collisions with no
+    error — fail loud instead; same for a null plane vector or null
+    element, which the old crossJoin form silently scored as a 0 bit
+    (r13 ADVICE: name the bad pid instead of a bare TypeError)."""
+    n_planes = n_bands * planes_per_band
+    if planes is None:
+        from anti_ddos_spark.config import QUALITY_DEFAULTS
+
+        planes = "gaussian" if QUALITY_DEFAULTS else "data"
+    if isinstance(planes, str):
+        if planes == "gaussian":
+            head = emb.select(F.size("e")).head()
+            if head is None:
+                raise ValueError("cannot infer dim from an empty vector table")
+            planes = gaussian_planes(emb.sparkSession, n_planes, int(head[0]))
+        elif planes == "data":
+            planes = emb.filter(
+                (F.col(id_col) >= 1) & (F.col(id_col) <= n_planes)
+            ).select(F.col(id_col).alias("pid"), F.col("e").alias("h"))
+        else:
+            raise ValueError(f"unknown planes mode {planes!r}")
+    rows = planes.select("pid", "h").collect()
+    if len(rows) != n_planes or sorted(r["pid"] for r in rows) != list(
+        range(1, n_planes + 1)
+    ):
+        raise ValueError(
+            f"expected {n_planes} hyperplanes, found {len(rows)} — "
+            f"plane ids must cover 1..{n_planes} (or pass an explicit "
+            "planes DataFrame, e.g. gaussian_planes())"
+        )
+    by_pid = {}
+    for r in rows:
+        if r["h"] is None or any(x is None for x in r["h"]):
+            raise ValueError(
+                f"hyperplane pid={r['pid']} has a null vector/element — "
+                "literal planes must be fully defined"
+            )
+        by_pid[int(r["pid"])] = [float(x) for x in r["h"]]
+    return [by_pid[p] for p in range(1, n_planes + 1)]
+
+
 def hyperplane_signatures(
     vectors: DataFrame,
     n_bands: int,
@@ -202,42 +258,10 @@ def hyperplane_signatures(
     same way). Downstream candidate joins stay equi-joins on
     (band, sig), never an all-pairs product.
     """
-    n_planes = n_bands * planes_per_band
     emb = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
-    if planes is None:
-        from anti_ddos_spark.config import QUALITY_DEFAULTS
-
-        planes = "gaussian" if QUALITY_DEFAULTS else "data"
-    if isinstance(planes, str):
-        if planes == "gaussian":
-            head = emb.select(F.size("e")).head()
-            if head is None:
-                raise ValueError("cannot infer dim from an empty vector table")
-            planes = gaussian_planes(
-                vectors.sparkSession, n_planes, int(head[0])
-            )
-        elif planes == "data":
-            planes = emb.filter(
-                (F.col(id_col) >= 1) & (F.col(id_col) <= n_planes)
-            ).select(F.col(id_col).alias("pid"), F.col("e").alias("h"))
-        else:
-            raise ValueError(f"unknown planes mode {planes!r}")
-    # A sparse/offset id space silently yields FEWER planes, shrinking
-    # every signature and inflating collisions with no error — fail loud
-    # instead. The planes side is k rows; the collect is a build-time
-    # k-bounded driver action (it replaces the old count() guard and
-    # additionally validates the ids are exactly 1..n).
-    rows = planes.select("pid", "h").collect()
-    if len(rows) != n_planes or sorted(r["pid"] for r in rows) != list(
-        range(1, n_planes + 1)
-    ):
-        raise ValueError(
-            f"expected {n_planes} hyperplanes, found {len(rows)} — "
-            f"plane ids must cover 1..{n_planes} (or pass an explicit "
-            "planes DataFrame, e.g. gaussian_planes())"
-        )
-    by_pid = {int(r["pid"]): [float(x) for x in r["h"]] for r in rows}
-    plane_vecs = [by_pid[p] for p in range(1, n_planes + 1)]
+    plane_vecs = _resolve_plane_vectors(
+        emb, n_bands, planes_per_band, id_col, planes
+    )
     sig_expr = F.expr(literal_band_sigs_sql("e", plane_vecs, planes_per_band))
     return emb.select(
         F.col(id_col), F.col("e"), F.inline(sig_expr)
@@ -261,69 +285,106 @@ def lsh_neardup_pairs(
     the only sub-O(n²) shape at corpus scale; a pair is a candidate when
     it collides in ≥1 band, then exact cosine (computed on the original
     vectors) keeps only pairs ≥ threshold. ``planes`` as in
-    hyperplane_signatures (default: quality Gaussian planes)."""
-    sig = hyperplane_signatures(
-        vectors, n_bands, planes_per_band, id_col, vec_col, planes=planes
+    hyperplane_signatures (default: quality Gaussian planes).
+
+    Scale shape (r14, guide §2.3/§2.4/§8 — "every shuffle but the last
+    operates on a lightweight proxy"): the r13 form deduplicated
+    multi-band collisions with ``.distinct()`` — ONE FULL EXCHANGE OF
+    THE PAIR SET, the single largest shuffle in the operator family
+    (measured at the 10× replication: 183 MB of q42's shuffle was this
+    exchange; at saturation it is O(n²/2) rows). Now both join sides
+    carry their banded signature ARRAY and a pair is kept only at its
+    FIRST colliding band (``array_position`` over the zipped sig
+    arrays == band_id+1) — exactly one surviving row per candidate
+    pair, value-identical to the distinct, zero pair-set shuffle. The
+    pair-forming side is hash-spread BEFORE the join when its scan is
+    starved (dedup.spread_small_scan semantics: O(n·bands) slim rows,
+    no-op on corpus-sized inputs), so candidate generation + min-band
+    dedup + cosine verification all run fused in that spread's
+    partitions; this replaces r13's post-distinct pair respread (which
+    re-shuffled the pair set and had to be saturation-gated). NOTE:
+    spread/broadcast gating reads leaf-file bytes (local_scan_bytes),
+    so ``vectors`` should be a column projection of a scan — a frame
+    DERIVED from a small file but with exploded cardinality would pass
+    the gates on bytes unrelated to its own row count (r13 ADVICE).
+
+    Vector attach (guide §3.1): when the corpus' leaf bytes fit the
+    broadcast gate (SPARK_GRAFT_LSH_BCAST_MB, default 256 MB — sized so
+    the built relation stays in the low hundreds of MB; parameterise up
+    on big-memory clusters), the (id, e, nrm) sides are broadcast
+    explicitly, so candidate pairs NEVER re-shuffle carrying dim-wide
+    vectors (the planner's own estimate stops firing past ~10 MB files
+    and silently degraded the attach to sort-merge joins that shipped
+    a vector per pair — 2.7 GB of shuffle at the 100× decade). Past
+    the gate the joins degrade to the planner's shuffle strategy,
+    which is the correct call once the corpus itself is huge."""
+    import os as _os
+
+    from anti_ddos_spark.operators.dedup import local_scan_bytes, spread_small_scan
+
+    emb0 = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
+    plane_vecs = _resolve_plane_vectors(
+        emb0, n_bands, planes_per_band, id_col, planes
     )
-    a, b = sig.alias("a"), sig.alias("b")
+    sig_sql = literal_band_sigs_sql("e", plane_vecs, planes_per_band)
+
+    # inline_outer, not inline: the sig array is never empty (n_bands
+    # literal structs by construction), but plain inline triggers
+    # Catalyst's InferFiltersFromGenerate, which re-derives the WHOLE
+    # plane-fold array inside a size(...)>0 filter pushed below the
+    # spread exchange — doubling the signature compute in the (narrow)
+    # scan stage. The outer generate skips that rule; on a (impossible)
+    # empty array it would emit null band/sig, which the equi-join
+    # drops anyway.
+    a = (
+        spread_small_scan(emb0, id_col)
+        .select(F.col(id_col).alias("id_a"), F.expr(sig_sql).alias("_sa"))
+        .select("id_a", "_sa", F.inline_outer(F.col("_sa")))
+    )
+    b = (
+        emb0.select(F.col(id_col).alias("id_b"), F.expr(sig_sql).alias("_sb"))
+        .select("id_b", "_sb", F.inline_outer(F.col("_sb")))
+        .select(
+            "id_b",
+            "_sb",
+            F.col("band_id").alias("_band_b"),
+            F.col("sig").alias("_sig_b"),
+        )
+    )
+    bcast_cap = int(_os.environ.get("SPARK_GRAFT_LSH_BCAST_MB", "256")) << 20
+    total = local_scan_bytes(vectors, cap=bcast_cap)
+    if total is not None:
+        b = F.broadcast(b)
+    first_collide = F.array_position(
+        F.zip_with(
+            F.col("_sa"), F.col("_sb"), lambda x, y: x["sig"] == y["sig"]
+        ),
+        True,
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("band_id") == F.col("_band_b"))
+            & (F.col("sig") == F.col("_sig_b"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+        .filter(first_collide == F.col("band_id") + 1)
+        .select("id_a", "id_b")
     )
-    # Verification parallelism guard (r13, same class as
-    # dedup.spread_small_scan): the candidate set is ~16-byte rows, so
-    # AQE's byte-based coalescing packs it into 1-2 post-shuffle
-    # partitions while the per-ROW cost (a dim-wide interpreted cosine
-    # fold) is what dominates — measured at sf0.1: the verify stage ran
-    # 2 tasks / 30 idle cores and was ~60% of q42's wall. The gate
-    # bounds the QUADRATIC worst case, not the input size: permissive
-    # banding can saturate (candidates → n²/2), and respreading a
-    # saturated decade-scale pair set is an extra full shuffle of
-    # hundreds of MB (measured at the 10× replication: the respread
-    # REGRESSED the spill-bound q42 decade row). So spread only when
-    # even all-pairs saturation stays trivial: n_est²/2 × 16 B ≤ 256 MB
-    # (n_est from a deliberately LOW 256 B/row on the compressed scan —
-    # underestimating row size overestimates n, making the gate
-    # conservative). Beyond that, AQE's byte sizing is the right call
-    # and the guard is a no-op, as it must be on any corpus-sized input.
-    from anti_ddos_spark.operators.dedup import local_scan_bytes
-
-    total = local_scan_bytes(vectors) or 0  # 0 ⇒ file-less frame: skip
-    n_est = total // 256
-    if total > 0 and (n_est * n_est // 2) * 16 <= (256 << 20):
-        cand = cand.repartition(
-            vectors.sparkSession.sparkContext.defaultParallelism
-        )
     # norms precomputed once per VECTOR, not once per pair: higher-order
     # folds (aggregate/zip_with) run interpreted, so the per-pair cosine
     # must be the single dot-product fold — recomputing both norms per
     # candidate tripled the interpreted work (measured ~35% of q42)
-    emb = vectors.select(
-        F.col(id_col),
-        as_double(F.col(vec_col)).alias("e"),
-    ).withColumn("nrm", norm(F.col("e")))
-    pairs = (
-        cand.join(
-            emb.select(
-                F.col(id_col).alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
-            ),
-            "id_a",
-        )
-        .join(
-            emb.select(
-                F.col(id_col).alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
-            ),
-            "id_b",
-        )
+    emb = emb0.withColumn("nrm", norm(F.col("e")))
+    ea = emb.select(
+        F.col(id_col).alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
     )
+    eb = emb.select(
+        F.col(id_col).alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    if total is not None:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
+    pairs = cand.join(ea, "id_a").join(eb, "id_b")
     raw = F.when(
         (F.col("na") > 0) & (F.col("nb") > 0),
         dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),

@@ -106,7 +106,14 @@ def sized_stream_partitions(spark: SparkSession, n_keys: int):
     on the stream-stream interval join at the oracle sf: 7-13 s wall at
     32 state partitions vs 2.97-3.04 s at the policy's floor of 8, and
     the 2× run-to-run scatter collapsed with it. On a real-cardinality
-    stream the same call sizes UP (keys/3200, capped at cores)."""
+    stream the same call sizes UP (keys/3200, capped at cores).
+
+    Contract: single-threaded query start only. The conf is
+    session-global, so two concurrent query starts on one session race
+    — one query can pin the other's partition count into its
+    checkpoint permanently. Fine for this engine's sequential query
+    fns and the bench harness; serialize externally (or use separate
+    sessions) before starting streams from multiple driver threads."""
     from contextlib import contextmanager
 
     @contextmanager

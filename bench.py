@@ -78,6 +78,78 @@ HEADLINE = [
 ]
 
 
+def _host_probe_factory(sf_dir: str = "/root/testdata/sf0.1"):
+    """Cheap same-box host-speed probe for the decade blocks (r13
+    verdict task #1: the 10x/100x walls carried no anchor, so weather
+    claims about their run-to-run movement were unfalsifiable). One
+    DuckDB connection, warmed once, running q24's oracle at the fixed
+    headline sf — ~2 s of real aggregation CPU per run, min-of-2 per
+    sample. Returns a zero-arg sampler (None on any failure: the probe
+    must never fail a bench)."""
+    try:
+        import duckdb
+
+        from anti_ddos_spark.queries import full_registry
+
+        con = duckdb.connect()
+        for n in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {n} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{n}.parquet')"
+            )
+        sql = full_registry()["q24_flow_features_full"].sql
+        con.execute(sql).fetchall()  # warm
+    except Exception:
+        return lambda: None
+
+    def sample() -> float | None:
+        try:
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            return round(best, 4)
+        except Exception:
+            return None
+
+    return sample
+
+
+def _timed_decade_probes(spark, probes, out_dir: str, runs: int) -> tuple[dict, dict]:
+    """Time each probe with the byte axis, sampling the host probe
+    before, between and after — the anchor track that makes decade
+    walls comparable across sessions (r13 verdict task #1)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import scale_probe
+
+    probe = _host_probe_factory()
+    track: list[list] = []
+    t0 = time.perf_counter()
+
+    def _sample() -> None:
+        v = probe()
+        if v is not None:
+            track.append([round(time.perf_counter() - t0, 1), v])
+
+    _sample()
+    detail = {}
+    for name, fn in probes:
+        detail[name] = scale_probe.time_query_with_bytes(spark, fn, out_dir, runs)
+        _sample()
+    vals = sorted(v for _t, v in track)
+    anchor = {
+        "probe": "duckdb q24_flow_features_full oracle @ sf0.1, min-of-2",
+        "track": track,
+        "median_sec": vals[len(vals) // 2] if vals else None,
+    }
+    return detail, anchor
+
+
 def run_scale10x() -> None:
     """Build (or reuse) the 10x decade dir and time the compatible
     headline subset there; persist the block for default runs to embed."""
@@ -113,10 +185,7 @@ def run_scale10x() -> None:
     ]
     # min-of-2 after warm: the spill-bound q42 decade point varies ~1.5x
     # run-to-run on a shared-disk box; min is the steady-state claim
-    detail = {
-        name: scale_probe.time_query_with_bytes(spark, fn, out_dir, 2)
-        for name, fn in probes
-    }
+    detail, host_anchor = _timed_decade_probes(spark, probes, out_dir, 2)
     timings = {name: d["sec"] for name, d in detail.items()}
     block = {
         "sf": "1.0 (10x replication of sf0.1)",
@@ -127,6 +196,7 @@ def run_scale10x() -> None:
             name: {k: v for k, v in d.items() if k != "sec"}
             for name, d in detail.items()
         },
+        "host_anchor": host_anchor,
         "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(SCALE10X_RESULT, "w") as f:
@@ -165,10 +235,7 @@ def run_scale100x() -> None:
     probes = [(n, reg[n].fn) for n in SCALE100X_QUERIES] + [
         ("neardup_adaptive_params", scale_probe.EXTRA_PROBES["neardup_adaptive_params"])
     ]
-    detail = {
-        name: scale_probe.time_query_with_bytes(spark, fn, out_dir, 2)
-        for name, fn in probes
-    }
+    detail, host_anchor = _timed_decade_probes(spark, probes, out_dir, 2)
     timings = {name: d["sec"] for name, d in detail.items()}
     block = {
         "sf": "10.0 (100x replication of sf0.1, documents+embeddings)",
@@ -179,6 +246,7 @@ def run_scale100x() -> None:
             name: {k: v for k, v in d.items() if k != "sec"}
             for name, d in detail.items()
         },
+        "host_anchor": host_anchor,
         "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     with open(SCALE100X_RESULT, "w") as f:
@@ -772,11 +840,16 @@ def main() -> None:
         "sf": sf,
     }
     # decade blocks from the most recent `bench.py --sf 10x/100x` runs
-    # (cached: the decade replications are too costly for every round-trip)
+    # (cached: the decade replications are too costly for every
+    # round-trip). r13 verdict task #6: the bulky blocks live on a
+    # DETAIL line (printed first) and in a committed artifact file —
+    # the FINAL printed line stays lean so a bounded tail capture can
+    # never truncate the contract again (BENCH_r12's parsed: null).
+    detail = {"metric": "headline_queries_detail"}
     for key, path in (("scale10x", SCALE10X_RESULT), ("scale100x", SCALE100X_RESULT)):
         if os.path.exists(path):
             with open(path) as f:
-                out[key] = {**json.load(f), "cached": True}
+                detail[key] = {**json.load(f), "cached": True}
     # Same-hour DuckDB control (r8 verdict task #8): host drift is the
     # dominant bench noise (judge-adjudicated ratio series 0.61/0.67/
     # 0.69/0.76 across windows whose absolute seconds moved ±40%), so
@@ -789,13 +862,24 @@ def main() -> None:
             import duck_anchor
 
             anchor = duck_anchor.measure(sf_dir)
-            out["duckdb_anchor"] = anchor
+            # full per-query anchor on the detail line; value+ratio on
+            # the lean contract line (per-query ratios derive from the
+            # two queries maps either way)
+            detail["duckdb_anchor"] = anchor
+            out["duckdb_anchor"] = {
+                k: anchor[k] for k in ("metric", "value", "unit", "sf")
+                if k in anchor
+            }
             if anchor["value"]:
                 out["spark_duckdb_ratio"] = round(
                     out["value"] / anchor["value"], 3
                 )
         except Exception as ex:  # noqa: BLE001 — the control must never fail the bench
             out["duckdb_anchor_error"] = f"{type(ex).__name__}: {ex}"[:200]
+    detail.update({k: out[k] for k in ("value", "queries", "sf") if k in out})
+    with open(os.path.join(REPO, "BENCH_HEADLINE_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
     print(json.dumps(out))
 
 

@@ -130,8 +130,11 @@ def test_approx_key_count_sane(spark):
 
 
 def test_neardup_verify_spread_gated_on_local_scan(spark, tmp_path):
-    """Small local parquet input → the candidate respread exchange is in
-    the plan; an in-memory (non-scan) input → it is not."""
+    """Small local parquet input → the pair-forming side is hash-spread
+    BEFORE the candidate join (r14 shape: the parallelism exchange moved
+    from the post-distinct pair set to the O(n·bands) slim pre-join
+    rows); an in-memory (non-scan) input → no spread. Either way the
+    result set is identical."""
     from anti_ddos_spark.operators.similarity import lsh_neardup_pairs
 
     df = _vecs(spark)
@@ -139,19 +142,77 @@ def test_neardup_verify_spread_gated_on_local_scan(spark, tmp_path):
     df.write.parquet(path)
     scan = spark.read.parquet(path)
 
-    def n_roundrobin(frame):
+    def n_repartition(frame):
         import re
 
-        # keyless repartition prints as "Repartition <n>, true" in the
-        # optimized logical plan (RoundRobinPartitioning is physical)
+        # repartition(n, col) prints as RepartitionByExpression in the
+        # optimized logical plan (hashpartitioning is physical)
         plan = frame._jdf.queryExecution().optimizedPlan().toString()
-        return len(re.findall(r"Repartition \d+, true", plan))
+        return len(re.findall(r"RepartitionByExpression", plan))
 
     spread = lsh_neardup_pairs(scan, 0.0, 2, 4, planes="data")
     unspread = lsh_neardup_pairs(df, 0.0, 2, 4, planes="data")
-    assert n_roundrobin(spread) >= 1
-    assert n_roundrobin(unspread) == 0
+    assert n_repartition(spread) >= 1
+    assert n_repartition(unspread) == 0
     # and the spread must not change the result set
     a = sorted(map(tuple, spread.collect()))
     b = sorted(map(tuple, unspread.collect()))
     assert a == b
+
+
+def test_neardup_min_band_dedup_matches_distinct(spark, tmp_path):
+    """r14: the candidate `.distinct()` (one full exchange of the pair
+    set) was replaced by keeping a pair only at its FIRST colliding
+    band. Pin value-parity against an explicit exploded-join+distinct
+    re-derivation on a fixture with guaranteed MULTI-band collisions
+    (duplicated vectors collide in every band), and no-dup output."""
+    from anti_ddos_spark.operators.similarity import (
+        as_double,
+        cosine,
+        hyperplane_signatures,
+        lsh_neardup_pairs,
+    )
+
+    df = _vecs(spark)
+    # duplicate a few vectors under new ids: identical direction ⇒ the
+    # pair (i, i+100) collides in BOTH bands and must appear ONCE
+    dups = df.filter(F.col("vec_id").isin(3, 7, 11)).select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    allv = df.unionByName(dups)
+
+    got = lsh_neardup_pairs(allv, 0.1, 2, 4, planes="data")
+    rows = got.collect()
+    pair_keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(pair_keys) == len(set(pair_keys)), "pair emitted per band, not once"
+    assert (3, 103) in set(pair_keys), "identical twin pair must survive"
+
+    # reference: the pre-r14 shape — band equi-join then DISTINCT
+    sig = hyperplane_signatures(allv, 2, 4, planes="data")
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    emb = allv.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    ref = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea")), "id_a"
+        )
+        .join(
+            emb.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb")), "id_b"
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (F.floor(cosine(F.col("ea"), F.col("eb")) * 1e6 + F.lit(0.5)) / 1e6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.1)
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, ref.collect()))
