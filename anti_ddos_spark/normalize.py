@@ -39,14 +39,21 @@ def normalize_flow_key(packets: DataFrame) -> DataFrame:
 
     Faithful to main.py:239-250: comparison is on the IP *strings* and the
     port follows its IP (equal IPs take the else-branch, i.e. swap).
-    """
-    lesser = _lesser_src()
-    return (
-        packets.withColumn("flow_src_ip", F.when(lesser, F.col("src_ip")).otherwise(F.col("dst_ip")))
-        .withColumn("flow_dst_ip", F.when(lesser, F.col("dst_ip")).otherwise(F.col("src_ip")))
-        .withColumn("flow_src_port", F.when(lesser, F.col("src_port")).otherwise(F.col("dst_port")))
-        .withColumn("flow_dst_port", F.when(lesser, F.col("dst_port")).otherwise(F.col("src_port")))
-    )
+    Column trees are fixed (unresolved names only) — memoized per JVM
+    like features._AGG_MEMO (r14: py4j Column construction is the
+    dominant per-run build cost of the flow family, guide §7.3)."""
+    from anti_ddos_spark.features import _memoized
+
+    def build() -> list[Column]:
+        lesser = _lesser_src()
+        return [
+            F.when(lesser, F.col("src_ip")).otherwise(F.col("dst_ip")).alias("flow_src_ip"),
+            F.when(lesser, F.col("dst_ip")).otherwise(F.col("src_ip")).alias("flow_dst_ip"),
+            F.when(lesser, F.col("src_port")).otherwise(F.col("dst_port")).alias("flow_src_port"),
+            F.when(lesser, F.col("dst_port")).otherwise(F.col("src_port")).alias("flow_dst_port"),
+        ]
+
+    return packets.select("*", *_memoized("normalize_flow_key", "", build))
 
 
 def flow_window() -> Window:

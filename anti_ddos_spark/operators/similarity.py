@@ -991,23 +991,70 @@ def _dist2_to(c: list[float]) -> Column:
     )
 
 
+def _dist2_lit_sql(vec_sql: str, c: list[float]) -> str:
+    """SQL text of ``_dist2_to`` — the SAME ordered zip_with/aggregate
+    fold (value-identical: repr round-trips each double exactly and the
+    string→DOUBLE cast is correctly rounded), emitted as a string so a
+    k×dim center set costs ONE expr() parse instead of k·dim py4j
+    Column round-trips (measured r14: building 16×64 literal distance
+    folds via F.lit cost 5-12 s of driver time per kmeans iteration;
+    the parsed form is ~60 ms)."""
+    arr = "array(" + ", ".join(_sql_double(float(x)) for x in c) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def assign_to_centroids(emb: DataFrame, cents: list[list[float]]) -> DataFrame:
     """(… , e) → (… , cid, dist2): nearest centroid per row, ties to the
     lowest centroid index. The single source of assignment semantics for
     kmeans_train and the q46 histogram — a drifted duplicate would make
     the reported clusters disagree with the centroids the trainer
-    converged with."""
-    d = emb.select(
-        "*", *[_dist2_to(cents[j]).alias(f"_d{j}") for j in range(len(cents))]
+    converged with.
+
+    Argmin shape (r14): the original nested-``when`` chain referenced
+    each per-centroid distance column O(k) times; projection collapse
+    substitutes the full 64-term fold into every reference, so the
+    generated code grew O(k²·dim) — past janino's 64 KB method limit at
+    k=16/dim=64, silently falling back to INTERPRETED evaluation
+    (measured: 127-313 s per Lloyd iteration over 12k×64 that runs in
+    ~2 s compiled). Now the k folds are built ONCE into an array and the
+    argmin is a single left fold keeping the first strict minimum —
+    value-identical (same doubles, same strict-< tie-to-lowest-index,
+    NaN/degenerate handling preserved by seeding with element 1), with
+    an O(k·dim) expression tree that stays inside codegen. The k·dim
+    literal folds are ONE parsed SQL string (the r13 py4j lesson —
+    building them as Column objects cost 5-12 s of driver time per
+    kmeans iteration at k=16/dim=64)."""
+    k = len(cents)
+    ds = F.expr(
+        "array("
+        + ", ".join(_dist2_lit_sql("e", cents[j]) for j in range(k))
+        + ")"
     )
-    best = F.lit(0)
-    bestd = F.col("_d0")
-    for j in range(1, len(cents)):
-        closer = F.col(f"_d{j}") < bestd
-        best = F.when(closer, j).otherwise(best)
-        bestd = F.when(closer, F.col(f"_d{j}")).otherwise(bestd)
+    init = F.struct(
+        F.element_at(ds, 1).alias("d"), F.lit(0).cast("int").alias("j")
+    )
+    if k == 1:
+        best = init
+    else:
+        best = F.aggregate(
+            F.zip_with(
+                F.slice(ds, 2, k - 1),
+                F.sequence(F.lit(1), F.lit(k - 1)).cast("array<int>"),
+                lambda d, j: F.struct(d.alias("d"), j.alias("j")),
+            ),
+            init,
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )
     keep = [c for c in emb.columns]
-    return d.select(*keep, best.alias("cid"), bestd.alias("dist2"))
+    d = emb.select(*keep, best.alias("_best"))
+    return d.select(
+        *keep,
+        F.col("_best")["j"].alias("cid"),
+        F.col("_best")["d"].alias("dist2"),
+    )
 
 
 def kmeans_train(
@@ -1068,16 +1115,14 @@ def kmeans_train(
     dim = len(cents[0])
     history: list[float] = []
 
+    # the per-dimension mean aggregates don't depend on the centroids —
+    # build the Column list once, not once per Lloyd iteration
+    stat_aggs = [F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)] + [
+        F.sum("dist2").alias("inertia")
+    ]
     for _ in range(iters):
         assigned = assign_to_centroids(emb, cents)
-        stats = (
-            assigned.groupBy("cid")
-            .agg(
-                *[F.avg(F.col("e")[i]).alias(f"m{i}") for i in range(dim)],
-                F.sum("dist2").alias("inertia"),
-            )
-            .collect()
-        )
+        stats = assigned.groupBy("cid").agg(*stat_aggs).collect()
         history.append(float(sum(r["inertia"] for r in stats)))
         new_cents = list(cents)
         for r in stats:

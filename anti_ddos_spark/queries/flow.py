@@ -219,44 +219,50 @@ def events_as_packets(ev: DataFrame) -> DataFrame:
     Each user becomes one bidirectional 5-tuple; event_id % 3 decides
     direction, value scales to a packet length (bulk lengths included),
     props.k seeds TCP flags/window. Purely arithmetic → reproducible
-    identically in the DuckDB oracle.
-    """
-    uid = F.col("user_id")
-    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
-    fwd = (F.col("event_id") % 3) != 0
-    proto = F.when(F.col("event_type").isin("click", "view", "purchase"), 6).otherwise(17)
-    length = (F.floor(F.col("value") * 10).cast("int") % 1461 + 40).cast("int")
-    ip_a = F.concat_ws("", F.lit("10.0."), (uid % 5).cast("string"), F.lit("."), uid.cast("string"))
-    ip_b = F.concat_ws("", F.lit("10.1.0."), (uid % 7).cast("string"))
-    port_a = (uid + 1024).cast("int")
-    port_b = F.lit(80)
-    is_tcp = proto == 6
+    identically in the DuckDB oracle. Column trees are fixed — memoized
+    per JVM like features._AGG_MEMO (r14, guide §7.3: this projection
+    cost ~0.35 s of driver py4j per flow-query build)."""
+    from anti_ddos_spark.features import _memoized
 
-    def flag(mod: int):
-        return F.when(is_tcp, (k % mod == 0).cast("int"))
+    def build():
+        uid = F.col("user_id")
+        k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("int")
+        fwd = (F.col("event_id") % 3) != 0
+        proto = F.when(F.col("event_type").isin("click", "view", "purchase"), 6).otherwise(17)
+        length = (F.floor(F.col("value") * 10).cast("int") % 1461 + 40).cast("int")
+        ip_a = F.concat_ws("", F.lit("10.0."), (uid % 5).cast("string"), F.lit("."), uid.cast("string"))
+        ip_b = F.concat_ws("", F.lit("10.1.0."), (uid % 7).cast("string"))
+        port_a = (uid + 1024).cast("int")
+        port_b = F.lit(80)
+        is_tcp = proto == 6
 
-    return ev.select(
-        F.col("ts").alias("timestamp"),
-        F.when(fwd, ip_a).otherwise(ip_b).alias("src_ip"),
-        F.when(fwd, ip_b).otherwise(ip_a).alias("dst_ip"),
-        length.alias("length"),
-        proto.alias("protocol"),
-        F.when(fwd, port_a).otherwise(port_b).alias("src_port"),
-        F.when(fwd, port_b).otherwise(port_a).alias("dst_port"),
-        F.when(~is_tcp, length - 28).alias("udp_len"),
-        F.col("event_id").cast("int").alias("tcp_seq"),
-        F.lit(None).cast("int").alias("tcp_ack"),
-        F.when(is_tcp, k * 100).alias("tcp_win"),
-        F.when(is_tcp, F.greatest(length - 40, F.lit(0))).alias("tcp_len"),
-        flag(19).alias("cwr_flag"),
-        flag(23).alias("ece_flag"),
-        flag(11).alias("urg_flag"),
-        flag(2).alias("ack_flag"),
-        flag(3).alias("psh_flag"),
-        flag(17).alias("rst_flag"),
-        flag(7).alias("syn_flag"),
-        flag(13).alias("fin_flag"),
-    )
+        def flag(mod: int):
+            return F.when(is_tcp, (k % mod == 0).cast("int"))
+
+        return [
+            F.col("ts").alias("timestamp"),
+            F.when(fwd, ip_a).otherwise(ip_b).alias("src_ip"),
+            F.when(fwd, ip_b).otherwise(ip_a).alias("dst_ip"),
+            length.alias("length"),
+            proto.alias("protocol"),
+            F.when(fwd, port_a).otherwise(port_b).alias("src_port"),
+            F.when(fwd, port_b).otherwise(port_a).alias("dst_port"),
+            F.when(~is_tcp, length - 28).alias("udp_len"),
+            F.col("event_id").cast("int").alias("tcp_seq"),
+            F.lit(None).cast("int").alias("tcp_ack"),
+            F.when(is_tcp, k * 100).alias("tcp_win"),
+            F.when(is_tcp, F.greatest(length - 40, F.lit(0))).alias("tcp_len"),
+            flag(19).alias("cwr_flag"),
+            flag(23).alias("ece_flag"),
+            flag(11).alias("urg_flag"),
+            flag(2).alias("ack_flag"),
+            flag(3).alias("psh_flag"),
+            flag(17).alias("rst_flag"),
+            flag(7).alias("syn_flag"),
+            flag(13).alias("fin_flag"),
+        ]
+
+    return ev.select(*_memoized("events_as_packets", "", build))
 
 
 def q24_flow_features_full(spark: SparkSession, sf: str) -> DataFrame:

@@ -41,17 +41,12 @@ from anti_ddos_spark.schemas import FLOW_FEATURES
 DEFAULT_GAP_S = 60  # reference state timeout: 60 000 ms (main.py:981)
 
 
-def prepare_sessions(
-    packets: DataFrame, gap_s: float | None = DEFAULT_GAP_S, mode: str = "faithful"
-) -> DataFrame:
-    """Annotate packets with session ids, direction, IATs and bulk runs.
-
-    One hash shuffle on the flow key; every derived column is an analytic
-    function over that same partitioning (several Window nodes, one sort).
-    ``gap_s=None`` disables session splitting (one flow per 5-tuple).
-    """
-    df = normalize_flow_key(packets).withColumn("ts_us", F.unix_micros("timestamp"))
-
+def _session_col_seq(gap_s: float | None, mode: str) -> list:
+    """The (name, Column) sequence prepare_sessions appends — every
+    expression references columns by unresolved NAME only, so the trees
+    are reusable across DataFrames and memoized per (gap_s, mode, JVM)
+    via features._memoized (r14, guide §7.3: rebuilding these window
+    Columns cost ~0.3-0.5 s of driver py4j per flow-query build)."""
     w = Window.partitionBy(*FLOW_KEY_COLS).orderBy(*ORDER_COLS)
     upto_now = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_rows = w.rowsBetween(Window.unboundedPreceding, -1)
@@ -62,29 +57,32 @@ def prepare_sessions(
     else:
         gap_us = int(gap_s * 1_000_000)
         new_session = raw_gap.isNull() | (raw_gap > F.lit(gap_us))
-    df = df.withColumn("raw_gap_us", raw_gap).withColumn("new_session", new_session)
 
-    # Running session index + the session-start packet's orientation;
-    # conditional last() over the same window — no extra shuffle.
-    df = (
-        df.withColumn("session_id", F.sum(F.col("new_session").cast("long")).over(upto_now))
-        .withColumn(
+    seq: list = [
+        ("ts_us", F.unix_micros("timestamp")),
+        ("raw_gap_us", raw_gap),
+        ("new_session", new_session),
+        # Running session index + the session-start packet's orientation;
+        # conditional last() over the same window — no extra shuffle.
+        ("session_id", F.sum(F.col("new_session").cast("long")).over(upto_now)),
+        (
             "sess_start_us",
             F.last(F.when(F.col("new_session"), F.col("ts_us")), ignorenulls=True).over(upto_now),
-        )
-        .withColumn(
+        ),
+        (
             "sess_src_ip",
             F.last(F.when(F.col("new_session"), F.col("src_ip")), ignorenulls=True).over(upto_now),
-        )
-        .withColumn(
+        ),
+        (
             "sess_src_port",
             F.last(F.when(F.col("new_session"), F.col("src_port")), ignorenulls=True).over(upto_now),
-        )
-    )
-    df = df.withColumn(
-        "is_fwd",
-        (F.col("src_ip") == F.col("sess_src_ip")) & (F.col("src_port") == F.col("sess_src_port")),
-    )
+        ),
+        (
+            "is_fwd",
+            (F.col("src_ip") == F.col("sess_src_ip"))
+            & (F.col("src_port") == F.col("sess_src_port")),
+        ),
+    ]
 
     # Direction-local previous-packet tracking (ts + length) via
     # conditional last() over preceding rows, session-fenced afterwards.
@@ -97,22 +95,24 @@ def prepare_sessions(
     prev_dir = F.when(F.col("is_fwd"), prev_fwd).otherwise(prev_bwd)
     in_session = prev_dir["ts_us"] >= F.col("sess_start_us")
 
-    df = (
-        df.withColumn(
-            "flow_iat_us", F.when(~F.col("new_session"), F.col("raw_gap_us"))
-        )
-        .withColumn("dir_iat_us", F.when(in_session, F.col("ts_us") - prev_dir["ts_us"]))
-        .withColumn(
-            "prev_dir_len", F.when(in_session, prev_dir["length"])
-        )
-    )
+    seq += [
+        ("flow_iat_us", F.when(~F.col("new_session"), F.col("raw_gap_us"))),
+        ("dir_iat_us", F.when(in_session, F.col("ts_us") - prev_dir["ts_us"])),
+        ("prev_dir_len", F.when(in_session, prev_dir["length"])),
+    ]
 
     # Bulk-run head: bulk packet whose same-direction predecessor (within
     # the session) is absent or not bulk — deterministic episode marker.
     is_bulk = F.col("length") > F.lit(BULK_BYTES_THRESHOLD)
-    df = df.withColumn(
-        "bulk_start",
-        is_bulk & (F.col("prev_dir_len").isNull() | (F.col("prev_dir_len") <= BULK_BYTES_THRESHOLD)),
+    seq.append(
+        (
+            "bulk_start",
+            is_bulk
+            & (
+                F.col("prev_dir_len").isNull()
+                | (F.col("prev_dir_len") <= BULK_BYTES_THRESHOLD)
+            ),
+        )
     )
 
     if mode == "exact":
@@ -123,8 +123,8 @@ def prepare_sessions(
         idle_break = F.col("flow_iat_us").isNull() | (
             F.col("flow_iat_us") > F.lit(IDLE_THRESHOLD_US)
         )
-        df = df.withColumn(
-            "active_run_id", F.sum(idle_break.cast("long")).over(upto_now)
+        seq.append(
+            ("active_run_id", F.sum(idle_break.cast("long")).over(upto_now))
         )
         w_run_start = F.last(
             F.when(idle_break, F.col("ts_us")), ignorenulls=True
@@ -134,9 +134,30 @@ def prepare_sessions(
         run_closes = (
             nxt.isNull() | nxt_sess | ((nxt - F.col("ts_us")) > F.lit(IDLE_THRESHOLD_US))
         )
-        df = df.withColumn(
-            "active_span_us", F.when(run_closes, F.col("ts_us") - w_run_start)
+        seq.append(
+            ("active_span_us", F.when(run_closes, F.col("ts_us") - w_run_start))
         )
+    return seq
+
+
+def prepare_sessions(
+    packets: DataFrame, gap_s: float | None = DEFAULT_GAP_S, mode: str = "faithful"
+) -> DataFrame:
+    """Annotate packets with session ids, direction, IATs and bulk runs.
+
+    One hash shuffle on the flow key; every derived column is an analytic
+    function over that same partitioning (several Window nodes, one sort).
+    ``gap_s=None`` disables session splitting (one flow per 5-tuple).
+    """
+    from anti_ddos_spark.features import _memoized
+
+    seq = _memoized(
+        "session_col_seq", f"{gap_s!r}|{mode}", lambda: _session_col_seq(gap_s, mode)
+    )
+    df = normalize_flow_key(packets)
+    # sequential: later columns reference earlier ones by name
+    for name, col in seq:
+        df = df.withColumn(name, col)
     return df
 
 

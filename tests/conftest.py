@@ -16,6 +16,37 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _small_parallelize_slices():
+    """Bound the default slice count of parallelized TEST fixture data.
+
+    PySpark's parallelize defaults numSlices to defaultParallelism, so
+    on local[32] a 1-row createDataFrame becomes a 32-partition Python
+    RDD; every action then pays 32 Python-worker round-trips, and a
+    ``.coalesce(1)`` (the single-file commit idiom all storage-family
+    tests use) evaluates them SEQUENTIALLY in one task — measured
+    ~0.19 s per empty partition, ~6-8 s per 1-row fixture action, which
+    was the dominant cost of the versioned/CDF/MOR suites. Cap the
+    default at min(len(data), 8) for explicit-size-free calls; tests
+    that pass numSlices are untouched, values/ordering are unchanged
+    (slicing only changes row placement)."""
+    from pyspark import SparkContext
+
+    orig = SparkContext.parallelize
+
+    def parallelize(self, c, numSlices=None):
+        if numSlices is None:
+            try:
+                numSlices = max(1, min(len(c), 8))
+            except TypeError:
+                pass
+        return orig(self, c, numSlices)
+
+    SparkContext.parallelize = parallelize
+    yield
+    SparkContext.parallelize = orig
+
+
 @pytest.fixture(scope="session")
 def spark():
     from anti_ddos_spark.session import get_spark
