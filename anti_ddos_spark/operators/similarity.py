@@ -336,6 +336,11 @@ def lsh_neardup_pairs(
     # scan stage. The outer generate skips that rule; on a (impossible)
     # empty array it would emit null band/sig, which the equi-join
     # drops anyway.
+    # Only the PROBE side is spread; sharing the spread exchange with
+    # the b (broadcast-build) side was measured WORSE at the 100×
+    # decade (17.5 vs 15.9 s, shuffle-read doubled — both consumers
+    # re-read the exchange, and the build side's sig folds were not the
+    # wall). Negative result kept here so it isn't retried.
     a = (
         spread_small_scan(emb0, id_col)
         .select(F.col(id_col).alias("id_a"), F.expr(sig_sql).alias("_sa"))
