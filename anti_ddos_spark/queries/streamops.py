@@ -57,6 +57,40 @@ _counter = itertools.count()
 _prior_views: dict[str, str] = {}
 
 
+def _await_spinning_stream(spark, q, name: str, deadline_s: float = 240) -> None:
+    """Wait out an availableNow run that processing-time timers keep
+    alive (ProcessingTimeTimeout / TWS timers must re-check wall-clock,
+    so the query spins no-data batches and never self-terminates inside
+    a huge timeout window), then stop it.
+
+    Completion signal (r14): a COMMITTED no-data batch —
+    ``lastProgress.numInputRows == 0`` — with at least one emitted row.
+    Under availableNow, no-data batches only run once every planned
+    data batch has committed, so this is a strictly stronger signal
+    than the previous emitted-row-count-stability heuristic AND removes
+    its fixed cost: the old loop paid a 5 s stability window + 1 s poll
+    granularity of pure wait per run after the real work had finished
+    (most of q71/q72's residual sweep marginal). The stability check
+    stays as the deadline-bounded fallback."""
+    import time as _time
+
+    last, stable_since = -1, _time.monotonic()
+    deadline = _time.monotonic() + deadline_s
+    while _time.monotonic() < deadline:
+        n = spark.table(name).count()
+        p = q.lastProgress
+        if n > 0 and p is not None and p.get("numInputRows") == 0:
+            break
+        now = _time.monotonic()
+        if n != last:
+            last, stable_since = n, now
+        elif n > 0 and now - stable_since > 5:
+            break
+        _time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+
+
 def _finish_stream_run(spark: SparkSession, tmp: str, name: str) -> None:
     """Best-effort scratch cleanup after an availableNow run terminates.
 
@@ -167,25 +201,7 @@ def q71_stateful_accum(spark: SparkSession, sf: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-    # ProcessingTimeTimeout keeps availableNow spinning no-data batches
-    # (it must re-check wall-clock timeouts), so the query never
-    # self-terminates inside the huge timeout window. The data batches
-    # finish in seconds; poll until the emitted row count stabilizes,
-    # then stop the query explicitly.
-    import time as _time
-
-    last, stable_since = -1, _time.monotonic()
-    deadline = _time.monotonic() + 240
-    while _time.monotonic() < deadline:
-        n = spark.table(name).count()
-        now = _time.monotonic()
-        if n != last:
-            last, stable_since = n, now
-        elif n > 0 and now - stable_since > 5:
-            break
-        _time.sleep(1)
-    q.stop()
-    q.awaitTermination(60)
+    _await_spinning_stream(spark, q, name)
     _finish_stream_run(spark, tmp, name)
     out = spark.table(name)
     return out.select(
@@ -376,21 +392,8 @@ def q72_tws_sessionize(spark: SparkSession, sf: str) -> DataFrame:
             .start()
         )
     # processing-time timers keep availableNow alive (same behavior as
-    # q71's ProcessingTimeTimeout); poll until emission stabilizes.
-    import time as _time
-
-    last, stable_since = -1, _time.monotonic()
-    deadline = _time.monotonic() + 240
-    while _time.monotonic() < deadline:
-        n = spark.table(name).count()
-        now = _time.monotonic()
-        if n != last:
-            last, stable_since = n, now
-        elif n > 0 and now - stable_since > 5:
-            break
-        _time.sleep(1)
-    q.stop()
-    q.awaitTermination(60)
+    # q71's ProcessingTimeTimeout); wait for source exhaustion.
+    _await_spinning_stream(spark, q, name)
     _finish_stream_run(spark, tmp, name)
     out = spark.table(name)
     return out.select(*STABLE_COLS, F.unix_micros("timestamp").alias("last_ts_us"))

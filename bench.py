@@ -667,6 +667,25 @@ def run_diff(path_a: str, path_b: str, threshold: float) -> None:
 
     out: dict = {"a": path_a, "b": path_b, "threshold": threshold,
                  "history_artifacts": len(history)}
+    # Cross-artifact host-speed check (r14): the hostnorm columns cancel
+    # load variance WITHIN a sweep (each row is scaled to its own
+    # sweep's mini-anchor median), but if the two sweeps' MEDIANS
+    # differ, the columns are in different seconds-units and every
+    # small-jobs row shifts together — surface the ratio so a uniform
+    # drift isn't read as N independent regressions (measured r14: a
+    # +35% mini-median shift flagged 14 untouched batch rows while
+    # standalone re-runs matched the older sweep exactly).
+    ma, mb = a.get("mini_anchor_median"), b.get("mini_anchor_median")
+    if ma and mb:
+        out["mini_anchor_medians"] = [ma, mb]
+        out["mini_anchor_ratio"] = round(mb / ma, 3)
+        if abs(mb / ma - 1.0) > 0.15:
+            print(
+                f"NOTE: mini-anchor medians differ {ma} -> {mb} "
+                f"(x{mb / ma:.2f}) — the sweeps ran at different host "
+                "small-job speeds; batch flags in that direction are "
+                "suspect, spot-check standalone before adjudicating"
+            )
     for kind, keys, fallback_floor in (
         ("batch", ["queries_batch_hostnorm", "queries_batch_normalized"],
          0.05),
