@@ -345,6 +345,15 @@ def minhash_candidates(
         out = []
         for i in range(k):
             a_i, b_i = uhash_params(i)
+            # Negative result (r14, guide §2.3 "narrower types"): the
+            # values are < 2^31-1 (mod a Mersenne prime), but casting
+            # the min to INT does NOT shrink the agg shuffle — UnsafeRow
+            # stores every fixed-width field in an 8-byte slot, and the
+            # longs' high bytes were already zero, so the 100× decade
+            # shuffle read 567.54 MB to the hundredth either way.
+            # Shrinking this exchange needs the 128 mins PACKED into one
+            # variable-length column, which has no builtin elementwise
+            # min aggregate — not worth a custom buffer for ~290 MB.
             out.append(
                 F.min((base * F.lit(a_i) + F.lit(b_i)) % F.lit(UHASH_M)).alias(
                     f"minhash_{i}"

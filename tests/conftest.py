@@ -37,7 +37,10 @@ def _small_parallelize_slices():
     def parallelize(self, c, numSlices=None):
         if numSlices is None:
             try:
-                numSlices = max(1, min(len(c), 8))
+                # ~1000 rows per slice, capped at 8: tiny protocol
+                # fixtures become ONE Python partition (their actions
+                # are I/O-bound), big compute fixtures keep parallelism
+                numSlices = max(1, min(-(-len(c) // 1000), 8))
             except TypeError:
                 pass
         return orig(self, c, numSlices)
